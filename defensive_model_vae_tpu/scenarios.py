@@ -1,0 +1,338 @@
+"""Single scenario registry for all per-scenario constants.
+
+The reference scatters per-scenario magic constants across >=6 files and
+dispatches on substrings of model filenames (see reference ``Tools.py:84-97``,
+``Spatial_Distribution.py:360-384``, ``Distribution.py:83-92``,
+``Traj_Data_Process.py:8-28``).  This module centralizes every one of those
+constants in a typed registry keyed by scenario id (``sce1``..``sce4``) so the
+rest of the framework never needs string matching on filenames.
+
+Scenario ids and town names (reference ``SUT_Testing/Defensive_Testing.py:21-26``):
+    sce1 = StaticBlindTown05
+    sce2 = DynamicBlindTown05
+    sce3 = PredictableMovementTown05
+    sce4 = UnpredictableMovementTown04
+
+All predicates operate on pandas DataFrames with the 55-column CARLA log
+schema (``frame,id,throttle,steer,brake,ego_x..ego_yaw,sv1_x..sv6_yaw``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+Predicate = Callable[["pandas.DataFrame"], "pandas.Series"]  # noqa: F821
+
+
+@dataclasses.dataclass(frozen=True)
+class LaneLine:
+    """One painted lane line (always axis-aligned in the four scenarios)."""
+
+    axis: str  # 'x' means vertical line at x=value; 'y' horizontal at y=value
+    value: float
+    style: str  # 'solid' | 'dashed'
+    span: Tuple[float, float]  # extent along the other axis
+
+
+@dataclasses.dataclass(frozen=True)
+class DndaConfig:
+    """Per-scenario DNDA driver configuration.
+
+    Mirrors the straight-line baselines and lane configuration of the
+    reference ``SUT_Testing/tools/DNDA_calculator.py:38-78,105-135``.
+    """
+
+    lane_num: int
+    lane_egodirect: int
+    lane_width: float = 3.5
+    max_absolute_acc: float = 9.8
+    # Baseline generator: returns flat [x1,y1,x2,y2,...] array, 0.25 m spacing.
+    baseline_fn: Callable[[], np.ndarray] = None  # type: ignore[assignment]
+
+
+@dataclasses.dataclass(frozen=True)
+class Scenario:
+    """Everything the framework knows about one driving scenario."""
+
+    key: str  # 'sce1'..'sce4'
+    town: str  # CARLA town folder name
+    index: int  # 1..4
+
+    # --- time discretization (reference Tools.py:155-164) ---
+    dt: float  # simulation / tracking time step in seconds
+
+    # --- dataset extraction (reference Traj_Data_Process.py:8-28) ---
+    dataset_start: Predicate
+    dataset_end_row: Callable[["pandas.Series"], bool]  # noqa: F821
+
+    # --- start-condition mask (reference Tools.py:84-97) ---
+    start_condition_mask: Predicate
+    start_fallback: Tuple[float, float, float]  # (x, y, angle_rad)
+
+    # --- human/background-vehicle extraction (reference Tools.py:153-178) ---
+    human_start_mask: Predicate
+    human_end_mask: Predicate
+    n_background_vehicles: int  # how many sv tracks to return (1 or 2)
+
+    # --- human-velocity trimming (reference Distribution.py:228-243) ---
+    # mask over human [x, y, t] rows selecting the analysed segment
+    human_trim_mode: str  # 'sce1_splice' | 'first_index'
+    human_trim_mask: Callable[[np.ndarray], np.ndarray]
+
+    # --- validation grids (reference Spatial_Distribution.py:360-384) ---
+    grid_x: Tuple[float, float]  # arange(start, stop, grid_size)
+    grid_y: Tuple[float, float]
+
+    # --- plotting (reference Plot_Gif.py / Tools.py:318-368) ---
+    plot_xlim: Tuple[float, float]
+    plot_ylim: Tuple[float, float]
+    lane_lines: Tuple[LaneLine, ...]
+    axis_flip: str  # which axes the reference inverts for display
+
+    # --- THW (reference Get_THW.py:66-104) ---
+    # distance / start_speed; sce4 uses 40 m when trial suffix == '3' else 30 m
+    thw_distance: Optional[float]
+    thw_distance_by_suffix: Optional[Dict[str, float]]
+
+    # --- SUT episode slicing (reference Metrics_Calculation.py:143-210) ---
+    sut_jerk_axis: str  # 'ax' | 'ay'
+
+    # --- DNDA (reference DNDA_calculator.py) ---
+    dnda: DndaConfig = None  # type: ignore[assignment]
+
+
+# ---------------------------------------------------------------------------
+# DNDA straight-line baselines (reference DNDA_calculator.py:38-78)
+# ---------------------------------------------------------------------------
+
+def _baseline_sce1() -> np.ndarray:
+    x = -189.81
+    y_values = np.arange(-80, 300, 0.25)
+    return np.stack([np.full_like(y_values, x), y_values], axis=1).ravel()
+
+
+def _baseline_sce2() -> np.ndarray:
+    x_values = np.arange(20.5, -350, -0.25)
+    slope = (1.23 - 0.92) / (-177.3 - (-50))
+    intercept = 0.92 - slope * (-50)
+    return np.stack([x_values, slope * x_values + intercept], axis=1).ravel()
+
+
+def _baseline_sce3() -> np.ndarray:
+    y_values = np.arange(100.5, -300, -0.25)
+    x = 153.33
+    return np.stack([np.full_like(y_values, x), y_values], axis=1).ravel()
+
+
+def _baseline_sce4() -> np.ndarray:
+    y_values = np.arange(210.5, -450, -0.25)
+    slope = (220 - (-160)) / (7.77 - 6.06)
+    intercept = 220 - slope * 7.77
+    x_values = y_values / slope - intercept / slope
+    return np.stack([x_values, y_values], axis=1).ravel()
+
+
+# ---------------------------------------------------------------------------
+# Predicates.  Each mirrors the cited reference mask exactly.
+# ---------------------------------------------------------------------------
+
+def _sce1_dataset_start(df):
+    return (df["ego_y"] >= 18) & (df["sv2_vx"] != 0) & (df["sv2_vy"] != 0)
+
+
+def _sce2_dataset_start(df):
+    return df["sv1_yaw"] < -170
+
+
+def _sce3_dataset_start(df):
+    return (
+        (df["sv1_vx"] != 0)
+        & (df["sv1_vy"] != 0)
+        & (df["ego_y"] <= 40)
+        & (df["ego_y"] != 0)
+    )
+
+
+def _sce4_dataset_start(df):
+    return (
+        (df["ego_x"] - df["sv1_x"]) ** 2 + (df["ego_y"] - df["sv1_y"]) ** 2
+        <= 40.0 ** 2
+    ) & (df["sv1_yaw"] >= -89.9)
+
+
+# start-condition mask for generation (Tools.py:84-97): identical to the
+# dataset masks except sce4 (same) — the human-extraction mask for sce4 uses a
+# 50 m radius and drops the yaw condition (Tools.py:160).
+def _sce4_human_start(df):
+    return (
+        (df["ego_x"] - df["sv1_x"]) ** 2 + (df["ego_y"] - df["sv1_y"]) ** 2
+        <= 50.0 ** 2
+    )
+
+
+def _sce1_human_end(df):
+    return df["ego_y"] >= 95
+
+
+def _sce2_human_end(df):
+    return df["ego_x"] < -186
+
+
+def _sce3_human_end(df):
+    return df["ego_y"] <= -80
+
+
+def _sce4_human_end(df):
+    return (df["sv1_x"] > 15) & (df["sv1_yaw"] < -85)
+
+
+REGISTRY: Dict[str, Scenario] = {
+    "sce1": Scenario(
+        key="sce1",
+        town="StaticBlindTown05",
+        index=1,
+        dt=0.02,
+        dataset_start=_sce1_dataset_start,
+        dataset_end_row=lambda row: row["ego_y"] >= 95,
+        start_condition_mask=_sce1_dataset_start,
+        start_fallback=(-193.3, 50.0, -np.pi / 2),
+        human_start_mask=_sce1_dataset_start,
+        human_end_mask=_sce1_human_end,
+        n_background_vehicles=2,
+        human_trim_mode="sce1_splice",
+        human_trim_mask=lambda traj: traj[:, 1] >= 40,
+        grid_x=(-198, -188 + 1),
+        grid_y=(40, 80 + 1),
+        plot_xlim=(-230, -150),
+        plot_ylim=(20, 100),
+        lane_lines=(
+            LaneLine("x", -196.8, "solid", (0, 73.2)),
+            LaneLine("x", -193.3, "dashed", (0, 73.2)),
+            LaneLine("x", -189.8, "solid", (0, 73.2)),
+        ),
+        axis_flip="x",
+        thw_distance=60.0,
+        thw_distance_by_suffix=None,
+        sut_jerk_axis="ay",
+        dnda=DndaConfig(lane_num=2, lane_egodirect=2, baseline_fn=_baseline_sce1),
+    ),
+    "sce2": Scenario(
+        key="sce2",
+        town="DynamicBlindTown05",
+        index=2,
+        dt=0.025,
+        dataset_start=_sce2_dataset_start,
+        dataset_end_row=lambda row: row["ego_x"] < -186,
+        start_condition_mask=_sce2_dataset_start,
+        start_fallback=(-155.0, -5.0, -np.pi / 2),
+        human_start_mask=_sce2_dataset_start,
+        human_end_mask=_sce2_human_end,
+        n_background_vehicles=2,
+        human_trim_mode="first_index",
+        human_trim_mask=lambda traj: traj[:, 0] >= 40,
+        grid_x=(-200, -120),
+        grid_y=(-8, 6),
+        plot_xlim=(-200, -100),
+        plot_ylim=(-53, 47),
+        lane_lines=(
+            LaneLine("y", -5.8, "solid", (-177, -50)),
+            LaneLine("y", -2.3, "dashed", (-177, -50)),
+            LaneLine("y", 1.2, "solid", (-177, -50)),
+        ),
+        axis_flip="x",
+        thw_distance=None,
+        thw_distance_by_suffix=None,
+        sut_jerk_axis="ax",
+        dnda=DndaConfig(lane_num=2, lane_egodirect=2, baseline_fn=_baseline_sce2),
+    ),
+    "sce3": Scenario(
+        key="sce3",
+        town="PredictableMovementTown05",
+        index=3,
+        dt=0.015,
+        dataset_start=_sce3_dataset_start,
+        dataset_end_row=lambda row: row["ego_y"] <= -80,
+        start_condition_mask=_sce3_dataset_start,
+        start_fallback=(155.0, -15.0, -np.pi / 2),
+        human_start_mask=_sce3_dataset_start,
+        human_end_mask=_sce3_human_end,
+        n_background_vehicles=2,
+        human_trim_mode="first_index",
+        human_trim_mask=lambda traj: traj[:, 1] <= 40,
+        grid_x=(148, 158),
+        grid_y=(-80, 22),
+        plot_xlim=(80, 230),
+        plot_ylim=(-100, 50),
+        lane_lines=(
+            LaneLine("x", 153.3, "solid", (-100, 60)),
+            LaneLine("x", 156.8, "solid", (-100, 60)),
+            LaneLine("x", 149.7, "solid", (-100, 60)),
+        ),
+        axis_flip="y",
+        thw_distance=80.0,
+        thw_distance_by_suffix=None,
+        sut_jerk_axis="ay",
+        dnda=DndaConfig(lane_num=1, lane_egodirect=1, baseline_fn=_baseline_sce3),
+    ),
+    "sce4": Scenario(
+        key="sce4",
+        town="UnpredictableMovementTown04",
+        index=4,
+        dt=0.02,
+        dataset_start=_sce4_dataset_start,
+        dataset_end_row=lambda row: (row["sv1_x"] > 15) and (row["sv1_yaw"] < -85),
+        start_condition_mask=_sce4_dataset_start,
+        start_fallback=(11.0, 0.0, -np.pi / 2),
+        human_start_mask=_sce4_human_start,
+        human_end_mask=_sce4_human_end,
+        n_background_vehicles=1,
+        human_trim_mode="first_index",
+        human_trim_mask=lambda traj: traj[:, 0] < 9,
+        grid_x=(0, 20),
+        grid_y=(-20, 100),
+        plot_xlim=(-45, 65),
+        plot_ylim=(-10, 100),
+        lane_lines=(
+            LaneLine("x", 3.5, "solid", (-40, 120)),
+            LaneLine("x", 7.0, "dashed", (-40, 120)),
+            LaneLine("x", 10.5, "dashed", (-40, 120)),
+            LaneLine("x", 14.0, "dashed", (-40, 120)),
+            LaneLine("x", 17.5, "solid", (-40, 120)),
+        ),
+        axis_flip="y",
+        thw_distance=None,
+        thw_distance_by_suffix={"3": 40.0, "default": 30.0},
+        sut_jerk_axis="ay",
+        dnda=DndaConfig(lane_num=3, lane_egodirect=3, baseline_fn=_baseline_sce4),
+    ),
+}
+
+TOWN_TO_KEY = {s.town: s.key for s in REGISTRY.values()}
+
+# Maneuver subfolders in the raw dataset (reference Traj_Data_Process.py:28)
+ACTIONS = ("减速", "减速+转向", "转向")
+
+_SCE_RE = re.compile(r"sce([1-4])")
+
+
+def get(key_or_name: str) -> Scenario:
+    """Resolve a scenario from a key ('sce3'), a town name, or any string
+    containing a scenario key (the reference's model-filename convention)."""
+    if key_or_name in REGISTRY:
+        return REGISTRY[key_or_name]
+    if key_or_name in TOWN_TO_KEY:
+        return REGISTRY[TOWN_TO_KEY[key_or_name]]
+    m = _SCE_RE.search(key_or_name)
+    if m:
+        return REGISTRY["sce" + m.group(1)]
+    # reference falls through to sce3 behavior for unknown names
+    # (Tools.py:91-97 else-branch); we are stricter and raise.
+    raise KeyError(f"unknown scenario: {key_or_name!r}")
+
+
+def keys() -> Sequence[str]:
+    return tuple(REGISTRY.keys())

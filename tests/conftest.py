@@ -1,0 +1,47 @@
+"""Test configuration.
+
+Runs the whole suite on a virtual 8-device CPU mesh so multi-chip sharding
+paths (pjit over a Mesh) compile and execute without TPU hardware.  Must set
+the env vars before the first jax import.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+
+import numpy as np
+import pytest
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
+REFERENCE_ROOT = pathlib.Path("/root/reference")
+FIXTURES = REPO_ROOT / "fixtures"
+
+
+def reference_available() -> bool:
+    return REFERENCE_ROOT.is_dir()
+
+
+requires_reference = pytest.mark.skipif(
+    not reference_available(), reason="reference dataset not mounted"
+)
+
+
+@pytest.fixture(scope="session")
+def windows_sce1() -> np.ndarray:
+    """(38, 10, 3) [t, x, y] float32 windows for sce1 (fixture copy)."""
+    return np.load(FIXTURES / "trajectory_sce1_cond.npy")
+
+
+@pytest.fixture(scope="session")
+def all_windows() -> dict:
+    return {
+        k: np.load(FIXTURES / f"trajectory_{k}_cond.npy")
+        for k in ("sce1", "sce2", "sce3", "sce4")
+    }

@@ -1,0 +1,118 @@
+"""Data-layer tests: window extraction parity vs the shipped datasets."""
+
+import numpy as np
+import pytest
+
+from defensive_model_vae_tpu import scenarios
+from defensive_model_vae_tpu.data import (
+    build_dataset,
+    generate_random_trajectories,
+    get_human_and_bv_trajectories,
+    get_start_conditions,
+    trim_human_trajectory,
+)
+
+from conftest import REFERENCE_ROOT, requires_reference
+
+
+def _row_set(arr, decimals=4):
+    return {tuple(np.round(r, decimals)) for r in arr.reshape(len(arr), -1)}
+
+
+@requires_reference
+@pytest.mark.parametrize("key,n_ref", [("sce1", 38), ("sce2", 16), ("sce3", 66)])
+def test_window_extraction_exact_parity(key, n_ref):
+    mine = build_dataset(str(REFERENCE_ROOT / "DefensiveData"), key)
+    ref = np.load(
+        REFERENCE_ROOT / "training/DefensiveDataProcessed" / f"trajectory_{key}_cond.npy"
+    ).astype(np.float32)
+    assert mine.shape == (n_ref, 10, 3)
+    assert _row_set(mine) == _row_set(ref)
+
+
+@requires_reference
+def test_window_extraction_sce4_subset():
+    # The shipped sce4 npy holds 135 windows but one of them cannot be
+    # reproduced from any shipped CSV under either subsampling mode (stale
+    # entry predating the current CSVs).  Our extraction must produce exactly
+    # the 134 reproducible windows and nothing else.
+    mine = build_dataset(str(REFERENCE_ROOT / "DefensiveData"), "sce4")
+    ref = np.load(
+        REFERENCE_ROOT / "training/DefensiveDataProcessed/trajectory_sce4_cond.npy"
+    ).astype(np.float32)
+    assert mine.shape == (134, 10, 3)
+    assert _row_set(mine) <= _row_set(ref)
+    assert len(_row_set(ref) - _row_set(mine)) == 1
+
+
+def test_windows_shape_and_time_monotone(all_windows):
+    for key, arr in all_windows.items():
+        assert arr.ndim == 3 and arr.shape[1:] == (10, 3)
+        t = arr[:, :, 0]
+        assert np.all(t[:, 0] == 0.0)
+        assert np.all(np.diff(t, axis=1) > 0)
+
+
+@requires_reference
+def test_start_conditions_first_matching_row():
+    sce = scenarios.get("sce1")
+    import glob
+
+    csvs = sorted(
+        glob.glob(str(REFERENCE_ROOT / "DefensiveData/StaticBlindTown05/减速/*.csv"))
+    )
+    sc = get_start_conditions(csvs[0], sce)
+    # must equal the first row of the extracted window for the same file
+    from defensive_model_vae_tpu.data import process_csv
+
+    w = process_csv(csvs[0], sce, target_points=10, time_interval=sce.dt)
+    assert np.isclose(sc.x, w[0, 1]) and np.isclose(sc.y, w[0, 2])
+    assert np.isfinite(sc.angle) and np.isfinite(sc.vx) and np.isfinite(sc.vy)
+
+
+def test_start_conditions_fallback(tmp_path):
+    # unreadable file → documented per-scenario fallback
+    sc = get_start_conditions(str(tmp_path / "missing.csv"), "sce2")
+    assert (sc.x, sc.y) == (-155.0, -5.0)
+    assert np.isclose(sc.angle, -np.pi / 2)
+
+
+@requires_reference
+def test_human_and_bv_extraction():
+    import glob
+
+    sce = scenarios.get("sce4")
+    csvs = sorted(
+        glob.glob(
+            str(REFERENCE_ROOT / "DefensiveData/UnpredictableMovementTown04/减速/*.csv")
+        )
+    )
+    human, bv1, bv2 = get_human_and_bv_trajectories(csvs[0], sce)
+    assert human is not None and bv1 is not None and bv2 is None  # sce4: 1 bv
+    assert human.shape[1] == 3
+    # time column is arange * dt
+    assert np.allclose(np.diff(human[:, 2]), sce.dt)
+    trimmed = trim_human_trajectory(human, sce)
+    assert trimmed.shape[1] == 3 and len(trimmed) <= len(human)
+
+
+def test_random_trajectories_straight():
+    # zero angular deviation → straight unit-step line along +x
+    t = generate_random_trajectories(5, 50, max_angle_deviation=0.0, seed=0)
+    assert t.shape == (5, 50, 2)
+    assert np.allclose(t[:, :, 0], np.arange(50))
+    assert np.allclose(t[:, :, 1], 0.0)
+
+
+def test_random_trajectories_step_length():
+    t = generate_random_trajectories(3, 40, max_angle_deviation=5.0, seed=1)
+    steps = np.linalg.norm(np.diff(t, axis=1), axis=-1)
+    assert np.allclose(steps, 1.0)
+
+
+def test_scenario_registry_lookup():
+    assert scenarios.get("sce3").town == "PredictableMovementTown05"
+    assert scenarios.get("UnpredictableMovementTown04").key == "sce4"
+    assert scenarios.get("vae_offset_sce2_cond_ld8_epoch3000.pth").key == "sce2"
+    with pytest.raises(KeyError):
+        scenarios.get("nonsense")
