@@ -1,0 +1,68 @@
+"""Trajectory generation API.
+
+Mirrors the semantics of reference ``Tools.load_model_and_generate_trajectory``
+(``Tools.py:18-65``) — sample z ~ N(0, I), condition on the absolute start
+point, decode a relative [t, dx, dy] trajectory and shift to global [t, x, y]
+— but batched: one jitted call produces any number of trajectories for any
+number of start points (the reference generates one at a time in a Python
+loop, ``Distribution.py:143-166``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import CVAEConfig, sample
+from .train.checkpoint import load_checkpoint
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _sample_jit(params, key, start_xy, cfg: CVAEConfig):
+    return sample(params, key, start_xy, cfg)
+
+
+def generate_trajectories(
+    params,
+    cfg: CVAEConfig,
+    start_xy: np.ndarray,
+    n_samples: int = 1,
+    seed: Union[int, jax.Array] = 0,
+) -> np.ndarray:
+    """Generate ``n_samples`` global [t, x, y] trajectories per start point.
+
+    Args:
+        start_xy: (B, 2) or (2,) start coordinates.
+        n_samples: samples per start point (z draws).
+
+    Returns:
+        (B, n_samples, T, D) array (squeezed to (T, D) for B=1, n=1 to match
+        the reference's single-trajectory call signature).
+    """
+    key = jax.random.PRNGKey(seed) if isinstance(seed, int) else seed
+    start_xy = np.atleast_2d(np.asarray(start_xy, np.float32))
+    B = start_xy.shape[0]
+    tiled = jnp.asarray(np.repeat(start_xy, n_samples, axis=0))
+    out = _sample_jit(params, key, tiled, cfg)
+    out = np.asarray(out).reshape(B, n_samples, cfg.seq_len, cfg.dim)
+    if B == 1 and n_samples == 1:
+        return out[0, 0]
+    return out
+
+
+def load_and_generate(
+    checkpoint_dir: str,
+    start_x: float,
+    start_y: float,
+    n_samples: int = 1,
+    seed: int = 0,
+) -> np.ndarray:
+    """Checkpoint-path convenience mirroring the reference call shape."""
+    params, cfg, _ = load_checkpoint(checkpoint_dir)
+    return generate_trajectories(
+        params, cfg, np.array([start_x, start_y]), n_samples, seed
+    )

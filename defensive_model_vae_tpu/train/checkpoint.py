@@ -1,0 +1,92 @@
+"""Checkpointing with an explicit manifest.
+
+The reference encodes checkpoint identity in the filename
+(``vae[_offset]_<sce>[_cond]_ld8_epoch3000.pth``) and parses it back by
+substring matching (SURVEY §5).  Here a checkpoint is a directory holding
+
+- ``params.npz``     — flattened parameter pytree
+- ``manifest.json``  — model config, scenario key, train config, metadata
+
+so identity is data, not filename convention.  Optimizer state can be
+included for resumable training (the reference saves weights only,
+``Training_VAE.py:393``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..models import CVAEConfig
+from ..models.losses import LossWeights
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    else:
+        out[prefix.rstrip("/")] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]):
+    tree: Dict[str, Any] = {}
+    for path, arr in flat.items():
+        node = tree
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = arr
+    return tree
+
+
+def save_checkpoint(
+    directory: str,
+    params,
+    model_cfg: CVAEConfig,
+    scenario: Optional[str] = None,
+    history: Optional[Dict[str, np.ndarray]] = None,
+    extra_manifest: Optional[Dict[str, Any]] = None,
+) -> str:
+    os.makedirs(directory, exist_ok=True)
+    params = jax.device_get(params)
+    np.savez(os.path.join(directory, "params.npz"), **_flatten(params))
+    manifest = {
+        "format_version": 1,
+        "model_config": dataclasses.asdict(model_cfg),
+        "scenario": scenario,
+    }
+    if extra_manifest:
+        manifest.update(extra_manifest)
+    with open(os.path.join(directory, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    if history is not None:
+        np.savez(
+            os.path.join(directory, "history.npz"),
+            **{k: np.asarray(v) for k, v in history.items()},
+        )
+    return directory
+
+
+def load_checkpoint(directory: str) -> Tuple[Dict, CVAEConfig, Dict[str, Any]]:
+    with open(os.path.join(directory, "manifest.json")) as f:
+        manifest = json.load(f)
+    with np.load(os.path.join(directory, "params.npz")) as z:
+        params = _unflatten({k: z[k] for k in z.files})
+    model_cfg = CVAEConfig(**manifest["model_config"])
+    return params, model_cfg, manifest
+
+
+def load_history(directory: str) -> Optional[Dict[str, np.ndarray]]:
+    path = os.path.join(directory, "history.npz")
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}

@@ -1,0 +1,269 @@
+"""Jitted full-batch CVAE trainer.
+
+The reference trains each scenario full-batch for 3000 epochs in a Python
+loop (``Training_VAE.py:338-380``).  Every corpus fits in one device batch
+(≤135 × 10 × 3 floats), so the TPU-native formulation is a single
+``lax.scan`` over epochs compiled once: the whole 3000-epoch run is one
+device program with zero host round-trips.  The per-epoch work is the
+absolute→relative transform, the CVAE forward, the 4-term loss, and one
+Adam update — all fused by XLA.
+
+``train_multi_scenario`` trains all four scenario models simultaneously by
+stacking them into one leading axis and ``vmap``-ing the step: four models,
+one device program (a capability the reference runs as four separate jobs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models import (
+    CVAEConfig,
+    LossWeights,
+    cvae_loss,
+    forward,
+    init_params,
+    to_relative,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    # defaults = reference training config (``Training_VAE.py:272-306``)
+    epochs: int = 3000
+    lr: float = 1e-3
+    weights: LossWeights = LossWeights()
+    seed: int = 0
+
+
+def make_train_step(model_cfg: CVAEConfig, train_cfg: TrainConfig, optimizer):
+    """Build one jittable epoch step: (params, opt_state, key, batch, mask)
+    → (params, opt_state, metrics)."""
+
+    def loss_fn(params, key, batch, mask):
+        batch_rel, start_points = to_relative(batch)
+        recon, mu, logvar, _ = forward(params, key, batch_rel, start_points, model_cfg)
+        total, comps = cvae_loss(recon, batch_rel, mu, logvar, train_cfg.weights, mask)
+        return total, comps
+
+    def step(params, opt_state, key, batch, mask=None):
+        (_, comps), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, key, batch, mask
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, comps
+
+    return step
+
+
+_METRIC_KEYS = ("total", "recon", "kld", "start", "time")
+
+
+def _scan_trainer(step, epochs):
+    """Compile the whole training run as one scan over epochs."""
+
+    def run(params, opt_state, key, batch, mask):
+        def body(carry, epoch):
+            params, opt_state = carry
+            k = jax.random.fold_in(key, epoch)
+            params, opt_state, comps = step(params, opt_state, k, batch, mask)
+            return (params, opt_state), jnp.stack(
+                [comps[k_] for k_ in _METRIC_KEYS]
+            )
+
+        (params, opt_state), metrics = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(epochs)
+        )
+        return params, opt_state, metrics
+
+    return run
+
+
+def train(
+    windows: np.ndarray,
+    model_cfg: Optional[CVAEConfig] = None,
+    train_cfg: TrainConfig = TrainConfig(),
+    extra_cond: Optional[np.ndarray] = None,
+    mesh=None,
+) -> Tuple[Dict, Dict[str, np.ndarray]]:
+    """Train one scenario model on its full window corpus.
+
+    Args:
+        windows: (N, T, D) absolute [t, x, y] windows.
+        extra_cond: optional (N, cond_dim-2) extra condition features
+            (scenario one-hot, THW) appended to the start point.
+        mesh: optional ``jax.sharding.Mesh`` — the batch is sharded over its
+            'data' axis and params are replicated (pjit data parallelism).
+
+    Returns:
+        (params, history) with history[k] of shape (epochs,) per loss term.
+    """
+    if model_cfg is None:
+        cond_dim = 2 + (0 if extra_cond is None else extra_cond.shape[1])
+        model_cfg = CVAEConfig(
+            seq_len=windows.shape[1], dim=windows.shape[2], cond_dim=cond_dim
+        )
+    batch = jnp.asarray(windows, jnp.float32)
+    if extra_cond is not None:
+        # fold extra condition features in by augmenting to_relative's output:
+        # handled inside loss via closure below
+        raise NotImplementedError(
+            "use train_conditioned() for extra condition features"
+        )
+
+    key = jax.random.PRNGKey(train_cfg.seed)
+    params = init_params(key, model_cfg)
+    optimizer = optax.adam(train_cfg.lr)
+    opt_state = optimizer.init(params)
+
+    step = make_train_step(model_cfg, train_cfg, optimizer)
+    run = _scan_trainer(step, train_cfg.epochs)
+
+    if mesh is not None:
+        from ..parallel import shard_batch, replicate
+
+        batch = shard_batch(batch, mesh)
+        params = replicate(params, mesh)
+        opt_state = replicate(opt_state, mesh)
+
+    run = jax.jit(run, static_argnames=())
+    params, _, metrics = run(params, opt_state, key, batch, None)
+    metrics = np.asarray(metrics)
+    history = {k: metrics[:, i] for i, k in enumerate(_METRIC_KEYS)}
+    return params, history
+
+
+def train_conditioned(
+    windows: np.ndarray,
+    extra_cond: np.ndarray,
+    train_cfg: TrainConfig = TrainConfig(),
+    mesh=None,
+) -> Tuple[Dict, Dict[str, np.ndarray], CVAEConfig]:
+    """Train the scenario-class/THW-conditioned variant.
+
+    The condition vector is [start_x, start_y, extra...] — the generalized
+    form of the reference's start-point conditioning.
+    """
+    extra = jnp.asarray(extra_cond, jnp.float32)
+    model_cfg = CVAEConfig(
+        seq_len=windows.shape[1],
+        dim=windows.shape[2],
+        cond_dim=2 + extra.shape[1],
+    )
+    batch = jnp.asarray(windows, jnp.float32)
+
+    key = jax.random.PRNGKey(train_cfg.seed)
+    params = init_params(key, model_cfg)
+    optimizer = optax.adam(train_cfg.lr)
+    opt_state = optimizer.init(params)
+
+    def loss_fn(params, k, batch, extra):
+        batch_rel, start_points = to_relative(batch)
+        cond = jnp.concatenate([start_points, extra], axis=1)
+        recon, mu, logvar, _ = forward(params, k, batch_rel, cond, model_cfg)
+        total, comps = cvae_loss(recon, batch_rel, mu, logvar, train_cfg.weights)
+        return total, comps
+
+    def step(params, opt_state, k, batch, extra):
+        (_, comps), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, k, batch, extra
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, comps
+
+    def run(params, opt_state, key, batch, extra):
+        def body(carry, epoch):
+            params, opt_state = carry
+            k = jax.random.fold_in(key, epoch)
+            params, opt_state, comps = step(params, opt_state, k, batch, extra)
+            return (params, opt_state), jnp.stack([comps[m] for m in _METRIC_KEYS])
+
+        (params, opt_state), metrics = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(train_cfg.epochs)
+        )
+        return params, metrics
+
+    if mesh is not None:
+        from ..parallel import shard_batch, replicate
+
+        batch = shard_batch(batch, mesh)
+        extra = shard_batch(extra, mesh)
+        params = replicate(params, mesh)
+        opt_state = replicate(opt_state, mesh)
+
+    params, metrics = jax.jit(run)(params, opt_state, key, batch, extra)
+    metrics = np.asarray(metrics)
+    history = {k: metrics[:, i] for i, k in enumerate(_METRIC_KEYS)}
+    return params, history, model_cfg
+
+
+def train_multi_scenario(
+    windows_by_scenario: Dict[str, np.ndarray],
+    train_cfg: TrainConfig = TrainConfig(),
+) -> Tuple[Dict[str, Dict], Dict[str, Dict[str, np.ndarray]]]:
+    """Train all scenario models in ONE device program via vmap.
+
+    Corpora are padded to the largest N with a sample mask; the step is
+    vmapped over a leading model axis so the four models' matmuls batch
+    together on the MXU.
+    """
+    keys = list(windows_by_scenario.keys())
+    seq_len = next(iter(windows_by_scenario.values())).shape[1]
+    dim = next(iter(windows_by_scenario.values())).shape[2]
+    model_cfg = CVAEConfig(seq_len=seq_len, dim=dim)
+
+    n_max = max(w.shape[0] for w in windows_by_scenario.values())
+    batches, masks = [], []
+    for k in keys:
+        w = windows_by_scenario[k]
+        pad = n_max - w.shape[0]
+        # pad with copies of row 0 and mask them out
+        batches.append(np.concatenate([w, np.repeat(w[:1], pad, 0)], axis=0))
+        masks.append(np.concatenate([np.ones(w.shape[0]), np.zeros(pad)]))
+    batch = jnp.asarray(np.stack(batches), jnp.float32)  # (S, Nmax, T, D)
+    mask = jnp.asarray(np.stack(masks), jnp.float32)  # (S, Nmax)
+
+    base_key = jax.random.PRNGKey(train_cfg.seed)
+    init_keys = jax.random.split(base_key, len(keys))
+    params = jax.vmap(lambda k: init_params(k, model_cfg))(init_keys)
+    optimizer = optax.adam(train_cfg.lr)
+    opt_state = jax.vmap(optimizer.init)(params)
+
+    step = make_train_step(model_cfg, train_cfg, optimizer)
+
+    def run(params, opt_state, batch, mask):
+        def body(carry, epoch):
+            params, opt_state = carry
+            ks = jax.random.split(jax.random.fold_in(base_key, epoch), len(keys))
+            params, opt_state, comps = jax.vmap(step)(
+                params, opt_state, ks, batch, mask
+            )
+            return (params, opt_state), jnp.stack(
+                [comps[m] for m in _METRIC_KEYS], axis=-1
+            )
+
+        (params, opt_state), metrics = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(train_cfg.epochs)
+        )
+        return params, metrics
+
+    params, metrics = jax.jit(run)(params, opt_state, batch, mask)
+    metrics = np.asarray(metrics)  # (epochs, S, 5)
+
+    params_by = {
+        k: jax.tree_util.tree_map(lambda p, i=i: p[i], params)
+        for i, k in enumerate(keys)
+    }
+    history_by = {
+        k: {m: metrics[:, i, j] for j, m in enumerate(_METRIC_KEYS)}
+        for i, k in enumerate(keys)
+    }
+    return params_by, history_by

@@ -1,0 +1,172 @@
+"""Model / loss / training tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from defensive_model_vae_tpu.models import (
+    CVAEConfig,
+    ConvCVAEConfig,
+    LossWeights,
+    conv_forward,
+    cvae_loss,
+    forward,
+    init_conv_params,
+    init_params,
+    sample,
+    to_relative,
+)
+from defensive_model_vae_tpu.train import TrainConfig, train, train_multi_scenario
+from defensive_model_vae_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from defensive_model_vae_tpu.generate import generate_trajectories
+
+
+CFG = CVAEConfig(seq_len=10, dim=3)
+
+
+def test_param_shapes_match_reference_architecture():
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    spec = CFG.layer_spec()
+    assert set(params) == set(spec)
+    for name, (fi, fo) in spec.items():
+        assert params[name]["w"].shape == (fi, fo)
+        assert params[name]["b"].shape == (fo,)
+    # reference dims: enc input 30, latent heads 256->8, dec output 30
+    assert spec["enc_0"] == (30, 128)
+    assert spec["fc_mu"] == (256, 8)
+    assert spec["dec_3"] == (128, 30)
+
+
+def test_to_relative():
+    batch = jnp.asarray(np.random.default_rng(0).normal(size=(4, 10, 3)))
+    rel, starts = to_relative(batch)
+    assert np.allclose(rel[:, 0, 1:3], 0.0, atol=1e-6)
+    assert np.allclose(starts, batch[:, 0, 1:3])
+    assert np.allclose(rel[:, :, 0], batch[:, :, 0])  # time untouched
+
+
+def test_loss_golden_values():
+    # hand-computed reference semantics on tiny fixed tensors
+    rng = np.random.default_rng(42)
+    x = rng.normal(size=(3, 4, 3)).astype(np.float32)
+    r = rng.normal(size=(3, 4, 3)).astype(np.float32)
+    mu = rng.normal(size=(3, 2)).astype(np.float32)
+    logvar = rng.normal(size=(3, 2)).astype(np.float32)
+
+    total, comps = cvae_loss(
+        jnp.asarray(r), jnp.asarray(x), jnp.asarray(mu), jnp.asarray(logvar),
+        LossWeights(recon=0.1, kld=0.1, start=1.0, time=1.0),
+    )
+    recon = ((r - x) ** 2).mean()
+    kld = -0.5 * (1 + logvar - mu**2 - np.exp(logvar)).mean()
+    start = ((r[:, 0, 1:3] - x[:, 0, 1:3]) ** 2).mean()
+    tdiff = r[:, 1:, 0] - r[:, :-1, 0]
+    time = (r[:, 0, 0] ** 2).mean() + np.maximum(-tdiff, 0).mean()
+    assert np.isclose(comps["recon"], recon, rtol=1e-5)
+    assert np.isclose(comps["kld"], kld, rtol=1e-5)
+    assert np.isclose(comps["start"], start, rtol=1e-5)
+    assert np.isclose(comps["time"], time, rtol=1e-5)
+    assert np.isclose(total, 0.1 * recon + 0.1 * kld + start + time, rtol=1e-5)
+
+
+def test_masked_loss_ignores_padding():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(4, 5, 3)), jnp.float32)
+    r = jnp.asarray(rng.normal(size=(4, 5, 3)), jnp.float32)
+    mu = jnp.asarray(rng.normal(size=(4, 2)), jnp.float32)
+    lv = jnp.asarray(rng.normal(size=(4, 2)), jnp.float32)
+
+    t_full, c_full = cvae_loss(r[:2], x[:2], mu[:2], lv[:2])
+    # pad with junk rows and mask them
+    mask = jnp.array([1.0, 1.0, 0.0, 0.0])
+    t_masked, c_masked = cvae_loss(r, x, mu, lv, mask=mask)
+    assert np.isclose(t_full, t_masked, rtol=1e-5)
+    for k in c_full:
+        assert np.isclose(c_full[k], c_masked[k], rtol=1e-5), k
+
+    ones = jnp.ones(2)
+    t_ones, _ = cvae_loss(r[:2], x[:2], mu[:2], lv[:2], mask=ones)
+    assert np.isclose(t_full, t_ones, rtol=1e-6)
+
+
+def test_forward_shapes_and_determinism():
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    x = jnp.zeros((7, 10, 3))
+    cond = jnp.zeros((7, 2))
+    key = jax.random.PRNGKey(1)
+    recon, mu, logvar, h = forward(params, key, x, cond, CFG)
+    assert recon.shape == (7, 10, 3)
+    assert mu.shape == (7, 8) and logvar.shape == (7, 8)
+    assert h.shape == (7, 128)
+    recon2, *_ = forward(params, key, x, cond, CFG)
+    assert np.allclose(recon, recon2)  # same key → same sample
+
+
+@pytest.fixture(scope="module")
+def trained_sce1(windows_sce1):
+    return train(windows_sce1, train_cfg=TrainConfig(epochs=300))
+
+
+def test_training_converges(trained_sce1):
+    _, hist = trained_sce1
+    assert hist["total"][0] / hist["total"][-1] > 10
+    assert np.all(np.isfinite(hist["total"]))
+
+
+def test_generation_semantics(trained_sce1, windows_sce1):
+    params, _ = trained_sce1
+    start = windows_sce1[0, 0, 1:3]
+    traj = generate_trajectories(params, CFG, start, n_samples=1, seed=5)
+    assert traj.shape == (10, 3)
+    # trained model: time starts near 0, increases, xy starts near condition
+    assert abs(traj[0, 0]) < 1.0
+    assert np.sum(np.diff(traj[:, 0]) > 0) >= 8
+    assert np.linalg.norm(traj[0, 1:3] - start) < 5.0
+    # batched path
+    many = generate_trajectories(params, CFG, np.tile(start, (4, 1)), n_samples=3)
+    assert many.shape == (4, 3, 10, 3)
+    # distinct z draws give distinct trajectories
+    assert not np.allclose(many[0, 0], many[0, 1])
+
+
+def test_checkpoint_roundtrip(tmp_path, windows_sce1):
+    params, hist = train(windows_sce1, train_cfg=TrainConfig(epochs=10))
+    d = save_checkpoint(str(tmp_path / "ckpt"), params, CFG, "sce1", hist)
+    params2, cfg2, manifest = load_checkpoint(d)
+    assert cfg2 == CFG and manifest["scenario"] == "sce1"
+    for name in params:
+        assert np.allclose(params[name]["w"], params2[name]["w"])
+    t1 = generate_trajectories(params, CFG, windows_sce1[0, 0, 1:3], seed=2)
+    t2 = generate_trajectories(params2, CFG, windows_sce1[0, 0, 1:3], seed=2)
+    assert np.allclose(t1, t2, atol=1e-6)
+
+
+def test_conv_cvae_forward_and_grad():
+    cfg = ConvCVAEConfig(seq_len=50, dim=2)
+    params = init_conv_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(6, 50, 2)), jnp.float32)
+    cond = x[:, 0, :]
+    recon, mu, logvar, _ = conv_forward(params, jax.random.PRNGKey(1), x, cond, cfg)
+    assert recon.shape == (6, 50, 2)
+
+    def loss(p):
+        r, m, lv, _ = conv_forward(p, jax.random.PRNGKey(1), x, cond, cfg)
+        return jnp.mean((r - x) ** 2) - 0.5 * jnp.mean(1 + lv - m**2 - jnp.exp(lv))
+
+    g = jax.grad(loss)(params)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(leaf)) for leaf in flat)
+    assert any(np.abs(leaf).max() > 0 for leaf in flat)
+
+
+def test_multi_scenario_training(all_windows):
+    subset = {k: all_windows[k] for k in ("sce1", "sce2")}
+    params_by, hist_by = train_multi_scenario(subset, TrainConfig(epochs=100))
+    for k in subset:
+        h = hist_by[k]["total"]
+        assert h[0] / h[-1] > 3
+    # the two models are genuinely different
+    w1 = params_by["sce1"]["enc_0"]["w"]
+    w2 = params_by["sce2"]["enc_0"]["w"]
+    assert not np.allclose(w1, w2)

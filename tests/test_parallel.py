@@ -1,0 +1,94 @@
+"""Mesh / pjit sharding tests (run on the virtual 8-device CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from defensive_model_vae_tpu.models import CVAEConfig, init_params
+from defensive_model_vae_tpu.parallel import (
+    create_mesh,
+    make_parallel_train_step,
+    replicate,
+    shard_batch,
+    tensor_shard_params,
+)
+from defensive_model_vae_tpu.train import TrainConfig, make_train_step, train
+
+CFG = CVAEConfig(seq_len=10, dim=3)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_mesh_shapes():
+    mesh = create_mesh()
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh2 = create_mesh(shape=(4, 2))
+    assert mesh2.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        create_mesh(shape=(3, 2))
+
+
+def test_shard_batch_pads_and_shards():
+    mesh = create_mesh(shape=(8, 1))
+    batch = jnp.ones((13, 10, 3))
+    sharded = shard_batch(batch, mesh)
+    assert sharded.shape[0] == 16  # padded to multiple of 8
+    assert len(sharded.sharding.device_set) == 8
+
+
+def test_data_parallel_step_matches_single_device(windows_sce1):
+    """One DP step over the mesh must equal the single-device step."""
+    tc = TrainConfig(epochs=1)
+    optimizer = optax.adam(tc.lr)
+    step = make_train_step(CFG, tc, optimizer)
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    opt_state = optimizer.init(params)
+    key = jax.random.PRNGKey(7)
+    # use 32 samples → divides evenly over 8 devices (no padding, so the
+    # masked/unmasked paths agree exactly)
+    batch = jnp.asarray(windows_sce1[:32], jnp.float32)
+
+    p_single, _, m_single = jax.jit(step)(params, opt_state, key, batch)
+
+    mesh = create_mesh(shape=(8, 1))
+    pstep = make_parallel_train_step(step, mesh)
+    p_mesh, _, m_mesh = pstep(
+        replicate(params, mesh),
+        replicate(opt_state, mesh),
+        key,
+        shard_batch(batch, mesh),
+    )
+    assert np.isclose(float(m_single["total"]), float(m_mesh["total"]), rtol=1e-5)
+    for name in params:
+        assert np.allclose(p_single[name]["w"], p_mesh[name]["w"], atol=1e-5)
+
+
+def test_tensor_parallel_forward_matches(windows_sce1):
+    """Hidden-dim tensor sharding must not change the math."""
+    from defensive_model_vae_tpu.models import forward, to_relative
+
+    mesh = create_mesh(shape=(4, 2))
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    batch = jnp.asarray(windows_sce1[:8], jnp.float32)
+    rel, starts = to_relative(batch)
+    key = jax.random.PRNGKey(3)
+
+    recon_ref, *_ = forward(params, key, rel, starts, CFG)
+
+    params_tp = tensor_shard_params(params, mesh, hidden_dim=128)
+    with mesh:
+        recon_tp, *_ = jax.jit(
+            lambda p, k, x, c: forward(p, k, x, c, CFG)
+        )(params_tp, key, rel, starts)
+    assert np.allclose(recon_ref, recon_tp, atol=1e-5)
+
+
+def test_train_with_mesh(windows_sce1):
+    mesh = create_mesh(shape=(8, 1))
+    params, hist = train(windows_sce1[:32], train_cfg=TrainConfig(epochs=50), mesh=mesh)
+    assert hist["total"][0] / hist["total"][-1] > 2
