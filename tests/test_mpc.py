@@ -1,0 +1,133 @@
+"""MPC tracker tests: dynamics golden cases, reference construction,
+tracking-quality bands on real scenario windows, batch/single parity."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax
+
+from defensive_model_vae_tpu.control import MPCConfig, PathReference, track, track_batch
+from defensive_model_vae_tpu.control.mpc import (
+    _initial_tracker_state,
+    rollout,
+)
+
+CFG = MPCConfig(prediction_horizon=10, control_horizon=5, dt=0.01)
+
+
+def test_rollout_straight_line():
+    # constant speed, zero steer → straight along heading
+    state0 = jnp.array([0.0, 0.0, 0.0, 2.0])
+    controls = jnp.zeros((100, 2))
+    states = rollout(CFG, state0, controls)
+    assert np.allclose(states[:, 1], 0.0, atol=1e-9)
+    assert np.allclose(states[:, 0], 2.0 * np.arange(101) * CFG.dt, atol=1e-6)
+    assert np.allclose(states[:, 3], 2.0)
+
+
+def test_rollout_constant_steer_turn_rate():
+    # Euler bicycle: dθ = v tan(δ)/L per unit time
+    v, delta = 5.0, 0.3
+    state0 = jnp.array([0.0, 0.0, 0.0, v])
+    controls = jnp.tile(jnp.array([0.0, delta]), (50, 1))
+    states = rollout(CFG, state0, controls)
+    expected_rate = v * np.tan(delta) / CFG.wheelbase
+    rates = np.diff(states[:, 2]) / CFG.dt
+    assert np.allclose(rates, expected_rate, rtol=1e-5)
+
+
+def test_rollout_clips_controls():
+    state0 = jnp.array([0.0, 0.0, 0.0, 0.0])
+    controls = jnp.tile(jnp.array([100.0, 0.0]), (10, 1))  # way over max_accel
+    states = rollout(CFG, state0, controls)
+    assert np.isclose(states[-1, 3], CFG.max_accel * 10 * CFG.dt, rtol=1e-6)
+
+
+def test_initial_tracker_state():
+    s = _initial_tracker_state(np.array([1.0, 2.0, -3.0, 3.0, 4.0]))
+    assert np.isclose(s[2], -3.0 + 2 * np.pi)  # −2.8 wrap
+    assert np.isclose(s[3], 5.0)  # |v| = hypot(3,4)
+
+
+def test_path_reference_knots_and_extrapolation():
+    t = np.linspace(0, 5, 10)
+    wp = np.column_stack([3 * t, -2 * t, t])  # straight line, v = sqrt(13)
+    init = np.array([0.0, 0.0, 0.0, 3.0, -2.0])
+    ref = PathReference(wp, init)
+    x, y, vx, vy = ref.get_reference(t)
+    assert np.allclose(x, wp[:, 0], atol=1e-9)
+    assert np.allclose(y, wp[:, 1], atol=1e-9)
+    # beyond the end: constant-velocity extrapolation
+    x2, y2, vx2, vy2 = ref.get_reference(np.array([6.0]))
+    assert np.isclose(x2[0], ref.end_x + ref.end_vx * 1.0)
+    assert np.isclose(vx2[0], ref.end_vx)
+    # straight path: heading constant everywhere
+    th = ref.get_reference_heading(np.linspace(0, 6, 20))
+    assert np.allclose(th, np.arctan2(-2, 3), atol=1e-6)
+
+
+def test_reference_low_speed_heading_hold():
+    # path that stops: v → 0 at the end; held heading, not garbage
+    t = np.array([0.0, 1.0, 2.0, 3.0, 4.0])
+    x = np.array([0.0, 4.0, 6.0, 6.5, 6.5])  # decelerating to stop
+    wp = np.column_stack([x, np.zeros_like(x), t])
+    init = np.array([0.0, 0.0, 0.0, 4.0, 0.0])
+    ref = PathReference(wp, init)
+    refs = ref.build(num_steps=50, horizon=5, dt=0.1)
+    assert refs.shape == (50, 6, 2)
+    assert np.all(np.isfinite(refs))
+
+
+def test_tracking_quality_real_window(windows_sce1):
+    """Sub-meter tracking on a well-behaved real scenario window."""
+    wp = windows_sce1[1][:, [1, 2, 0]].astype(float)
+    wp[0, 2] = 0.0
+    # initial heading/speed consistent with the path start
+    v0 = (wp[1, :2] - wp[0, :2]) / (wp[1, 2] - wp[0, 2])
+    init = np.array([wp[0, 0], wp[0, 1], np.arctan2(v0[1], v0[0]), v0[0], v0[1]])
+    cfg = MPCConfig(prediction_horizon=30, control_horizon=20, dt=0.02)
+    times, states, controls = track(wp, init, cfg)
+    ref = PathReference(wp, init)
+    err = ref.position_error(times, states[:, :2])
+    assert err.max() < 1.5, err.max()
+    assert err.mean() < 0.75, err.mean()
+    # controls respect bounds
+    assert np.all(np.abs(controls[:, 0]) <= cfg.max_accel + 1e-6)
+    assert np.all(np.abs(controls[:, 1]) <= cfg.max_steer + 1e-6)
+
+
+def test_batch_matches_single(windows_sce1):
+    cfg = MPCConfig(prediction_horizon=15, control_horizon=10, dt=0.02)
+    idxs = [1, 3]
+    wps, inits = [], []
+    for i in idxs:
+        wp = windows_sce1[i][:, [1, 2, 0]].astype(float)
+        wp[0, 2] = 0.0
+        v0 = (wp[1, :2] - wp[0, :2]) / (wp[1, 2] - wp[0, 2])
+        wps.append(wp)
+        inits.append([wp[0, 0], wp[0, 1], np.arctan2(v0[1], v0[0]), v0[0], v0[1]])
+    wps, inits = np.stack(wps), np.asarray(inits)
+    times_b, states_b, controls_b, steps = track_batch(wps, inits, cfg)
+
+    for b, i in enumerate(idxs):
+        t_s, s_s, c_s = track(wps[b], inits[b], cfg)
+        n = steps[b]
+        assert np.allclose(states_b[b, : n + 1], s_s[: n + 1], atol=1e-4)
+
+
+def test_tracker_matches_ideal_theta_v_follower(windows_sce1):
+    """The tracker's realized [theta, v] must track the reference tensor
+    about as well as the formulation allows (solver adequacy check)."""
+    wp = windows_sce1[1][:, [1, 2, 0]].astype(float)
+    wp[0, 2] = 0.0
+    v0 = (wp[1, :2] - wp[0, :2]) / (wp[1, 2] - wp[0, 2])
+    init = np.array([wp[0, 0], wp[0, 1], np.arctan2(v0[1], v0[0]), v0[0], v0[1]])
+    cfg = MPCConfig(prediction_horizon=30, control_horizon=20, dt=0.02)
+    times, states, _ = track(wp, init, cfg)
+    ref = PathReference(wp, init)
+    refs = ref.build(len(times) - 1, cfg.prediction_horizon, cfg.dt)
+    th_err = np.abs(states[:-1, 2] - refs[:, 0, 0])
+    v_err = np.abs(states[:-1, 3] - refs[:, 0, 1])
+    assert np.median(th_err) < 0.05
+    assert np.median(v_err) < 0.25
