@@ -1,0 +1,206 @@
+"""DNDA batch driver: score SUT episode CSVs.
+
+Re-implements ``SUT_Testing/tools/DNDA_calculator.py``: per-scenario
+straight-line baselines (from the scenario registry), world rotation so
+the baseline runs along +x, per-frame vehicle-state rotation, relative
+heading / lateral-offset initialization, every-10th-frame evaluation with
+the per-scenario stop conditions, DNDA = RL, max over frames.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import re
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+
+from .. import scenarios
+from .core import drivable_area_risk_level
+from .geometry import Road, Vehicle
+
+
+def baseline_for(scenario) -> np.ndarray:
+    """(N, 2) straight-line baseline for the scenario (registry-backed)."""
+    sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
+    return sce.dnda.baseline_fn().reshape(-1, 2)
+
+
+def _rotate_to_x(baseline: np.ndarray):
+    """Rotate so the baseline chord runs along +x
+    (reference ``rotate_baseline_to_x_direction``, ``:219-230``)."""
+    angle = math.atan2(
+        baseline[-1, 1] - baseline[0, 1], baseline[-1, 0] - baseline[0, 0]
+    )
+    # reference quirk: its rotate_point(x, y, -angle) composes to a rotation
+    # by +angle, so a chord at +90° lands on the NEGATIVE x axis.  The whole
+    # downstream geometry (heading-vs-y conventions, lane side) depends on
+    # this orientation, so we replicate it exactly.
+    R = np.array([[math.cos(angle), -math.sin(angle)],
+                  [math.sin(angle), math.cos(angle)]])
+    return baseline @ R.T, angle
+
+
+def _rotate_row(row: pd.Series, angle: float, max_sv: int) -> Dict[str, float]:
+    """Rotate all vehicle states like the baseline (by +angle — see
+    ``_rotate_to_x``) and convert yaws to radians measured from the y axis
+    (reference ``rotate_vehicle_positions``)."""
+    R = np.array([[math.cos(angle), -math.sin(angle)],
+                  [math.sin(angle), math.cos(angle)]])
+    out: Dict[str, float] = {}
+
+    def rot(prefix):
+        p = R @ np.array([row[f"{prefix}_x"], row[f"{prefix}_y"]])
+        v = R @ np.array([row[f"{prefix}_vx"], row[f"{prefix}_vy"]])
+        a = R @ np.array([row[f"{prefix}_ax"], row[f"{prefix}_ay"]])
+        yaw = (row[f"{prefix}_yaw"] - math.degrees(angle)) % 360
+        out[f"{prefix}_x"], out[f"{prefix}_y"] = p
+        out[f"{prefix}_vx"], out[f"{prefix}_vy"] = v
+        out[f"{prefix}_ax"], out[f"{prefix}_ay"] = a
+        out[f"{prefix}_yaw"] = math.radians(90 - yaw)
+
+    rot("ego")
+    for i in range(1, max_sv + 1):
+        if f"sv{i}_x" in row and not (
+            np.isnan(row[f"sv{i}_x"]) or np.isnan(row[f"sv{i}_y"])
+        ):
+            rot(f"sv{i}")
+    return out
+
+
+def _relative_theta_init_q(ego_x, ego_y, ego_yaw, baseline: np.ndarray):
+    """Heading offset and signed lateral offset vs the nearest baseline
+    segment (reference ``calculate_relative_theta_and_init_q``, ``:80-103``)."""
+    d = np.linalg.norm(baseline - np.array([ego_x, ego_y]), axis=1)
+    i = int(np.argmin(d))
+    nearest = baseline[i]
+    nxt = baseline[i + 1] if i < len(baseline) - 1 else baseline[i - 1]
+    path_vec = nxt - nearest
+    path_yaw = math.atan2(path_vec[1], path_vec[0])
+    rel = (ego_yaw - path_yaw + math.pi) % (2 * math.pi) - math.pi
+    normal = np.array([-path_vec[1], path_vec[0]])
+    init_q = float(
+        np.dot(np.array([ego_x, ego_y]) - nearest, normal) / np.linalg.norm(path_vec)
+    )
+    return rel, init_q
+
+
+def _sur_input(row: Dict[str, float], raw: pd.Series, max_sv: int, sce) -> np.ndarray:
+    """Surrounding-vehicle rows [x, y, len, wid, vx, vy, ax, ay, yaw]
+    (reference ``generate_surVhe_input``, ``:176-207``); bikes get 2.0×0.7
+    (sce1's sv2, sce3's sv1), cars 4.0×2.0."""
+    rows = []
+    for i in range(1, max_sv + 1):
+        if f"sv{i}_x" not in row:
+            continue
+        if (sce.key == "sce1" and i == 2) or (sce.key == "sce3" and i == 1):
+            L, W = 2.0, 0.7
+        else:
+            L, W = 4.0, 2.0
+        rows.append(
+            [
+                row[f"sv{i}_x"], row[f"sv{i}_y"], L, W,
+                row[f"sv{i}_vx"], row[f"sv{i}_vy"],
+                row.get(f"sv{i}_ax", 0.0), row.get(f"sv{i}_ay", 0.0),
+                row.get(f"sv{i}_yaw", 0.0),
+            ]
+        )
+    return np.asarray(rows) if rows else np.zeros((0, 9))
+
+
+def _should_stop(sce, row: pd.Series) -> bool:
+    """Per-scenario episode stop conditions (reference ``:317-338``)."""
+    if sce.key == "sce1":
+        return row["ego_y"] >= 80
+    if sce.key == "sce2":
+        return row["ego_x"] <= -186.8897
+    if sce.key == "sce3":
+        return row["ego_y"] <= -78
+    sv1_x = row.get("sv1_x", np.nan)
+    sv1_yaw = row.get("sv1_yaw", np.nan)
+    if not (np.isnan(sv1_x) or np.isnan(sv1_yaw)):
+        if sv1_x > 14 and abs(sv1_yaw - (-90)) < 3:
+            return True
+    return row["ego_y"] <= -160
+
+
+@dataclasses.dataclass
+class DndaResult:
+    frames: List[int]
+    dnda: List[float]
+
+    @property
+    def max_dnda(self) -> float:
+        return max(self.dnda) if self.dnda else float("-inf")
+
+
+def process_episode(
+    csv_path,
+    scenario,
+    frame_stride: int = 10,
+    time_horizon: float = 3.0,
+    time_step: float = 0.1,
+    basepoint_num: int = 400,
+    max_frames: Optional[int] = None,
+) -> DndaResult:
+    """Score one SUT episode CSV (reference ``process_file``, ``:286-364``)."""
+    sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
+    df = pd.read_csv(csv_path)
+    baseline, angle = _rotate_to_x(baseline_for(sce))
+
+    sv_cols = [c for c in df.columns if re.fullmatch(r"sv\d+_x", c)]
+    max_sv = max((int(re.search(r"sv(\d+)_x", c).group(1)) for c in sv_cols), default=0)
+
+    moving = (df["ego_vx"] != 0) | (df["ego_vy"] != 0)
+    start_frame = int(np.flatnonzero(moving)[0]) if moving.any() else 0
+
+    frames: List[int] = []
+    values: List[float] = []
+    cfg = sce.dnda
+    for idx, raw in df.iterrows():
+        frame = idx + 1
+        if frame % frame_stride != 0 or frame < start_frame:
+            continue
+        if _should_stop(sce, raw):
+            break
+        row = _rotate_row(raw, angle, max_sv)
+        rel_theta, init_q = _relative_theta_init_q(
+            row["ego_x"], row["ego_y"], row["ego_yaw"], baseline
+        )
+        # reference quirk (``:111``): relative theta is passed through
+        # deg2rad once more even though it is already radians
+        rel_theta = math.radians(rel_theta)
+
+        road = Road(
+            cross_centerline=False,
+            lane_num=cfg.lane_num,
+            lane_egodirect=cfg.lane_egodirect,
+            lane_width=cfg.lane_width,
+            max_absolute_acc=cfg.max_absolute_acc,
+        )
+        ego = Vehicle(
+            x=row["ego_x"], y=row["ego_y"], length=7.2, width=2.3,
+            speed_x=row["ego_vx"], speed_y=row["ego_vy"],
+            speed=math.hypot(row["ego_vx"], row["ego_vy"]),
+            absolute_theta=row["ego_yaw"],
+            acc=math.cos(row["ego_yaw"]) * row["ego_ax"]
+            + math.sin(row["ego_yaw"]) * row["ego_ay"],
+            init_q=init_q, lane_posi=1, relative_theta=rel_theta,
+        )
+        sur = _sur_input(row, raw, max_sv, sce)
+        try:
+            _, rl = drivable_area_risk_level(
+                time_horizon, time_step, road, ego, baseline, sur, basepoint_num
+            )
+        except (ValueError, ZeroDivisionError):
+            continue
+        frames.append(frame)
+        values.append(rl)
+        if rl == 1:
+            break
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    return DndaResult(frames, values)

@@ -1,0 +1,106 @@
+"""DNDA main algorithm: DA + RL for one frame.
+
+Re-implements ``DrivableArea_RiskLevel_Calculation``
+(``dnda_functions.py:518-909``): rotate the world so the reference path
+is y-aligned in the ego frame, crop the baseline near the ego, translate
+to the origin, two-pass Frenet resampling (coarse 50 segments → ~1 m
+arc steps), build the reference Way, generate the ego path cluster,
+predict surrounding vehicles, run the SAT sweep, and compute DA and RL.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from .collision import collision_indices, predict_surrounding_rectangles
+from .frenet import Way, cartesian_to_frenet
+from .geometry import Road, SurroundingVehicle, Vehicle
+from .paths import generate_ego_cluster
+from .risk import drivable_area, risk_level
+
+
+def drivable_area_risk_level(
+    time_horizon: float,
+    time_step: float,
+    road: Road,
+    ego: Vehicle,
+    baseline_xy: np.ndarray,
+    sur_input: np.ndarray,
+    basepoint_num: int = 400,
+) -> Tuple[float, float]:
+    """Compute (DA, RL) for one frame.
+
+    Args:
+        baseline_xy: (N, 2) reference path points.
+        sur_input: (V, 9) rows [x, y, len, wid, vx, vy, ax, ay, heading].
+    """
+    # ego absolute heading from the velocity vector (angle w.r.t. the y
+    # axis, sign from the x quadrant — reference ``:562-578``)
+    if ego.speed_x**2 + ego.speed_y**2 != 0:
+        direct = np.array([ego.speed_x, ego.speed_y])
+        n = np.linalg.norm(direct)
+        x_deg = math.acos(np.clip(direct[0] / n, -1, 1))
+        y_deg = math.acos(np.clip(direct[1] / n, -1, 1))
+        ego.absolute_theta = -y_deg if x_deg < math.pi / 2 else y_deg
+
+    path_y_deg = ego.absolute_theta - ego.relative_theta
+    c, s = math.cos(-path_y_deg), math.sin(-path_y_deg)
+    R = np.array([[c, -s], [s, c]])
+
+    base = np.asarray(baseline_xy, float) @ R.T  # rotated baseline
+    ego_xy = R @ np.array([ego.x, ego.y])
+
+    # crop basepoint_num points starting at the nearest baseline point
+    d2 = np.sum((base - ego_xy) ** 2, axis=1)
+    min_idx = int(np.argmin(d2))
+    end = min(min_idx + basepoint_num, len(base))
+    if end - min_idx < 4:
+        raise ValueError("not enough baseline points ahead of the ego")
+    crop = base[min_idx:end]
+    origin = crop[0].copy()
+    crop = crop - origin
+
+    # transform surrounding vehicles into the same frame
+    sur: List[SurroundingVehicle] = []
+    for row in np.atleast_2d(np.asarray(sur_input, float)):
+        if len(row) == 0:
+            continue
+        pos = R @ row[0:2] - origin
+        vel = R @ row[4:6]
+        acc = R @ row[6:8]
+        sur.append(
+            SurroundingVehicle(
+                x=pos[0], y=pos[1], length=row[2], width=row[3],
+                speed_x=vel[0], speed_y=vel[1], acc_x=acc[0], acc_y=acc[1],
+                heading=row[8] - path_y_deg,
+            )
+        )
+
+    # curvature bound from lateral-acceleration budget and steering limit
+    max_lat = math.sqrt(max(road.max_absolute_acc**2 - ego.acc**2, 0.0))
+    k_lat = max_lat / ego.speed**2 if ego.speed != 0 else float("inf")
+    k_max = min(1.0 / 6.0, k_lat)
+
+    # two-pass Frenet: coarse to measure length, then ~1 m arc steps
+    _, arc_len, *_ = cartesian_to_frenet(crop, 50)
+    m_equal = round(arc_len / 1.0)
+    unit_arc, _, trans, bx, cx, by, cy, s_grid = cartesian_to_frenet(crop, m_equal)
+    way = Way(
+        baseline_x=trans[:, 0], baseline_y=trans[:, 1],
+        d1x=bx, d2x=cx, d1y=by, d2y=cy,
+    ).compute_curvature(absolute=False)
+
+    traj_num, ego_rects, usable, unit_arc_paths, k_maxes, _ = generate_ego_cluster(
+        ego, road, k_max, unit_arc, way, s_grid, m_equal, time_horizon, time_step
+    )
+
+    sur_rects = predict_surrounding_rectangles(sur, time_horizon, time_step)
+    ci = collision_indices(
+        ego_rects, sur_rects, ego.speed, unit_arc_paths, time_horizon, time_step
+    )
+    da = drivable_area(len(usable), ego_rects, ci)
+    rl = risk_level(usable, k_maxes, ci, unit_arc_paths, ego.speed, time_horizon)
+    return da, rl

@@ -1,0 +1,186 @@
+"""Ego candidate-path cluster generation (reference
+``Generate_Ego_TraCluster`` / ``generate_path`` / ``addPath``,
+``dnda_functions.py:913-1339``).
+
+For each of ``traj_num`` lateral end offsets, fit a cubic lateral-offset
+profile q(s) = a·s³ + b·s² + c·s + d in the reference path's Frenet frame
+(q(0)=init_q, q'(0)=tan(rel θ), q(sf)=qf, q'(sf)=0), map to Cartesian via
+the path normal, and iteratively lengthen any path whose max curvature
+exceeds k_max.  Each accepted path is resampled at uniform arc length
+(101 points) and swept with the ego rectangle.
+
+The data-dependent lengthening loop stays on the host (bounded, tiny); the
+per-path geometry inside each round is vectorized.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Tuple
+
+import numpy as np
+
+from .frenet import Way, cartesian_to_frenet, _rotation
+from .geometry import Road, Vehicle
+from .spline import fmm_spline_coeffs, spline_eval
+
+
+def _cubic_lateral_profile(ego: Vehicle, cdnt_arc, seg_end: int, qf: float):
+    """Solve for (a, b) of q(s) with the four boundary conditions."""
+    d = ego.init_q
+    c = math.tan(ego.relative_theta)
+    L = cdnt_arc[seg_end] - cdnt_arc[0]
+    A = np.array([[L**3, L**2], [3 * L**2, 2 * L]])
+    B = np.array([qf - d - c * L, -c])
+    try:
+        ab = np.linalg.solve(A, B)
+    except np.linalg.LinAlgError:
+        ab = np.zeros(2)
+    a, b = (0.0 if np.isnan(v) else float(v) for v in ab)
+    return a, b, c, d
+
+
+def _path_xy(way: Way, cdnt_arc, seg_end: int, a, b, c, d):
+    """Evaluate one candidate path over grid indices 0..seg_end."""
+    s = cdnt_arc[: seg_end + 1] - cdnt_arc[0]
+    q = a * s**3 + b * s**2 + c * s + d
+    x = way.baseline_x[: seg_end + 1] - q * way.d1y[: seg_end + 1]
+    y = way.baseline_y[: seg_end + 1] + q * way.d1x[: seg_end + 1]
+    return x, y
+
+
+def _max_curvature(x: np.ndarray, y: np.ndarray) -> float:
+    """Reference curvature check (``:1127-1185``): rotate chord to +x, fit
+    y(x) spline, evaluate curvature at max(100, n_seg) uniform x samples."""
+    chord = np.array([x[-1] - x[0], y[-1] - y[0]])
+    ang = np.arccos(np.clip(chord[0] / np.linalg.norm(chord), -1, 1))
+    if chord[1] < 0:
+        ang = -ang
+    R = _rotation(-ang)
+    p = np.column_stack([x, y]) @ R.T
+    cx, cy = p[:, 0], p[:, 1]
+    n_eval = max(100, len(x) - 1)
+    u = cx[0] + np.arange(n_eval) * (cx[-1] - cx[0]) / (n_eval - 1)
+    b, c, d = fmm_spline_coeffs(cx, cy)
+    _, k = spline_eval(cx, cy, b, c, d, u)
+    return float(k.max())
+
+
+def _rect_sweep(path_x, path_y, theta, length, width):
+    """Rectangle corners along a path: (n, 2, 4) (reference ``:1308-1334``);
+    headings below 0 are flipped by +π before rotating."""
+    base = np.array(
+        [
+            [length / 2, -length / 2, -length / 2, length / 2],
+            [-width / 2, -width / 2, width / 2, width / 2],
+        ]
+    )
+    rot = np.where(theta < 0, theta + np.pi, theta)
+    c, s = np.cos(rot), np.sin(rot)
+    R = np.stack(
+        [np.stack([c, -s], -1), np.stack([s, c], -1)], axis=-2
+    )  # (n, 2, 2)
+    rects = np.einsum("nij,jk->nik", R, base)
+    rects += np.stack([path_x, path_y], axis=1)[:, :, None]
+    return rects
+
+
+def generate_ego_cluster(
+    ego: Vehicle,
+    road: Road,
+    k_max: float,
+    unit_arc: float,
+    way: Way,
+    cdnt_arc: np.ndarray,
+    m_equal: int,
+    time_horizon: float,
+    time_step: float,
+):
+    """Returns (traj_num, ego_rects, usable_paths, unit_arc_paths, k_maxes,
+    path_ways) mirroring the reference output tuple.
+
+    - ego_rects: list over usable paths of (101, 2, 4) rectangle sweeps
+    - usable_paths: indices of paths meeting the curvature bound
+    - unit_arc_paths: per-usable-path uniform arc step
+    - k_maxes: final max curvature per candidate (reference ``K_max``)
+    """
+    actual_lane = road.lane_num if road.cross_centerline else road.lane_egodirect
+    traj_num = math.ceil((actual_lane * road.lane_width / ego.width - 1) * 2)
+    if actual_lane == 1:
+        traj_num = 3
+
+    deviation_right = (ego.lane_posi - 1) * road.lane_width - ego.width / 2
+    r_min = 1.0 / k_max
+    unit_dev = (actual_lane * road.lane_width - ego.width) / (traj_num - 1)
+
+    seg = []
+    qf = []
+    for i in range(traj_num):
+        dev = abs(deviation_right - unit_dev * i)
+        expr = 4 * r_min * dev - dev**2
+        root = math.sqrt(expr) if expr > 0 else 0.0
+        s = math.ceil((root + r_min * math.sin(-ego.relative_theta)) / unit_arc)
+        seg.append(min(max(s, 10), m_equal))
+        qf.append(-deviation_right + unit_dev * i)
+
+    # iterative lengthening until every path satisfies the curvature bound
+    done = [False] * traj_num
+    over = [False] * traj_num
+    k_maxes = [0.0] * traj_num
+    profiles = [None] * traj_num
+    while not all(done):
+        for i in range(traj_num):
+            a, b, c, d = _cubic_lateral_profile(ego, cdnt_arc, seg[i], qf[i])
+            profiles[i] = (a, b, c, d)
+            x, y = _path_xy(way, cdnt_arc, seg[i], a, b, c, d)
+            k_maxes[i] = _max_curvature(x, y)
+        for i in range(traj_num):
+            if done[i]:
+                continue
+            if k_maxes[i] > k_max:
+                seg[i] += 2
+                if seg[i] >= m_equal - 1:
+                    seg[i] -= 2
+                    over[i] = True
+                    done[i] = True
+            else:
+                done[i] = True
+
+    usable = [i for i in range(traj_num) if not over[i]]
+
+    real_segments = int(math.ceil((ego.speed * time_horizon) / unit_arc)) + 10
+
+    ego_rects: List[np.ndarray] = []
+    unit_arc_paths: List[float] = []
+    path_ways: List[Way] = []
+    for i in usable:
+        a, b, c, d = profiles[i]
+        x, y = _path_xy(way, cdnt_arc, seg[i], a, b, c, d)
+        # extend at constant offset qf along the remaining baseline
+        if seg[i] + 1 < real_segments:
+            j = np.arange(seg[i] + 1, real_segments)
+            j = j[j < len(way.baseline_x)]
+            x = np.concatenate([x, way.baseline_x[j] - qf[i] * way.d1y[j]])
+            y = np.concatenate([y, way.baseline_y[j] + qf[i] * way.d1x[j]])
+        elif len(x) > real_segments:
+            x, y = x[:real_segments], y[:real_segments]
+
+        point_num = 100
+        unit_p, _, trans, bx, cx, by, cy, _ = cartesian_to_frenet(
+            np.column_stack([x, y]), point_num
+        )
+        pw = Way(
+            baseline_x=trans[:, 0],
+            baseline_y=trans[:, 1],
+            d1x=bx,
+            d2x=cx,
+            d1y=by,
+            d2y=cy,
+        ).compute_curvature(absolute=True)
+        unit_arc_paths.append(unit_p)
+        path_ways.append(pw)
+        ego_rects.append(
+            _rect_sweep(pw.baseline_x, pw.baseline_y, pw.theta, ego.length, ego.width)
+        )
+
+    return traj_num, ego_rects, usable, unit_arc_paths, k_maxes, path_ways

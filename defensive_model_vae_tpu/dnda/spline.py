@@ -1,0 +1,115 @@
+"""Cubic-spline primitives for the DNDA pipeline.
+
+The reference DNDA is a Python port of a C++ original whose spline is the
+classic Forsythe–Malcolm–Moler (FMM) cubic with third-difference end
+conditions (reference ``dnda_functions.spline/seval/SPL``, ``:91-251``) —
+NOT scipy's not-a-knot or natural spline.  Matching its end conditions is
+load-bearing for curvature values near segment ends, so we implement the
+same algorithm, vectorized: the tridiagonal system is solved with a Thomas
+sweep expressed over numpy arrays (the de-facto standard formulation of
+this spline; written from the algorithm, not the reference source).
+
+Evaluation at query points is fully vectorized (searchsorted + Horner) and
+also returns the |y''| / (1+y'²)^{3/2} curvature the reference's ``seval``
+produces.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def fmm_spline_coeffs(x: np.ndarray, y: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """FMM cubic-spline coefficients (b, c, d) at the knots.
+
+    s(t) = y_i + b_i·w + c_i·w² + d_i·w³ for w = t − x_i on [x_i, x_{i+1}].
+    Requires strictly increasing x.  n = 2 degenerates to a line.
+    """
+    x = np.asarray(x, float)
+    y = np.asarray(y, float)
+    n = len(x)
+    if n < 2:
+        raise ValueError("need at least 2 points")
+    if not np.all(np.diff(x) > 0):
+        raise ValueError("x must be strictly increasing")
+
+    b = np.zeros(n)
+    c = np.zeros(n)
+    d = np.zeros(n)
+    if n == 2:
+        b[:] = (y[1] - y[0]) / (x[1] - x[0])
+        return b, c, d
+
+    h = np.diff(x)  # (n-1,)
+    # tridiagonal: diag, rhs
+    diag = np.zeros(n)
+    rhs = np.zeros(n)
+    diag[1:-1] = 2.0 * (h[:-1] + h[1:])
+    slope = np.diff(y) / h
+    rhs[1:-1] = np.diff(slope)
+
+    # FMM end conditions (third differences)
+    diag[0] = -h[0]
+    diag[-1] = -h[-1]
+    if n == 3:
+        rhs[0] = 0.0
+        rhs[-1] = 0.0
+    else:
+        c3 = np.diff(slope)  # second slope differences
+        rhs[0] = (c3[1] / (x[3] - x[1]) - c3[0] / (x[2] - x[0])) * h[0] ** 2 / (
+            x[3] - x[0]
+        )
+        rhs[-1] = -(
+            c3[-1] / (x[-1] - x[-3]) - c3[-2] / (x[-2] - x[-4])
+        ) * h[-1] ** 2 / (x[-1] - x[-4])
+
+    # Thomas forward elimination (sub/super diagonals are h)
+    cp = np.zeros(n)  # modified diag
+    dp = np.zeros(n)  # modified rhs
+    cp[0] = diag[0]
+    dp[0] = rhs[0]
+    for i in range(1, n):
+        m = h[i - 1] / cp[i - 1]
+        cp[i] = diag[i] - m * h[i - 1]
+        dp[i] = rhs[i] - m * dp[i - 1]
+    sigma = np.zeros(n)
+    sigma[-1] = dp[-1] / cp[-1]
+    for i in range(n - 2, -1, -1):
+        sigma[i] = (dp[i] - h[i] * sigma[i + 1]) / cp[i]
+
+    c = sigma
+    b[:-1] = slope - h * (c[1:] + 2.0 * c[:-1])
+    d[:-1] = (c[1:] - c[:-1]) / h
+    b[-1] = slope[-1] + h[-1] * (c[-2] + 2.0 * c[-1])
+    c = 3.0 * c
+    d[-1] = d[-2]
+    return b, c, d
+
+
+def spline_eval(
+    x: np.ndarray,
+    y: np.ndarray,
+    b: np.ndarray,
+    c: np.ndarray,
+    d: np.ndarray,
+    u: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Evaluate the spline and its |curvature| at points u (vectorized
+    equivalent of the reference's ``seval`` loop)."""
+    u = np.asarray(u, float)
+    idx = np.clip(np.searchsorted(x, u, side="right") - 1, 0, len(x) - 2)
+    w = u - x[idx]
+    d1 = 3 * d[idx] * w**2 + 2 * c[idx] * w + b[idx]
+    d2 = 6 * d[idx] * w + 2 * c[idx]
+    curvature = np.abs(d2) / (1 + d1**2) ** 1.5
+    val = y[idx] + w * (b[idx] + w * (c[idx] + w * d[idx]))
+    return val, curvature
+
+
+def spline_curvature(x: np.ndarray, y: np.ndarray, u: np.ndarray) -> np.ndarray:
+    """Max-curvature helper: fit + evaluate curvature at u."""
+    b, c, d = fmm_spline_coeffs(x, y)
+    _, k = spline_eval(x, y, b, c, d, u)
+    return k

@@ -116,6 +116,33 @@ def test_batch_matches_single(windows_sce1):
         assert np.allclose(states_b[b, : n + 1], s_s[: n + 1], atol=1e-4)
 
 
+def test_tracker_matches_reference_slsqp_oracle(windows_sce1):
+    """Direct solver-vs-solver parity: fixtures/oracle holds state traces
+    produced by RUNNING the reference SLSQP tracker on sce1 windows 1 and 3
+    (same waypoints, same initial state).  Our LM tracker must stay within
+    a tight band of those traces."""
+    import json
+    from conftest import FIXTURES
+
+    with open(FIXTURES / "oracle/sce1_start.json") as f:
+        sc = json.load(f)
+    cfg = MPCConfig(prediction_horizon=30, control_horizon=20, dt=0.02)
+    for idx in (1, 3):
+        ref_states = np.load(FIXTURES / f"oracle/ref_track_sce1w{idx}.npy")
+        wp = windows_sce1[idx][:, [1, 2, 0]].astype(float)
+        wp[0, 2] = 0.0
+        init = np.array([wp[0, 0], wp[0, 1], sc["angle"], sc["vx"], sc["vy"]])
+        times, states, _ = track(wp, init, cfg)
+        n = min(len(states), len(ref_states))
+        pos = np.hypot(
+            states[:n, 0] - ref_states[:n, 0], states[:n, 1] - ref_states[:n, 1]
+        )
+        v = np.abs(states[:n, 3] - ref_states[:n, 3])
+        assert pos.max() < 1.0, (idx, pos.max())
+        assert pos.mean() < 0.4, (idx, pos.mean())
+        assert v.mean() < 0.2, (idx, v.mean())
+
+
 def test_tracker_matches_ideal_theta_v_follower(windows_sce1):
     """The tracker's realized [theta, v] must track the reference tensor
     about as well as the formulation allows (solver adequacy check)."""

@@ -1,0 +1,108 @@
+"""SUT layer tests: write-back kinematics + surrogate metrics on real logs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from defensive_model_vae_tpu.metrics import compute_metric, slice_episode
+from defensive_model_vae_tpu.sut import (
+    compute_ego_kinematics,
+    expected_csv_name,
+    find_best_start_row,
+    merge_trajectory_into_csv,
+    parse_tracked_npy_name,
+    writeback_npy_to_csv,
+)
+
+from conftest import REFERENCE_ROOT, requires_reference
+
+
+def test_parse_tracked_npy_name():
+    assert parse_tracked_npy_name("tracked_trajectory_sce1_exp1_3.npy") == (
+        "sce1", "1", "3",
+    )
+    assert (
+        expected_csv_name("sce1", "1", "3")
+        == "exp_1_control_StaticBlindTown05_3.csv"
+    )
+    with pytest.raises(ValueError):
+        parse_tracked_npy_name("something_else.npy")
+
+
+def test_ego_kinematics():
+    t = np.arange(5, dtype=float)
+    theta = np.zeros(5)
+    v = 2 * t  # constant acceleration 2 along +x
+    vx, vy, ax, ay, yaw = compute_ego_kinematics(theta, v, t)
+    assert np.allclose(vx, v) and np.allclose(vy, 0)
+    assert np.allclose(ax, 2.0) and np.allclose(ay, 0)
+    assert np.allclose(yaw, 0)
+
+
+def _toy_csv(n=20):
+    cols = {
+        "frame": np.arange(n, dtype=float),
+        "ego_x": np.linspace(0, 10, n),
+        "ego_y": np.zeros(n),
+        "ego_vx": np.ones(n),
+        "ego_vy": np.zeros(n),
+        "ego_ax": np.zeros(n),
+        "ego_ay": np.zeros(n),
+        "ego_yaw": np.zeros(n),
+    }
+    return pd.DataFrame(cols)
+
+
+def test_merge_trajectory_basic():
+    df = _toy_csv()
+    traj = np.column_stack(
+        [np.linspace(5, 8, 6), np.ones(6), np.full(6, np.pi / 2), np.full(6, 3.0)]
+    )
+    start = find_best_start_row(df, 5.0, 1.0)  # nearest to (5, 1) → x≈5 row
+    out = merge_trajectory_into_csv(df, traj, start)
+    # trajectory shorter than remainder → truncated tail
+    assert len(out) == start + 6
+    seg = out.iloc[start:]
+    assert np.allclose(seg["ego_x"], traj[:, 0])
+    assert np.allclose(seg["ego_yaw"], 90.0)
+    assert np.allclose(seg["ego_vx"], 0.0, atol=1e-12)
+    assert np.allclose(seg["ego_vy"], 3.0)
+
+
+@requires_reference
+def test_writeback_real_npy(tmp_path):
+    npy = REFERENCE_ROOT / "results/GeneratedData/tracked_trajectory_sce1_exp11_3.npy"
+    out = writeback_npy_to_csv(
+        npy, REFERENCE_ROOT / "DefensiveData", tmp_path
+    )
+    assert out.name == "exp_11_control_StaticBlindTown05_3_def.csv"
+    merged = pd.read_csv(out)
+    traj = np.load(npy)
+    start = find_best_start_row(merged, traj[0, 0], traj[0, 1])
+    assert np.isclose(merged["ego_x"].iloc[start], traj[0, 0])
+
+
+@requires_reference
+@pytest.mark.parametrize("metric", ["TTC", "PET", "JERK"])
+def test_surrogate_metrics_on_real_episode(metric):
+    csv = REFERENCE_ROOT / "SUT_Testing/collected_data/DEF_StaticBlindTown05_1.csv"
+    out = compute_metric(str(csv), "sce1", metric)
+    assert metric in out.columns
+    vals = out[metric].to_numpy(float)
+    finite = vals[np.isfinite(vals)]
+    assert len(finite) > 0
+    if metric == "TTC":
+        assert np.nanmedian(np.abs(finite)) < 1e3  # sane scale
+
+
+@requires_reference
+def test_episode_slice_real():
+    csv = REFERENCE_ROOT / "SUT_Testing/collected_data/IDM_StaticBlindTown05.csv"
+    df = pd.read_csv(csv)
+    sub = slice_episode(df, "sce1")
+    assert 0 < len(sub) <= len(df)
+    assert sub["ego_y"].iloc[0] > 0
+    # ends at the first ego_y >= 80 (inclusive) or file end
+    if (sub["ego_y"] >= 80).any():
+        assert sub["ego_y"].iloc[-1] >= 80
+        assert (sub["ego_y"].iloc[:-1] < 80).all()
