@@ -1,0 +1,190 @@
+"""End-to-end pipeline: generate → track → validate.
+
+The reference drives this flow by commenting/uncommenting blocks inside
+``Distribution.main`` (``Distribution.py:388-687``).  Here each stage is an
+explicit function:
+
+- :func:`generate_and_track` — for every scenario CSV, read start
+  conditions, sample one trajectory from the CVAE, and MPC-track it.  The
+  reference loops serially per CSV (``:143-166``); here generation is one
+  batched device call and tracking is the vmapped batch tracker.
+- :func:`save_tracked` / :func:`load_tracked` — per-trace npy files with
+  the reference's naming scheme (consumed unchanged by the SUT layer).
+- :func:`validate` — the full metric sweep (JS, RMSE_frequency variants,
+  STV surface RMSEs, plane RMSE) as one machine-readable dict.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import scenarios
+from .control import MPCConfig, track_batch
+from .data import (
+    StartConditions,
+    collect_csv_files,
+    get_human_and_bv_trajectories,
+    get_start_conditions,
+    trim_human_trajectory,
+)
+from .generate import generate_trajectories
+from .metrics import (
+    build_stv_surface,
+    extract_velocities,
+    human_stv_data,
+    human_velocities,
+    model_stv_data,
+    rmse_frequency,
+    rmse_frequency_trajcount,
+    extract_coordinates,
+    spatiotemporal_plane_rmse,
+    surface_rmse,
+    velocity_js_divergence,
+)
+from .models import CVAEConfig
+
+
+def _csv_trace_name(scenario_key: str, csv_path: str) -> str:
+    """``exp_11_control_<Town>_3.csv → tracked_trajectory_<sce>_exp11_3.npy``
+    (reference naming, ``Distribution.py:157``)."""
+    parts = os.path.basename(csv_path).split("_")
+    return f"tracked_trajectory_{scenario_key}_exp{parts[1]}_{parts[-1].split('.')[0]}.npy"
+
+
+def generate_and_track(
+    params,
+    model_cfg: CVAEConfig,
+    scenario,
+    csv_files: Sequence[str],
+    seed: int = 0,
+    mpc_cfg: Optional[MPCConfig] = None,
+) -> Tuple[List[np.ndarray], List[str]]:
+    """Generate one tracked trajectory per CSV, batched on device.
+
+    Returns (state traces [N_b, 4] clipped to each path's own step count,
+    trace names)."""
+    sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
+    if mpc_cfg is None:
+        mpc_cfg = MPCConfig(prediction_horizon=30, control_horizon=20, dt=sce.dt)
+
+    conds = [get_start_conditions(c, sce) for c in csv_files]
+    starts = np.array([[c.x, c.y] for c in conds], np.float32)
+
+    # one z-sample per CSV, one device call
+    gen = generate_trajectories(params, model_cfg, starts, n_samples=1, seed=seed)
+    gen = gen.reshape(len(csv_files), model_cfg.seq_len, model_cfg.dim)
+
+    # [t, x, y] → [x, y, t] waypoints, first timestamp zeroed
+    wps = gen[:, :, [1, 2, 0]].astype(float)
+    wps[:, 0, 2] = 0.0
+    inits = np.stack([c.as_state() for c in conds])
+
+    # drop degenerate generations (non-monotone time) instead of crashing —
+    # the reference skips failed CSVs the same way (``:109-111``)
+    ok = np.all(np.diff(wps[:, :, 2], axis=1) > 0, axis=1)
+    traces: List[np.ndarray] = []
+    names: List[str] = []
+    idx = np.flatnonzero(ok)
+    if len(idx):
+        _, states, _, steps = track_batch(wps[idx], inits[idx], mpc_cfg)
+        for row, b in enumerate(idx):
+            n = steps[row]
+            traces.append(np.asarray(states[row, : n + 1]))
+            names.append(_csv_trace_name(sce.key, csv_files[b]))
+    return traces, names
+
+
+def save_tracked(traces: Sequence[np.ndarray], names: Sequence[str], out_dir: str):
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for t, n in zip(traces, names):
+        p = os.path.join(out_dir, n)
+        np.save(p, t)
+        paths.append(p)
+    return paths
+
+
+def load_tracked(directory: str, scenario_key: str) -> List[np.ndarray]:
+    out = []
+    for f in sorted(os.listdir(directory)):
+        if scenario_key in f and f.endswith(".npy"):
+            out.append(np.load(os.path.join(directory, f)))
+    return out
+
+
+def load_humans(scenario, csv_files: Sequence[str]) -> List[np.ndarray]:
+    sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
+    out = []
+    for c in csv_files:
+        h, _, _ = get_human_and_bv_trajectories(c, sce)
+        if h is not None:
+            out.append(trim_human_trajectory(h, sce))
+    return out
+
+
+def validate(
+    tracked: Sequence[np.ndarray],
+    humans: Sequence[np.ndarray],
+    scenario,
+    stv_axis: Optional[str] = None,
+) -> Dict[str, float]:
+    """Full metric sweep → one flat dict (machine-readable, replacing the
+    reference's print-and-copy workflow)."""
+    sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
+    if stv_axis is None:
+        # space axis = the one the scenario drives along
+        stv_axis = "x" if sce.key == "sce2" else "y"
+
+    gv = extract_velocities(tracked)
+    hv = human_velocities(humans)
+    out: Dict[str, float] = {
+        "velocity_js_divergence": velocity_js_divergence(gv, hv),
+        "rmse_frequency_points": rmse_frequency(
+            extract_coordinates(tracked), extract_coordinates(humans), sce
+        ),
+        "rmse_frequency_trajcount": rmse_frequency_trajcount(tracked, humans, sce),
+    }
+    mc, mt, mv = model_stv_data(tracked, sce, axis=stv_axis)
+    hc, ht, hvs = human_stv_data(humans, axis=stv_axis)
+    allc = np.concatenate(mc + hc)
+    allt = np.concatenate(mt + ht)
+    cr, tr = (allc.min(), allc.max()), (allt.min(), allt.max())
+    _, _, ms = build_stv_surface(mc, mt, mv, coord_range=cr, time_range=tr)
+    _, _, hs = build_stv_surface(hc, ht, hvs, coord_range=cr, time_range=tr)
+    out["surface_rmse_with_zeros"], _ = surface_rmse(ms, hs, True)
+    out["surface_rmse_no_zeros"], _ = surface_rmse(ms, hs, False)
+    plane, _ = spatiotemporal_plane_rmse(humans, tracked, sce)
+    out["plane_centroid_rmse"] = plane
+    out["n_tracked"] = len(tracked)
+    out["n_human"] = len(humans)
+    return out
+
+
+def run_scenario(
+    checkpoint_dir: str,
+    scenario: str,
+    data_root: str,
+    out_dir: str,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """One-shot: load checkpoint, generate+track every scenario CSV, save
+    traces, and validate.  Writes ``<out_dir>/validation_<sce>.json``."""
+    from .train.checkpoint import load_checkpoint
+
+    sce = scenarios.get(scenario)
+    params, cfg, _ = load_checkpoint(checkpoint_dir)
+    csvs = collect_csv_files(os.path.join(data_root, sce.town))
+    traces, names = generate_and_track(params, cfg, sce, csvs, seed=seed)
+    save_tracked(traces, names, os.path.join(out_dir, "GeneratedData"))
+    humans = load_humans(sce, csvs)
+    report = validate(traces, humans, sce)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, f"validation_{sce.key}.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    return report

@@ -1,0 +1,97 @@
+"""End-to-end pipeline + CLI tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from defensive_model_vae_tpu.models import CVAEConfig
+from defensive_model_vae_tpu.pipeline import (
+    generate_and_track,
+    load_humans,
+    run_scenario,
+    save_tracked,
+    validate,
+)
+from defensive_model_vae_tpu.train import TrainConfig, train
+from defensive_model_vae_tpu.train.checkpoint import save_checkpoint
+from defensive_model_vae_tpu.data import collect_csv_files
+
+from conftest import REFERENCE_ROOT, requires_reference
+
+
+@pytest.fixture(scope="module")
+def sce2_checkpoint(tmp_path_factory, all_windows):
+    params, hist = train(all_windows["sce2"], train_cfg=TrainConfig(epochs=2000))
+    d = tmp_path_factory.mktemp("ckpt")
+    save_checkpoint(str(d / "sce2"), params, CVAEConfig(), "sce2", hist)
+    return str(d / "sce2")
+
+
+@requires_reference
+def test_full_pipeline_quality_band(sce2_checkpoint, tmp_path):
+    """Train → generate → batched MPC → metrics on the real sce2 corpus.
+    Distribution fidelity must land in the same band as the reference's
+    published values (JS 0.112, RMSE_freq 1.69, surface RMSE 1.41/1.56 —
+    results/ModelValidation/JS_divergence.txt)."""
+    report = run_scenario(
+        sce2_checkpoint,
+        "sce2",
+        str(REFERENCE_ROOT / "DefensiveData"),
+        str(tmp_path / "out"),
+        seed=1,
+    )
+    assert report["n_tracked"] >= 14  # tolerate a couple of degenerate draws
+    assert report["velocity_js_divergence"] < 0.30
+    assert report["rmse_frequency_trajcount"] < 4.0
+    assert report["surface_rmse_with_zeros"] < 3.5
+    # artifacts written
+    assert os.path.exists(tmp_path / "out" / "validation_sce2.json")
+    traces = os.listdir(tmp_path / "out" / "GeneratedData")
+    assert all(t.startswith("tracked_trajectory_sce2_exp") for t in traces)
+
+
+@requires_reference
+def test_generate_and_track_shapes(sce2_checkpoint):
+    from defensive_model_vae_tpu.train.checkpoint import load_checkpoint
+
+    params, cfg, _ = load_checkpoint(sce2_checkpoint)
+    csvs = collect_csv_files(str(REFERENCE_ROOT / "DefensiveData/DynamicBlindTown05"))[:4]
+    traces, names = generate_and_track(params, cfg, "sce2", csvs, seed=3)
+    assert len(traces) >= 3
+    for t in traces:
+        assert t.ndim == 2 and t.shape[1] == 4
+        assert np.all(np.isfinite(t))
+    assert all(n.startswith("tracked_trajectory_sce2_exp") for n in names)
+
+
+def test_cli_dataset_train_generate(tmp_path, all_windows):
+    from defensive_model_vae_tpu.cli import main
+
+    w = tmp_path / "w.npy"
+    np.save(w, all_windows["sce2"])
+    main(
+        [
+            "train", "--scenario", "sce2", "--windows", str(w),
+            "--ckpt", str(tmp_path / "ckpt"), "--epochs", "50",
+        ]
+    )
+    main(
+        [
+            "generate", "--ckpt", str(tmp_path / "ckpt"),
+            "--start-x", "-150.0", "--start-y", "-0.7", "-n", "3",
+            "--out", str(tmp_path / "gen.npy"),
+        ]
+    )
+    gen = np.load(tmp_path / "gen.npy")
+    assert gen.shape == (1, 3, 10, 3)
+
+
+def test_reg157():
+    from defensive_model_vae_tpu.sut.driver_models import reg157_brake
+
+    # closing fast from far → brake command; ttc below threshold → none
+    assert reg157_brake(0.0, 20.0, 100.0, 5.0) == -6.0
+    assert reg157_brake(0.0, 20.0, 1.0, 5.0) is None
+    assert reg157_brake(0.0, 5.0, 50.0, 5.0) is None  # no closing speed
