@@ -1,0 +1,262 @@
+"""Static figures: velocity distributions, spatial heatmaps, tracking
+results, SUT speed curves, case figures, histograms, 3D spatiotemporal
+clusters.  Host-side matplotlib over arrays produced by the compute layers;
+all per-scenario geometry comes from the scenario registry (de-duplicating
+the diverged Tools/Plot_Gif copies noted in SURVEY §5)."""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from .. import scenarios
+
+MODEL_COLOR = (0, 0.4470, 0.7410)
+HUMAN_COLOR = (0.7961, 0.1255, 0.1765)
+BV_COLOR = (0.4660, 0.6740, 0.1880)
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def _save(fig, save_path):
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    fig.savefig(save_path, dpi=150, bbox_inches="tight", facecolor="white")
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+    return save_path
+
+
+def draw_lane_lines(ax, scenario):
+    """Scenario lane geometry (reference ``Tools.py:343-368`` etc.)."""
+    sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
+    for line in sce.lane_lines:
+        style = "k-" if line.style == "solid" else "k--"
+        span = np.linspace(*line.span, 100)
+        if line.axis == "x":
+            ax.plot([line.value] * len(span), span, style, linewidth=1.5, alpha=0.7)
+        else:
+            ax.plot(span, [line.value] * len(span), style, linewidth=1.5, alpha=0.7)
+
+
+def plot_velocity_distribution(
+    generated_velocities, human_velocities, save_path, js_divergence=None
+):
+    """Histogram + boxplot comparison (reference ``Distribution.py:299-385``)."""
+    plt = _plt()
+    fig, axes = plt.subplots(1, 2, figsize=(14, 5))
+    vmax = max(np.max(generated_velocities), np.max(human_velocities))
+    bins = np.linspace(0, vmax, 50)
+    axes[0].hist(
+        generated_velocities, bins=bins, alpha=0.6, density=True,
+        label=f"Model (n={len(generated_velocities)})", color=MODEL_COLOR,
+    )
+    axes[0].hist(
+        human_velocities, bins=bins, alpha=0.6, density=True,
+        label=f"Human (n={len(human_velocities)})", color=HUMAN_COLOR,
+    )
+    axes[0].set_xlabel("Velocity (m/s)")
+    axes[0].set_ylabel("Density")
+    title = "Velocity Distribution Comparison"
+    if js_divergence is not None:
+        title += f" (JS={js_divergence:.4f})"
+    axes[0].set_title(title)
+    axes[0].legend()
+    axes[0].grid(alpha=0.3)
+
+    bp = axes[1].boxplot(
+        [generated_velocities, human_velocities],
+        tick_labels=["Model", "Human"], patch_artist=True,
+    )
+    for patch, color in zip(bp["boxes"], [MODEL_COLOR, HUMAN_COLOR]):
+        patch.set_facecolor(color)
+    axes[1].set_ylabel("Velocity (m/s)")
+    axes[1].set_title("Velocity Distribution Statistics")
+    axes[1].grid(alpha=0.3, axis="y")
+    fig.tight_layout()
+    return _save(fig, save_path)
+
+
+def plot_spatial_distribution(
+    coordinates, scenario, save_path, title="Spatial Distribution",
+    grid_size=1.0, vmin=None, vmax=None,
+):
+    """Per-cell point-count heatmap over the scenario grid with lane lines
+    (reference ``Spatial_Distribution.plot_spatial_distribution``)."""
+    from matplotlib.colors import LinearSegmentedColormap
+
+    plt = _plt()
+    sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
+    x_edges = np.arange(sce.grid_x[0], sce.grid_x[1], grid_size)
+    y_edges = np.arange(sce.grid_y[0], sce.grid_y[1], grid_size)
+    H, _, _ = np.histogram2d(coordinates[:, 0], coordinates[:, 1], bins=[x_edges, y_edges])
+    cmap = LinearSegmentedColormap.from_list(
+        "sky_to_darkred",
+        ["#87CEEB", "#D4E8F0", "#FFFFE0", "#FFD260", "#FF6E30", "#F04228", "#CD2626"],
+    )
+    fig, ax = plt.subplots(figsize=(10, 10))
+    im = ax.pcolormesh(x_edges, y_edges, H.T, cmap=cmap, vmin=vmin, vmax=vmax, shading="flat")
+    fig.colorbar(im, ax=ax, label="Number of Points")
+    draw_lane_lines(ax, sce)
+    ax.set_title(title)
+    ax.set_aspect("equal", adjustable="box")
+    if "x" in sce.axis_flip:
+        ax.invert_xaxis()
+    if "y" in sce.axis_flip:
+        ax.invert_yaxis()
+    return _save(fig, save_path)
+
+
+def plot_tracking_results(
+    times, states, controls, waypoints, path_reference, save_path, axis_flip="none"
+):
+    """6-panel MPC result figure (reference ``PathTracker.plot_results``,
+    ``MPC_Tracking.py:525-616``): path, position error, velocity tracking,
+    heading tracking, acceleration, steering."""
+    plt = _plt()
+    fig, axes = plt.subplots(2, 3, figsize=(15, 10))
+
+    axes[0, 0].plot(waypoints[:, 0], waypoints[:, 1], "ro-", label="Reference Path", markersize=4)
+    axes[0, 0].plot(states[:, 0], states[:, 1], "b-", label="Actual Path", linewidth=2)
+    axes[0, 0].set_xlabel("X (m)"); axes[0, 0].set_ylabel("Y (m)")
+    axes[0, 0].set_title("Path Tracking"); axes[0, 0].legend(); axes[0, 0].grid(True)
+    axes[0, 0].axis("equal")
+    if "x" in axis_flip:
+        axes[0, 0].invert_xaxis()
+    if "y" in axis_flip:
+        axes[0, 0].invert_yaxis()
+
+    err = path_reference.position_error(times, states[:, :2])
+    axes[0, 1].plot(times, err, "r-", linewidth=2)
+    axes[0, 1].set_ylim(0, 5.0)
+    axes[0, 1].set_xlabel("Time (s)"); axes[0, 1].set_ylabel("Δs (m)")
+    axes[0, 1].set_title("Position Error"); axes[0, 1].grid(True)
+
+    _, _, vx, vy = path_reference.get_reference(times)
+    axes[0, 2].plot(times, states[:, 3], "b-", label="Actual Velocity", linewidth=2)
+    axes[0, 2].plot(times, np.hypot(vx, vy), "r--", label="Reference Velocity", linewidth=2)
+    axes[0, 2].set_xlabel("Time (s)"); axes[0, 2].set_ylabel("V (m/s)")
+    axes[0, 2].set_title("Velocity Tracking"); axes[0, 2].legend(); axes[0, 2].grid(True)
+
+    axes[1, 0].plot(times, np.degrees(states[:, 2]), "b-", label="Actual Heading", linewidth=2)
+    axes[1, 0].plot(times, np.degrees(path_reference.get_reference_heading(times)),
+                    "r--", label="Reference Heading", linewidth=2)
+    axes[1, 0].set_xlabel("Time (s)"); axes[1, 0].set_ylabel("Heading (°)")
+    axes[1, 0].set_title("Heading Tracking"); axes[1, 0].legend(); axes[1, 0].grid(True)
+
+    axes[1, 1].plot(times[:-1], controls[:, 0], "g-", linewidth=2)
+    axes[1, 1].set_xlabel("Time (s)"); axes[1, 1].set_ylabel("Acc (m/s²)")
+    axes[1, 1].set_title("Acceleration"); axes[1, 1].grid(True)
+
+    axes[1, 2].plot(times[:-1], np.degrees(controls[:, 1]), "g-", linewidth=2)
+    axes[1, 2].set_xlabel("Time (s)"); axes[1, 2].set_ylabel("Steering Angle (°)")
+    axes[1, 2].set_title("Steering Angle"); axes[1, 2].grid(True)
+
+    fig.tight_layout()
+    return _save(fig, save_path)
+
+
+def plot_speed_time_curves(episodes: Dict[str, "pd.DataFrame"], scenario, save_path):  # noqa: F821
+    """Ego speed-vs-time per SUT model (reference ``Data_Plot.py``)."""
+    plt = _plt()
+    sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
+    fig, ax = plt.subplots(figsize=(10, 6))
+    for label, df in episodes.items():
+        v = np.hypot(df["ego_vx"].astype(float), df["ego_vy"].astype(float))
+        t = np.arange(len(df)) * sce.dt
+        ax.plot(t, v, linewidth=1.5, label=label)
+    ax.set_xlabel("Time (s)"); ax.set_ylabel("Speed (m/s)")
+    ax.set_title(f"Ego Speed — {sce.town}")
+    ax.legend(); ax.grid(alpha=0.3)
+    return _save(fig, save_path)
+
+
+def plot_static_case(
+    model_traj, human_trajs, bv_trajs, scenario, save_path, interval_s=0.2
+):
+    """Static paper figure (reference ``Plot_case.py``): time-subsampled
+    scatter of model vs human vs background trajectories."""
+    plt = _plt()
+    sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
+
+    def subsample(traj):  # [x, y, t] rows at ≥ interval_s spacing
+        if traj is None or len(traj) == 0:
+            return np.zeros((0, 3))
+        keep = [0]
+        for i in range(1, len(traj)):
+            if traj[i, 2] - traj[keep[-1], 2] >= interval_s - 1e-9:
+                keep.append(i)
+        return traj[keep]
+
+    fig, ax = plt.subplots(figsize=(10, 10))
+    draw_lane_lines(ax, sce)
+    for h in human_trajs:
+        s = subsample(h)
+        ax.scatter(s[:, 0], s[:, 1], s=12, color=HUMAN_COLOR, alpha=0.6)
+    for b in bv_trajs:
+        s = subsample(b)
+        ax.scatter(s[:, 0], s[:, 1], s=12, color=BV_COLOR, alpha=0.6)
+    if model_traj is not None:
+        s = subsample(model_traj)
+        ax.scatter(s[:, 0], s[:, 1], s=16, color=MODEL_COLOR, alpha=0.9, label="Model")
+    ax.set_xlim(sce.plot_xlim); ax.set_ylim(sce.plot_ylim)
+    ax.set_aspect("equal")
+    if "x" in sce.axis_flip:
+        ax.invert_xaxis()
+    if "y" in sce.axis_flip:
+        ax.invert_yaxis()
+    ax.set_title(f"Trajectories — {sce.town}")
+    return _save(fig, save_path)
+
+
+def plot_histogram(values, save_path, title, xlabel, bin_width=0.5, x_max=None):
+    """Start-velocity / THW histograms (reference ``Get_THW.py``)."""
+    plt = _plt()
+    values = np.asarray(values, float)
+    x_max = x_max or float(np.nanmax(values)) * 1.1
+    fig, ax = plt.subplots(figsize=(10, 6))
+    ax.hist(values, bins=np.arange(0, x_max, bin_width), alpha=0.8,
+            color="skyblue", edgecolor="black", density=True)
+    ax.set_xlim(0, x_max)
+    ax.set_title(title); ax.set_xlabel(xlabel); ax.set_ylabel("Density")
+    ax.grid(alpha=0.3)
+    return _save(fig, save_path)
+
+
+def plot_spatiotemporal(
+    human_trajs, model_trajs, scenario, save_dir, elev=20, azim=-35
+):
+    """3D (x, y, t) trajectory clusters, one figure each for human and
+    model (reference ``plot_spatiotemporal_trajectories``,
+    ``Spatial_Distribution.py:1200-1354``)."""
+    plt = _plt()
+    sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
+    os.makedirs(save_dir, exist_ok=True)
+    paths = []
+    for name, trajs, is_model in (
+        ("human", human_trajs, False), ("model", model_trajs, True)
+    ):
+        if not len(trajs):
+            continue
+        fig = plt.figure(figsize=(10, 10))
+        ax = fig.add_subplot(111, projection="3d")
+        for tr in trajs:
+            tr = np.asarray(tr)
+            t = np.arange(len(tr)) * sce.dt if is_model else tr[:, 2]
+            ax.plot(tr[:, 0], tr[:, 1], t, alpha=0.6, linewidth=0.8)
+        ax.set_xlabel("X (m)"); ax.set_ylabel("Y (m)"); ax.set_zlabel("Time (s)")
+        ax.set_title(f"{name.capitalize()} Spatiotemporal Trajectories")
+        ax.view_init(elev=elev, azim=azim)
+        ax.set_box_aspect((0.6, 1.4, 1))
+        p = os.path.join(save_dir, f"{name}_spatio-temporal_{sce.key}.png")
+        paths.append(_save(fig, p))
+    return paths

@@ -1,0 +1,118 @@
+"""Visualization smoke tests: every figure/animation renders to a file."""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("matplotlib")
+
+from defensive_model_vae_tpu.viz import (
+    animate_human_vs_model,
+    animate_tracking,
+    load_loss_csv,
+    plot_histogram,
+    plot_losses,
+    plot_spatial_distribution,
+    plot_spatiotemporal,
+    plot_static_case,
+    plot_tracking_results,
+    plot_velocity_distribution,
+    smooth_curve,
+    vehicle_rectangle,
+)
+
+
+def _history(n=50):
+    e = np.arange(n, dtype=float)
+    base = np.exp(-e / 10)
+    return {k: base * (i + 1) for i, k in enumerate(["total", "recon", "kld", "start", "time"])}
+
+
+def test_plot_losses_and_csv_roundtrip(tmp_path):
+    p = plot_losses(_history(), str(tmp_path / "loss.png"))
+    assert (tmp_path / "loss.png").exists()
+    hist2 = load_loss_csv(str(tmp_path / "loss.csv"))
+    assert np.allclose(hist2["total"], _history()["total"])
+
+
+def test_vehicle_rectangle_geometry():
+    r = vehicle_rectangle(1.0, 2.0, 0.0, 4.0, 2.0)
+    assert r.shape == (4, 2)
+    assert np.allclose(r.mean(axis=0), [1.0, 2.0])
+    r90 = vehicle_rectangle(0, 0, np.pi / 2, 4.0, 2.0)
+    # rotated 90°: extent 2 along x, 4 along y
+    assert np.isclose(np.ptp(r90[:, 0]), 2.0) and np.isclose(np.ptp(r90[:, 1]), 4.0)
+
+
+def test_smooth_curve_passes_near_endpoints():
+    t = np.linspace(0, 5, 8)
+    pts = np.column_stack([t, np.cos(t), np.sin(t)])
+    sm = smooth_curve(pts, start_heading=None, n=100)
+    assert sm.shape == (100, 3)
+    assert np.allclose(sm[0], pts[0], atol=1e-9)
+    assert np.allclose(sm[-1], pts[-1], atol=1e-9)
+
+
+def test_velocity_distribution_plot(tmp_path):
+    rng = np.random.default_rng(0)
+    plot_velocity_distribution(
+        rng.normal(10, 2, 500), rng.normal(11, 2, 400),
+        str(tmp_path / "v.png"), js_divergence=0.1,
+    )
+    assert (tmp_path / "v.png").exists()
+
+
+def test_spatial_distribution_plot(tmp_path):
+    rng = np.random.default_rng(0)
+    pts = rng.uniform([-197, 45], [-190, 75], (300, 2))
+    plot_spatial_distribution(pts, "sce1", str(tmp_path / "s.png"))
+    assert (tmp_path / "s.png").exists()
+
+
+def test_tracking_results_plot(tmp_path, windows_sce1):
+    from defensive_model_vae_tpu.control import MPCConfig, PathReference, track
+
+    wp = windows_sce1[1][:, [1, 2, 0]].astype(float)
+    wp[0, 2] = 0.0
+    v0 = (wp[1, :2] - wp[0, :2]) / (wp[1, 2] - wp[0, 2])
+    init = np.array([wp[0, 0], wp[0, 1], np.arctan2(v0[1], v0[0]), v0[0], v0[1]])
+    cfg = MPCConfig(prediction_horizon=10, control_horizon=5, dt=0.05)
+    times, states, controls = track(wp, init, cfg)
+    plot_tracking_results(
+        times, states, controls, wp, PathReference(wp, init),
+        str(tmp_path / "mpc.png"), axis_flip="y",
+    )
+    assert (tmp_path / "mpc.png").exists()
+
+
+def test_static_case_and_histogram(tmp_path):
+    t = np.linspace(0, 5, 60)
+    human = [np.column_stack([-193 + 0.1 * t, 45 + 5 * t, t])]
+    model = np.column_stack([-193.5 + 0.1 * t, 45 + 5 * t, t])
+    plot_static_case(model, human, [], "sce1", str(tmp_path / "case.png"))
+    assert (tmp_path / "case.png").exists()
+    plot_histogram(np.abs(np.random.default_rng(0).normal(5, 1, 100)),
+                   str(tmp_path / "h.png"), "THW", "THW (s)")
+    assert (tmp_path / "h.png").exists()
+
+
+def test_spatiotemporal_plot(tmp_path):
+    t = np.linspace(0, 5, 60)
+    humans = [np.column_stack([-193 + 0.1 * t, 45 + 5 * t, t])]
+    models = [np.column_stack([-193.4 + 0.1 * t, 45 + 5 * t, np.zeros_like(t), np.full_like(t, 5)])]
+    paths = plot_spatiotemporal(humans, models, "sce1", str(tmp_path))
+    assert len(paths) == 2
+
+
+def test_animations(tmp_path):
+    t = np.linspace(0, 3, 40)
+    model = np.column_stack([-193.5 + 0.1 * t, 45 + 8 * t, t])
+    human = np.column_stack([-193.0 + 0.1 * t, 45 + 7 * t, t])
+    bv = np.column_stack([-190.0 + 0.0 * t, 60 + 0 * t, t])
+    p = animate_human_vs_model(human, bv, None, model, "sce1",
+                               str(tmp_path / "hm.gif"), frame_stride=8)
+    assert (tmp_path / "hm.gif").exists()
+
+    wp = np.column_stack([2 * t, 0.5 * t, t])
+    states = np.column_stack([2 * t, 0.5 * t, np.full_like(t, 0.24), np.full_like(t, 2)])
+    animate_tracking(wp, states, "sce1", str(tmp_path / "track.gif"), frame_stride=8)
+    assert (tmp_path / "track.gif").exists()
