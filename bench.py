@@ -41,16 +41,35 @@ def _load_windows():
 
 
 def bench_jax(windows, epochs=3000):
-    from defensive_model_vae_tpu.train import TrainConfig, train
+    """Fused-Pallas whole-run kernel (falls back to the scan trainer if the
+    kernel can't compile on this backend)."""
+    t0 = time.time()
+    try:
+        from defensive_model_vae_tpu.ops import fused_train
 
-    tc = TrainConfig(epochs=epochs)
-    t0 = time.time()
-    _, hist = train(windows, train_cfg=tc)  # includes compile
-    cold = time.time() - t0
-    t0 = time.time()
-    _, hist = train(windows, train_cfg=tc)  # warm (cached executable)
-    warm = time.time() - t0
-    _log(f"jax: cold {cold:.1f}s, warm {warm:.2f}s, final loss {hist['total'][-1]:.4f}")
+        _, hist = fused_train(windows, epochs=epochs)  # includes compile
+        cold = time.time() - t0
+        t0 = time.time()
+        _, hist = fused_train(windows, epochs=epochs, seed=1)
+        warm = time.time() - t0
+        label = "pallas-fused"
+    except Exception as e:
+        _log(f"fused kernel unavailable ({type(e).__name__}); scan trainer")
+        from defensive_model_vae_tpu.train import TrainConfig, train
+
+        tc = TrainConfig(epochs=epochs)
+        _, hist = train(windows, train_cfg=tc)
+        cold = time.time() - t0
+        t0 = time.time()
+        _, hist = train(windows, train_cfg=tc)
+        warm = time.time() - t0
+        label = "xla-scan"
+    _log(
+        f"jax[{label}]: cold {cold:.1f}s, warm {warm:.3f}s, "
+        f"final loss {hist['total'][-1]:.4f}"
+    )
+    if not np.isfinite(hist["total"][-1]) or hist["total"][-1] > hist["total"][0]:
+        raise RuntimeError("training diverged — refusing to report a rate")
     return epochs * len(windows) / warm, float(hist["total"][-1])
 
 
