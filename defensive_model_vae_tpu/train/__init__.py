@@ -1,5 +1,16 @@
-from .train import TrainConfig, train, make_train_step, train_multi_scenario
-from .checkpoint import save_checkpoint, load_checkpoint
+from .train import (
+    TrainConfig,
+    train,
+    make_train_step,
+    train_multi_scenario,
+    train_conditioned,
+)
+from .checkpoint import (
+    save_checkpoint,
+    load_checkpoint,
+    save_opt_state,
+    load_opt_state,
+)
 
 __all__ = [
     "TrainConfig",

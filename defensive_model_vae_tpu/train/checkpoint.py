@@ -20,6 +20,7 @@ import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..models import CVAEConfig
@@ -82,6 +83,34 @@ def load_checkpoint(directory: str) -> Tuple[Dict, CVAEConfig, Dict[str, Any]]:
         params = _unflatten({k: z[k] for k in z.files})
     model_cfg = CVAEConfig(**manifest["model_config"])
     return params, model_cfg, manifest
+
+
+def save_opt_state(directory: str, opt_state) -> str:
+    """Persist Adam state (count, mu, nu) for resumable training."""
+    adam = opt_state[0]  # optax.adam = chain(scale_by_adam, scale)
+    flat = {"count": np.asarray(adam.count)}
+    flat.update(_flatten(jax.device_get(adam.mu), "mu/"))
+    flat.update(_flatten(jax.device_get(adam.nu), "nu/"))
+    np.savez(os.path.join(directory, "opt_state.npz"), **flat)
+    return directory
+
+
+def load_opt_state(directory: str, params, optimizer):
+    """Rebuild the optax state saved by :func:`save_opt_state`."""
+    path = os.path.join(directory, "opt_state.npz")
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        count = z["count"]
+        mu = _unflatten({k[3:]: z[k] for k in z.files if k.startswith("mu/")})
+        nu = _unflatten({k[3:]: z[k] for k in z.files if k.startswith("nu/")})
+    state = optimizer.init(params)
+    adam = state[0]._replace(
+        count=jnp.asarray(count),
+        mu=jax.tree_util.tree_map(jnp.asarray, mu),
+        nu=jax.tree_util.tree_map(jnp.asarray, nu),
+    )
+    return (adam,) + tuple(state[1:])
 
 
 def load_history(directory: str) -> Optional[Dict[str, np.ndarray]]:

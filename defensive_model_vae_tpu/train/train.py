@@ -93,6 +93,8 @@ def train(
     train_cfg: TrainConfig = TrainConfig(),
     extra_cond: Optional[np.ndarray] = None,
     mesh=None,
+    init_state: Optional[Tuple[Dict, object]] = None,
+    return_state: bool = False,
 ) -> Tuple[Dict, Dict[str, np.ndarray]]:
     """Train one scenario model on its full window corpus.
 
@@ -102,9 +104,13 @@ def train(
             (scenario one-hot, THW) appended to the start point.
         mesh: optional ``jax.sharding.Mesh`` — the batch is sharded over its
             'data' axis and params are replicated (pjit data parallelism).
+        init_state: optional (params, opt_state) to resume from (the
+            reference cannot resume — weights-only checkpoints, SURVEY §5).
+        return_state: also return the final optimizer state for
+            checkpointing a resumable run.
 
     Returns:
-        (params, history) with history[k] of shape (epochs,) per loss term.
+        (params, history) — plus opt_state when ``return_state``.
     """
     if model_cfg is None:
         cond_dim = 2 + (0 if extra_cond is None else extra_cond.shape[1])
@@ -120,9 +126,13 @@ def train(
         )
 
     key = jax.random.PRNGKey(train_cfg.seed)
-    params = init_params(key, model_cfg)
     optimizer = optax.adam(train_cfg.lr)
-    opt_state = optimizer.init(params)
+    if init_state is not None:
+        params, opt_state = init_state
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+    else:
+        params = init_params(key, model_cfg)
+        opt_state = optimizer.init(params)
 
     step = make_train_step(model_cfg, train_cfg, optimizer)
     run = _scan_trainer(step, train_cfg.epochs)
@@ -135,9 +145,11 @@ def train(
         opt_state = replicate(opt_state, mesh)
 
     run = jax.jit(run, static_argnames=())
-    params, _, metrics = run(params, opt_state, key, batch, None)
+    params, opt_state, metrics = run(params, opt_state, key, batch, None)
     metrics = np.asarray(metrics)
     history = {k: metrics[:, i] for i, k in enumerate(_METRIC_KEYS)}
+    if return_state:
+        return params, history, opt_state
     return params, history
 
 

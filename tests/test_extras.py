@@ -1,0 +1,148 @@
+"""Tests for resume, conditioned training, long-window Conv VAE training,
+THW analysis, and observability utilities."""
+
+import json
+
+import jax
+import numpy as np
+import optax
+import pytest
+
+from defensive_model_vae_tpu.data.features import (
+    build_conditioned_corpus,
+    window_start_speed,
+    window_thw,
+)
+from defensive_model_vae_tpu.data import generate_random_trajectories
+from defensive_model_vae_tpu.models import CVAEConfig
+from defensive_model_vae_tpu.train import (
+    TrainConfig,
+    load_opt_state,
+    save_checkpoint,
+    save_opt_state,
+    train,
+    train_conditioned,
+)
+from defensive_model_vae_tpu.utils import MetricWriter, StageTimer
+
+from conftest import REFERENCE_ROOT, requires_reference
+
+
+def test_resume_matches_continuous_run(all_windows):
+    """Train 100 then resume 100 ≡ train 200 straight (same noise stream
+    folding means histories differ, but the resumed run must continue
+    descending from the checkpointed state)."""
+    w = all_windows["sce2"]
+    p1, h1, s1 = train(w, train_cfg=TrainConfig(epochs=100), return_state=True)
+    p2, h2 = train(
+        w, train_cfg=TrainConfig(epochs=100), init_state=(p1, s1)
+    )
+    assert h2["total"][0] < h1["total"][0] / 2  # resumes low, not from scratch
+    assert h2["total"][-1] <= h1["total"][-1] * 1.5
+
+
+def test_opt_state_roundtrip(tmp_path, all_windows):
+    w = all_windows["sce2"]
+    params, hist, state = train(
+        w, train_cfg=TrainConfig(epochs=20), return_state=True
+    )
+    d = save_checkpoint(str(tmp_path / "c"), params, CVAEConfig(), "sce2", hist)
+    save_opt_state(d, state)
+    optimizer = optax.adam(1e-3)
+    state2 = load_opt_state(d, params, optimizer)
+    assert int(state2[0].count) == int(state[0].count) == 20
+    for name in params:
+        assert np.allclose(state[0].mu[name]["w"], state2[0].mu[name]["w"])
+
+
+def test_conditioned_corpus_and_training(all_windows):
+    corpus, extra = build_conditioned_corpus(
+        {k: all_windows[k][:10] for k in ("sce1", "sce2")}
+    )
+    assert corpus.shape[0] == 20 and extra.shape == (20, 5)
+    # one-hots are exclusive; THW positive
+    assert np.all(extra[:, :4].sum(axis=1) == 1.0)
+    assert np.all(extra[:, 4] > 0)
+    params, hist, cfg = train_conditioned(corpus, extra, TrainConfig(epochs=150))
+    assert cfg.cond_dim == 7
+    assert hist["total"][-1] < hist["total"][0] / 3
+
+
+def test_conv_vae_trains_on_long_windows():
+    """BASELINE config 3: Conv1D VAE over 50-point random-walk windows."""
+    import jax.numpy as jnp
+    import optax as ox
+
+    from defensive_model_vae_tpu.models import (
+        ConvCVAEConfig,
+        conv_forward,
+        init_conv_params,
+    )
+
+    trajs = generate_random_trajectories(64, 50, 5.0, seed=0).astype(np.float32)
+    cfg = ConvCVAEConfig(seq_len=50, dim=2)
+    params = init_conv_params(jax.random.PRNGKey(0), cfg)
+    opt = ox.adam(1e-3)
+    state = opt.init(params)
+    x = jnp.asarray(trajs)
+    cond = x[:, 0, :]
+
+    def loss_fn(p, key):
+        recon, mu, lv, _ = conv_forward(p, key, x, cond, cfg)
+        return jnp.mean((recon - x) ** 2) - 0.05 * jnp.mean(
+            1 + lv - mu**2 - jnp.exp(lv)
+        )
+
+    @jax.jit
+    def step(p, s, key):
+        l, g = jax.value_and_grad(loss_fn)(p, key)
+        u, s = opt.update(g, s)
+        return ox.apply_updates(p, u), s, l
+
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(120):
+        params, state, l = step(params, state, jax.random.fold_in(key, i))
+        losses.append(float(l))
+    assert losses[-1] < losses[0] / 3
+
+
+def test_window_thw():
+    w = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 10.0]] + [[2.0 + i, 0, 10]
+                 for i in range(8)])
+    assert np.isclose(window_start_speed(w), 10.0)
+    assert np.isclose(window_thw(w, "sce1"), 6.0)  # 60 m / 10 m/s
+    assert np.isclose(window_thw(w, "sce4", trial_suffix="3"), 4.0)  # 40 m
+    assert np.isclose(window_thw(w, "sce4", trial_suffix="1"), 3.0)  # 30 m
+
+
+@requires_reference
+def test_thw_metrics_on_real_corpus():
+    from defensive_model_vae_tpu.data import collect_csv_files
+    from defensive_model_vae_tpu.metrics import start_velocities, thw_values
+
+    csvs = collect_csv_files(str(REFERENCE_ROOT / "DefensiveData/StaticBlindTown05"))[:5]
+    sv = start_velocities(csvs, "sce1")
+    assert len(sv) == 5 and all(v > 0 for _, v in sv)
+    thw = thw_values(sv, "sce1")
+    assert np.all(np.isfinite(thw)) and np.all(thw > 0)
+
+
+def test_stage_timer_and_metric_writer(tmp_path):
+    timer = StageTimer()
+    with timer.stage("a"):
+        pass
+    with timer.stage("a"):
+        pass
+    with timer.stage("b"):
+        pass
+    rep = timer.report()
+    assert rep["a"]["calls"] == 2 and rep["b"]["calls"] == 1
+    timer.dump(str(tmp_path / "t.json"))
+    assert json.load(open(tmp_path / "t.json"))["a"]["calls"] == 2
+
+    mw = MetricWriter(str(tmp_path / "m.jsonl"))
+    mw.write("js", 0.11, scenario="sce2")
+    mw.write_dict({"a": 1, "b": 2}, run="x")
+    recs = mw.read()
+    assert len(recs) == 3 and recs[0]["scenario"] == "sce2"
