@@ -17,6 +17,7 @@ import numpy as np
 import pandas as pd
 
 from .. import scenarios
+from .csv_io import read_csv
 
 
 @dataclasses.dataclass(frozen=True)
@@ -46,7 +47,7 @@ def get_start_conditions(
     sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
     fx, fy, fa = sce.start_fallback
     try:
-        df = pd.read_csv(csv_path)
+        df = read_csv(csv_path)
         mask = sce.start_condition_mask(df)
         if not mask.any():
             return StartConditions(fx, fy, fa, 0.0, 0.0)
@@ -73,7 +74,7 @@ def get_human_and_bv_trajectories(
     ``arange(len) * dt``.  sce4 returns a single background vehicle.
     """
     sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
-    df = pd.read_csv(csv_path)
+    df = read_csv(csv_path)
 
     start_mask = sce.human_start_mask(df)
     if not start_mask.any():

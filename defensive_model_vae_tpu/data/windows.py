@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 
 from .. import scenarios
+from .csv_io import read_csv
 
 
 def process_csv(
@@ -40,7 +41,7 @@ def process_csv(
     - time column: ``arange(P) * time_interval * (len(window)-1)/(P-1)``
     """
     sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
-    df = pd.read_csv(csv_path)
+    df = read_csv(csv_path)
 
     start_mask = np.asarray(sce.dataset_start(df))
     start_hits = np.flatnonzero(start_mask)

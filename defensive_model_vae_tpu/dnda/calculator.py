@@ -19,6 +19,7 @@ import numpy as np
 import pandas as pd
 
 from .. import scenarios
+from ..data.csv_io import read_csv
 from .core import drivable_area_risk_level
 from .geometry import Road, Vehicle
 
@@ -148,7 +149,7 @@ def process_episode(
 ) -> DndaResult:
     """Score one SUT episode CSV (reference ``process_file``, ``:286-364``)."""
     sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
-    df = pd.read_csv(csv_path)
+    df = read_csv(csv_path)
     baseline, angle = _rotate_to_x(baseline_for(sce))
 
     sv_cols = [c for c in df.columns if re.fullmatch(r"sv\d+_x", c)]

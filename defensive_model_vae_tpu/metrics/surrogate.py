@@ -13,6 +13,7 @@ import numpy as np
 import pandas as pd
 
 from .. import scenarios
+from ..data.csv_io import read_csv
 
 EPS_V = 1e-9
 EPS_DET = 1e-12
@@ -171,7 +172,7 @@ def compute_metric(
     m = metric.strip().upper()
     if m not in ("TTC", "PET", "JERK"):
         raise ValueError(f"metric must be TTC / PET / JERK, got {metric!r}")
-    df = pd.read_csv(csv_path)
+    df = read_csv(csv_path)
     sub = slice_episode(df, scenario)
     if m == "TTC":
         sub = sub.assign(TTC=ttc_1d(sub, scenario))

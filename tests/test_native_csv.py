@@ -1,0 +1,45 @@
+"""Native C++ CSV loader tests."""
+
+import glob
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from defensive_model_vae_tpu.data.csv_io import (
+    native_available,
+    read_csv,
+    read_csv_native,
+)
+
+from conftest import REFERENCE_ROOT, requires_reference
+
+
+def test_native_loader_builds():
+    assert native_available(), "g++ toolchain should build the loader here"
+
+
+def test_native_parses_synthetic(tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("a,b,c\n1,2.5,-3e2\n,nan,7\n4,5,6\n")
+    names, data = read_csv_native(str(p))
+    assert names == ["a", "b", "c"]
+    assert data.shape == (3, 3)
+    assert data[0, 2] == -300.0
+    assert np.isnan(data[1, 0]) and np.isnan(data[1, 1]) and data[1, 2] == 7
+
+    df = read_csv(str(p))
+    ref = pd.read_csv(str(p))
+    assert list(df.columns) == list(ref.columns)
+
+
+@requires_reference
+def test_native_parity_on_real_corpus_sample():
+    csvs = sorted(glob.glob(str(REFERENCE_ROOT / "DefensiveData/*/*/*.csv")))
+    assert len(csvs) > 200
+    for p in csvs[::41]:
+        mine = read_csv(p)
+        ref = pd.read_csv(p)
+        assert list(mine.columns) == list(ref.columns), p
+        a, b = mine.to_numpy(float), ref.to_numpy(float)
+        assert np.allclose(a, b, equal_nan=True), p
