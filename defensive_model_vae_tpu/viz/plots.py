@@ -232,6 +232,76 @@ def plot_histogram(values, save_path, title, xlabel, bin_width=0.5, x_max=None):
     return _save(fig, save_path)
 
 
+def plot_generated_vs_training(
+    generated: np.ndarray, training: np.ndarray, scenario, save_path,
+):
+    """Generated-vs-training trajectory overlay (the reference's training
+    'visualization' mode, ``Training_VAE.py:396-431`` — whose helper
+    crashes as shipped, SURVEY §5 defect 1).  Both arrays are (N, T, 3)
+    [t, x, y] windows."""
+    plt = _plt()
+    sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
+    fig, ax = plt.subplots(figsize=(10, 10))
+    draw_lane_lines(ax, sce)
+    for tr in training:
+        ax.plot(tr[:, 1], tr[:, 2], color=HUMAN_COLOR, alpha=0.5, linewidth=1.2)
+    for tr in np.atleast_3d(generated).reshape(-1, generated.shape[-2], generated.shape[-1]):
+        ax.plot(tr[:, 1], tr[:, 2], color=MODEL_COLOR, alpha=0.8, linewidth=1.5)
+    ax.plot([], [], color=HUMAN_COLOR, label="Training")
+    ax.plot([], [], color=MODEL_COLOR, label="Generated")
+    ax.legend()
+    ax.set_aspect("equal")
+    if "x" in sce.axis_flip:
+        ax.invert_xaxis()
+    if "y" in sce.axis_flip:
+        ax.invert_yaxis()
+    ax.set_title(f"Generated vs training trajectories — {sce.town}")
+    return _save(fig, save_path)
+
+
+def plot_velocity_and_lateral_offset(
+    model_traj: np.ndarray,
+    human_traj: np.ndarray,
+    scenario,
+    save_path,
+):
+    """Speed and lateral-offset-vs-lane-center curves (reference
+    ``Plot_Gif.py:295-427``).  Both trajectories are [x, y, t] rows; the
+    lane center is the scenario's dashed line (or the middle solid one)."""
+    plt = _plt()
+    sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
+    dashed = [l for l in sce.lane_lines if l.style == "dashed"]
+    center = dashed[0] if dashed else sce.lane_lines[len(sce.lane_lines) // 2]
+
+    def speed(tr):
+        d = np.linalg.norm(np.diff(tr[:, :2], axis=0), axis=1)
+        dt = np.maximum(np.diff(tr[:, 2]), 1e-9)
+        v = d / dt
+        return tr[1:, 2], v
+
+    def offset(tr):
+        coord = tr[:, 0] if center.axis == "x" else tr[:, 1]
+        return tr[:, 2], coord - center.value
+
+    fig, axes = plt.subplots(1, 2, figsize=(14, 5))
+    for tr, color, label in ((model_traj, MODEL_COLOR, "Model"),
+                             (human_traj, HUMAN_COLOR, "Human")):
+        if tr is None:
+            continue
+        t, v = speed(tr)
+        axes[0].plot(t, v, color=color, linewidth=2, label=label)
+        t2, off = offset(tr)
+        axes[1].plot(t2, off, color=color, linewidth=2, label=label)
+    axes[0].set_xlabel("Time (s)"); axes[0].set_ylabel("Speed (m/s)")
+    axes[0].set_title("Speed"); axes[0].legend(); axes[0].grid(alpha=0.3)
+    axes[1].set_xlabel("Time (s)"); axes[1].set_ylabel("Lateral offset (m)")
+    axes[1].axhline(0.0, color="k", linewidth=1, alpha=0.5)
+    axes[1].set_title("Lateral offset vs lane center")
+    axes[1].legend(); axes[1].grid(alpha=0.3)
+    fig.tight_layout()
+    return _save(fig, save_path)
+
+
 def plot_spatiotemporal(
     human_trajs, model_trajs, scenario, save_dir, elev=20, azim=-35
 ):

@@ -158,3 +158,16 @@ def test_tracker_matches_ideal_theta_v_follower(windows_sce1):
     v_err = np.abs(states[:-1, 3] - refs[:, 0, 1])
     assert np.median(th_err) < 0.05
     assert np.median(v_err) < 0.25
+
+
+def test_horizon_sweep(windows_sce1):
+    from defensive_model_vae_tpu.control.sweep import sweep_horizons
+
+    wp = windows_sce1[1][:, [1, 2, 0]].astype(float)
+    wp[0, 2] = 0.0
+    v0 = (wp[1, :2] - wp[0, :2]) / (wp[1, 2] - wp[0, 2])
+    init = np.array([wp[0, 0], wp[0, 1], np.arctan2(v0[1], v0[0]), v0[0], v0[1]])
+    results = sweep_horizons(wp, init, combos=((10, 5), (20, 10)), dt=0.05)
+    assert len(results) == 2
+    for r in results:
+        assert np.isfinite(r.max_error) and r.mean_error < 5.0

@@ -116,3 +116,20 @@ def test_animations(tmp_path):
     states = np.column_stack([2 * t, 0.5 * t, np.full_like(t, 0.24), np.full_like(t, 2)])
     animate_tracking(wp, states, "sce1", str(tmp_path / "track.gif"), frame_stride=8)
     assert (tmp_path / "track.gif").exists()
+
+
+def test_generated_vs_training_and_offset_curves(tmp_path, windows_sce1):
+    from defensive_model_vae_tpu.viz.plots import (
+        plot_generated_vs_training,
+        plot_velocity_and_lateral_offset,
+    )
+
+    gen = windows_sce1[:3] + 0.5
+    plot_generated_vs_training(gen, windows_sce1[:10], "sce1", str(tmp_path / "g.png"))
+    assert (tmp_path / "g.png").exists()
+
+    t = np.linspace(0, 5, 60)
+    model = np.column_stack([-193.2 + 0.1 * t, 45 + 6 * t, t])
+    human = np.column_stack([-193.4 + 0.1 * t, 45 + 5.5 * t, t])
+    plot_velocity_and_lateral_offset(model, human, "sce1", str(tmp_path / "vo.png"))
+    assert (tmp_path / "vo.png").exists()
