@@ -218,12 +218,16 @@ def track_batch(
     waypoints_batch: np.ndarray,
     initial_states: np.ndarray,
     cfg: MPCConfig = MPCConfig(),
+    mesh=None,
 ):
     """Track B waypoint paths in one device program.
 
     Args:
         waypoints_batch: (B, N, 3) [x, y, t] paths.
         initial_states: (B, 5) [x, y, theta, vx, vy].
+        mesh: optional ``jax.sharding.Mesh`` — the trajectory batch is
+            sharded over the mesh 'data' axis, so a whole scenario's
+            validation sweep runs data-parallel across chips.
 
     Returns:
         (times (S+1,), states (B, S+1, 4), controls (B, S, 2), valid (B,))
@@ -242,8 +246,17 @@ def track_batch(
     S = int(steps.max())
     refs = np.stack([r.build(S, cfg.prediction_horizon, cfg.dt) for r in path_refs])
     states0 = np.stack([_initial_tracker_state(s) for s in initial_states])
-    states, controls = _simulate_batch_jit(
-        cfg, jnp.asarray(states0), jnp.asarray(refs), jnp.zeros((B, 2))
-    )
+    states0_j = jnp.asarray(states0)
+    refs_j = jnp.asarray(refs)
+    last0 = jnp.zeros((B, 2))
+    if mesh is not None:
+        from ..parallel import shard_batch
+
+        n_pad = states0_j.shape[0]
+        states0_j = shard_batch(states0_j, mesh)
+        refs_j = shard_batch(refs_j, mesh)
+        last0 = shard_batch(last0, mesh)
+    states, controls = _simulate_batch_jit(cfg, states0_j, refs_j, last0)
+    states, controls = np.asarray(states)[:B], np.asarray(controls)[:B]
     times = np.arange(S + 1) * cfg.dt
-    return times, np.asarray(states), np.asarray(controls), steps
+    return times, states, controls, steps

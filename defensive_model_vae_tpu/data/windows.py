@@ -13,11 +13,9 @@ device as one batch (the full corpus fits trivially in HBM).
 from __future__ import annotations
 
 import os
-import random
 from typing import List, Optional, Sequence
 
 import numpy as np
-import pandas as pd
 
 from .. import scenarios
 from .csv_io import read_csv

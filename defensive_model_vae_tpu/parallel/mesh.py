@@ -37,7 +37,9 @@ def create_mesh(
     """
     devices = jax.devices()
     if n_devices is None:
-        n_devices = len(devices)
+        n_devices = shape[0] * shape[1] if shape is not None else len(devices)
+    if n_devices > len(devices):
+        raise ValueError(f"need {n_devices} devices, have {len(devices)}")
     devices = devices[:n_devices]
     if shape is None:
         shape = (n_devices, 1)

@@ -87,18 +87,31 @@ def plot_velocity_distribution(
 
 
 def plot_spatial_distribution(
-    coordinates, scenario, save_path, title="Spatial Distribution",
-    grid_size=1.0, vmin=None, vmax=None,
+    coordinates=None, scenario=None, save_path=None, title="Spatial Distribution",
+    grid_size=1.0, vmin=None, vmax=None, trajectories=None,
 ):
-    """Per-cell point-count heatmap over the scenario grid with lane lines
-    (reference ``Spatial_Distribution.plot_spatial_distribution``)."""
+    """Per-cell heatmap over the scenario grid with lane lines.
+
+    Point-count mode (``coordinates`` given — reference
+    ``plot_spatial_distribution``) or trajectory-count mode
+    (``trajectories`` given: each track counts once per cell — reference
+    ``plot_spatial_distribution_new``, ``Spatial_Distribution.py:540-683``).
+    """
     from matplotlib.colors import LinearSegmentedColormap
 
     plt = _plt()
     sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
     x_edges = np.arange(sce.grid_x[0], sce.grid_x[1], grid_size)
     y_edges = np.arange(sce.grid_y[0], sce.grid_y[1], grid_size)
-    H, _, _ = np.histogram2d(coordinates[:, 0], coordinates[:, 1], bins=[x_edges, y_edges])
+    if trajectories is not None:
+        from ..metrics import count_trajectories_per_grid
+
+        Ht, _, _ = count_trajectories_per_grid(trajectories, sce, grid_size)
+        H = Ht.T  # count matrix is (ny, nx); transpose back to (nx, ny)
+    else:
+        H, _, _ = np.histogram2d(
+            coordinates[:, 0], coordinates[:, 1], bins=[x_edges, y_edges]
+        )
     cmap = LinearSegmentedColormap.from_list(
         "sky_to_darkred",
         ["#87CEEB", "#D4E8F0", "#FFFFE0", "#FFD260", "#FF6E30", "#F04228", "#CD2626"],

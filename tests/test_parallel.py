@@ -28,8 +28,12 @@ def test_mesh_shapes():
     assert mesh.shape == {"data": 8, "model": 1}
     mesh2 = create_mesh(shape=(4, 2))
     assert mesh2.shape == {"data": 4, "model": 2}
+    # a smaller mesh takes a device prefix
+    assert create_mesh(shape=(3, 2)).shape == {"data": 3, "model": 2}
     with pytest.raises(ValueError):
-        create_mesh(shape=(3, 2))
+        create_mesh(shape=(3, 5))  # 15 > available devices
+    with pytest.raises(ValueError):
+        create_mesh(n_devices=8, shape=(3, 2))  # inconsistent
 
 
 def test_shard_batch_pads_and_shards():
@@ -92,3 +96,25 @@ def test_train_with_mesh(windows_sce1):
     mesh = create_mesh(shape=(8, 1))
     params, hist = train(windows_sce1[:32], train_cfg=TrainConfig(epochs=50), mesh=mesh)
     assert hist["total"][0] / hist["total"][-1] > 2
+
+
+def test_track_batch_over_mesh_matches(windows_sce1):
+    """MPC batch sharded over the mesh data axis == unsharded result."""
+    from defensive_model_vae_tpu.control import MPCConfig, track_batch
+
+    cfg = MPCConfig(prediction_horizon=10, control_horizon=5, dt=0.05)
+    idxs = [1, 3, 5, 6]
+    wps, inits = [], []
+    for i in idxs:
+        wp = windows_sce1[i][:, [1, 2, 0]].astype(np.float64)
+        wp[0, 2] = 0.0
+        v0 = (wp[1, :2] - wp[0, :2]) / (wp[1, 2] - wp[0, 2])
+        wps.append(wp)
+        inits.append([wp[0, 0], wp[0, 1], np.arctan2(v0[1], v0[0]), v0[0], v0[1]])
+    wps, inits = np.stack(wps), np.asarray(inits)
+
+    _, states_ref, _, steps = track_batch(wps, inits, cfg)
+    mesh = create_mesh(shape=(4, 1))
+    _, states_mesh, _, _ = track_batch(wps, inits, cfg, mesh=mesh)
+    assert states_mesh.shape == states_ref.shape
+    assert np.allclose(states_ref, states_mesh, atol=1e-5)

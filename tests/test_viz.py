@@ -133,3 +133,15 @@ def test_generated_vs_training_and_offset_curves(tmp_path, windows_sce1):
     human = np.column_stack([-193.4 + 0.1 * t, 45 + 5.5 * t, t])
     plot_velocity_and_lateral_offset(model, human, "sce1", str(tmp_path / "vo.png"))
     assert (tmp_path / "vo.png").exists()
+
+
+def test_spatial_distribution_trajectory_count_mode(tmp_path):
+    from defensive_model_vae_tpu.viz.plots import plot_spatial_distribution
+
+    t = np.linspace(0, 5, 80)
+    trajs = [np.column_stack([-195 + 0.02 * t, 45 + 5 * t, t]),
+             np.column_stack([-193 + 0.02 * t, 45 + 5 * t, t])]
+    plot_spatial_distribution(
+        scenario="sce1", save_path=str(tmp_path / "tc.png"), trajectories=trajs
+    )
+    assert (tmp_path / "tc.png").exists()
