@@ -134,10 +134,31 @@ def bench_torch_baseline(windows, epochs=200):
     return rate
 
 
+def bench_generation(windows, n=4096):
+    """Sampling throughput (stderr detail only)."""
+    try:
+        import jax
+
+        from defensive_model_vae_tpu.generate import generate_trajectories
+        from defensive_model_vae_tpu.models import CVAEConfig, init_params
+
+        cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        starts = np.tile(windows[0, 0, 1:3], (n, 1))
+        generate_trajectories(params, cfg, starts, seed=0)  # compile
+        t0 = time.time()
+        generate_trajectories(params, cfg, starts, seed=1)
+        dt = time.time() - t0
+        _log(f"generation: {n} trajectories in {dt*1e3:.0f} ms → {n/dt:,.0f} traj/s")
+    except Exception as e:
+        _log(f"generation bench skipped ({e})")
+
+
 def main():
     windows = _load_windows()
     _log(f"corpus: {windows.shape}")
     jax_rate, final_loss = bench_jax(windows)
+    bench_generation(windows)
     try:
         torch_rate = bench_torch_baseline(windows)
     except Exception as e:  # torch missing/broken → fall back to a recorded rate
