@@ -106,3 +106,16 @@ def test_episode_slice_real():
     if (sub["ego_y"] >= 80).any():
         assert sub["ego_y"].iloc[-1] >= 80
         assert (sub["ego_y"].iloc[:-1] < 80).all()
+
+
+@requires_reference
+def test_writeback_then_dnda_integration(tmp_path):
+    """Full C20→C21 chain: inject a tracked trajectory into its source CSV,
+    then DNDA-score the resulting episode."""
+    from defensive_model_vae_tpu.dnda import process_episode
+
+    npy = REFERENCE_ROOT / "results/GeneratedData/tracked_trajectory_sce1_exp11_3.npy"
+    out_csv = writeback_npy_to_csv(npy, REFERENCE_ROOT / "DefensiveData", tmp_path)
+    res = process_episode(str(out_csv), "sce1", max_frames=8)
+    assert len(res.frames) > 0
+    assert all(0.0 <= v <= 1.0 for v in res.dnda)
