@@ -28,7 +28,9 @@ import numpy as np
 import pytest
 
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
-REFERENCE_ROOT = pathlib.Path("/root/reference")
+REFERENCE_ROOT = pathlib.Path(
+    os.environ.get("DMV_REFERENCE_ROOT", "/root/reference")
+)
 FIXTURES = REPO_ROOT / "fixtures"
 
 
