@@ -143,12 +143,17 @@ def validate(
 
     gv = extract_velocities(tracked)
     hv = human_velocities(humans)
+    # grid_size 0.5 m = the reference's validation configuration
+    # (Distribution.main, ``Distribution.py:511``) and the setting behind
+    # the published RMSE_frequency values
     out: Dict[str, float] = {
         "velocity_js_divergence": velocity_js_divergence(gv, hv),
         "rmse_frequency_points": rmse_frequency(
-            extract_coordinates(tracked), extract_coordinates(humans), sce
+            extract_coordinates(tracked), extract_coordinates(humans), sce, 0.5
         ),
-        "rmse_frequency_trajcount": rmse_frequency_trajcount(tracked, humans, sce),
+        "rmse_frequency_trajcount": rmse_frequency_trajcount(
+            tracked, humans, sce, 0.5
+        ),
     }
     mc, mt, mv = model_stv_data(tracked, sce, axis=stv_axis)
     hc, ht, hvs = human_stv_data(humans, axis=stv_axis)

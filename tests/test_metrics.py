@@ -184,14 +184,17 @@ def test_surface_rmse_published_exact(key, axis, pub_inc, pub_exc):
 
 
 @requires_reference
-def test_rmse_frequency_published_band():
-    # published: sce1 2.440675, sce2 1.685821, sce3 6.838131 (exact
-    # reproduction depends on the csv subset of the original run; assert
-    # same-magnitude bands).  sce4's published 9.168905 is not reproducible
-    # from the shipped artifacts (we get 15.88 regardless of trimming) —
-    # its run configuration evidently differed; excluded here.
-    for key, pub, tol in [("sce1", 2.440675, 0.35), ("sce2", 1.685821, 0.1),
-                          ("sce3", 6.838131, 0.35)]:
+def test_rmse_frequency_published():
+    # The published values were computed at grid_size=0.5 (the reference
+    # main's setting, ``Distribution.py:511``): sce2 reproduces EXACTLY;
+    # the others land within small bands (their runs predate the shipped
+    # csv/human sets — e.g. sce4's corpus has one stale window).
+    trajs, humans = _load_shipped("sce2")
+    assert np.isclose(
+        rmse_frequency_trajcount(trajs, humans, "sce2", 0.5), 1.685821, atol=1e-6
+    )
+    for key, pub, tol in [("sce1", 2.440675, 0.15), ("sce3", 6.838131, 0.7),
+                          ("sce4", 9.168905, 0.15)]:
         trajs, humans = _load_shipped(key)
-        val = rmse_frequency_trajcount(trajs, humans, key)
+        val = rmse_frequency_trajcount(trajs, humans, key, 0.5)
         assert abs(val - pub) <= tol, (key, val)
