@@ -39,12 +39,19 @@ def _cmd_train(args):
 
     windows = np.load(args.windows)
     tc = TrainConfig(epochs=args.epochs, lr=args.lr, seed=args.seed)
-    mesh = None
-    if args.mesh:
-        from .parallel import create_mesh
+    if args.fused:
+        from .ops import fused_train
 
-        mesh = create_mesh()
-    params, hist = train(windows, train_cfg=tc, mesh=mesh)
+        params, hist = fused_train(
+            windows, epochs=args.epochs, lr=args.lr, seed=args.seed
+        )
+    else:
+        mesh = None
+        if args.mesh:
+            from .parallel import create_mesh
+
+            mesh = create_mesh()
+        params, hist = train(windows, train_cfg=tc, mesh=mesh)
     cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
     save_checkpoint(args.ckpt, params, cfg, args.scenario, hist)
     print(
@@ -139,6 +146,10 @@ def main(argv=None):
     t.add_argument("--lr", type=float, default=1e-3)
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--mesh", action="store_true", help="data-parallel mesh")
+    t.add_argument(
+        "--fused", action="store_true",
+        help="whole-run fused Pallas kernel (fastest on TPU)",
+    )
     t.set_defaults(fn=_cmd_train)
 
     g = sub.add_parser("generate", help="sample trajectories from a checkpoint")
