@@ -76,18 +76,31 @@ def generate_and_track(
     conds = [get_start_conditions(c, sce) for c in csv_files]
     starts = np.array([[c.x, c.y] for c in conds], np.float32)
 
-    # one z-sample per CSV, one device call
-    gen = generate_trajectories(params, model_cfg, starts, n_samples=1, seed=seed)
-    gen = gen.reshape(len(csv_files), model_cfg.seq_len, model_cfg.dim)
+    def _draw(s):
+        g = generate_trajectories(params, model_cfg, starts, n_samples=1, seed=s)
+        return g.reshape(len(csv_files), model_cfg.seq_len, model_cfg.dim)
+
+    # one z-sample per CSV, one device call; re-draw degenerate samples
+    # (non-monotone time) with a folded seed — the reference simply skips
+    # failed CSVs (``:109-111``), losing coverage
+    gen = _draw(seed)
+
+    def _monotone(g):
+        return np.all(np.diff(g[:, :, 0], axis=1) > 0, axis=1)
+
+    ok = _monotone(gen)
+    for retry in range(1, 4):
+        if ok.all():
+            break
+        redraw = _draw(seed + 1000 * retry)
+        replace = ~ok & _monotone(redraw)
+        gen[replace] = redraw[replace]
+        ok |= replace
 
     # [t, x, y] → [x, y, t] waypoints, first timestamp zeroed
     wps = gen[:, :, [1, 2, 0]].astype(float)
     wps[:, 0, 2] = 0.0
     inits = np.stack([c.as_state() for c in conds])
-
-    # drop degenerate generations (non-monotone time) instead of crashing —
-    # the reference skips failed CSVs the same way (``:109-111``)
-    ok = np.all(np.diff(wps[:, :, 2], axis=1) > 0, axis=1)
     traces: List[np.ndarray] = []
     names: List[str] = []
     idx = np.flatnonzero(ok)

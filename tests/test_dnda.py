@@ -259,3 +259,61 @@ def test_episode_driver_full_golden(key, town, oracle):
     for frame, val in ref:
         assert int(frame) in mine, frame
         assert np.isclose(mine[int(frame)], val, atol=1e-9), (frame, val)
+
+
+@requires_reference
+def test_da_rl_differential_fuzz_vs_live_reference():
+    """Run the REFERENCE implementation live on randomized frames and
+    require exact DA/RL agreement (beyond the pinned constants above)."""
+    import contextlib, io, sys
+
+    sys.path.insert(0, str(REFERENCE_ROOT / "SUT_Testing/tools"))
+    try:
+        from dnda_functions import DrivableArea_RiskLevel_Calculation as ref_calc
+        from DNDA import Road as RefRoad, Vehicle as RefVehicle
+    finally:
+        sys.path.pop(0)
+
+    rng = np.random.default_rng(42)
+    n_base = 600
+    bx = np.arange(n_base) * 0.25 - 20.0
+    for trial in range(6):
+        wiggle = (0.4 * np.sin(bx / 25) if trial % 2 else np.zeros(n_base))
+        baseline = np.column_stack([bx, wiggle])
+        ego_kwargs = dict(
+            x=float(rng.uniform(-2, 2)), y=float(rng.uniform(-1, 1)),
+            length=7.2, width=2.3,
+            speed=float(rng.uniform(5, 15)),
+            acc=float(rng.uniform(-2, 2)),
+            lane_posi=1, absolute_theta=0.0,
+            relative_theta=float(rng.uniform(-0.05, 0.05)),
+        )
+        ego_kwargs["speed_x"] = ego_kwargs["speed"] * math.cos(ego_kwargs["relative_theta"])
+        ego_kwargs["speed_y"] = ego_kwargs["speed"] * math.sin(ego_kwargs["relative_theta"])
+        ego_kwargs["init_q"] = ego_kwargs["y"]
+        n_sv = int(rng.integers(1, 3))
+        sv = []
+        for _ in range(n_sv):
+            sv += [float(ego_kwargs["x"] + rng.uniform(12, 40)),
+                   float(ego_kwargs["y"] + rng.uniform(-3, 3)), 4.0, 2.0,
+                   float(rng.uniform(-4, 4)), 0.0,
+                   float(rng.uniform(-1, 1)), 0.0, 0.0]
+
+        with contextlib.redirect_stdout(io.StringIO()):
+            da_r, rl_r = ref_calc(
+                3.0, 0.1,
+                RefRoad(cross_centerline=False, lane_num=2, lane_egodirect=2,
+                        lane_width=3.5, maxAbsoluteAcc=9.8),
+                RefVehicle(**ego_kwargs),
+                baseline.ravel().tolist(), n_base, sv, n_sv,
+                1, False, False, 400, "", "",
+            )
+        da_m, rl_m = drivable_area_risk_level(
+            3.0, 0.1, Road(False, 2, 2, 3.5, 9.8), Vehicle(**ego_kwargs),
+            baseline, np.asarray(sv).reshape(n_sv, 9), 400,
+        )
+        # DA is a shoelace sum over thousands of corner products; the
+        # vectorized accumulation order differs from the reference's Python
+        # loop at ~1e-7 relative.  RL (the published DNDA metric) is exact.
+        assert np.isclose(da_m, da_r, rtol=1e-6), (trial, da_m, da_r)
+        assert np.isclose(rl_m, rl_r, rtol=1e-9, atol=1e-9), (trial, rl_m, rl_r)
