@@ -1,3 +1,3 @@
-from .fused_trainer import fused_train, FUSED_METRIC_KEYS
+from .fused_trainer import fused_train, fused_train_multi, FUSED_METRIC_KEYS
 
-__all__ = ["fused_train", "FUSED_METRIC_KEYS"]
+__all__ = ["fused_train", "fused_train_multi", "FUSED_METRIC_KEYS"]

@@ -58,9 +58,12 @@ def _unflatten_params(flat) -> Params:
     return out
 
 
-def _forward_loss(plist, x_flat, cond, eps, cfg: CVAEConfig, w: LossWeights):
+def _forward_loss(plist, x_flat, cond, eps, cfg: CVAEConfig, w: LossWeights,
+                  mask=None):
     """Pure loss over the flat param list; mirrors models.cvae.forward +
-    losses.cvae_loss on flattened (B, T·D) windows with explicit noise."""
+    losses.cvae_loss on flattened (B, T·D) windows with explicit noise.
+    ``mask`` (B,) enables padded multi-scenario batches (same semantics as
+    models.losses masked means)."""
     p = {n: (plist[2 * i], plist[2 * i + 1]) for i, n in enumerate(_LAYERS)}
 
     def lin(name, h):
@@ -83,10 +86,21 @@ def _forward_loss(plist, x_flat, cond, eps, cfg: CVAEConfig, w: LossWeights):
     recon = lin("dec_3", g)  # (B, T·D)
 
     T, D = cfg.seq_len, cfg.dim
-    recon_loss = jnp.mean((recon - x_flat) ** 2)
-    kld = -0.5 * jnp.mean(1.0 + logvar - mu**2 - jnp.exp(logvar))
+    if mask is None:
+        mean_rows = jnp.mean
+    else:
+        # keep the mask 2-D throughout: Mosaic rejects 1-D reductions
+        m_col = mask if mask.ndim == 2 else mask[:, None]
+        n_valid = jnp.maximum(jnp.sum(m_col), 1.0)
+
+        def mean_rows(arr):
+            per_row_elems = arr.shape[1]
+            return jnp.sum(arr * m_col) / (n_valid * per_row_elems)
+
+    recon_loss = mean_rows((recon - x_flat) ** 2)
+    kld = -0.5 * mean_rows(1.0 + logvar - mu**2 - jnp.exp(logvar))
     # flattened [t, dx, dy] layout: row-0 start offsets at columns 1, 2
-    start_loss = jnp.mean((recon[:, 1:3] - x_flat[:, 1:3]) ** 2)
+    start_loss = mean_rows((recon[:, 1:3] - x_flat[:, 1:3]) ** 2)
     # time columns live at flat indices 0, D, 2D, …; a strided slice lowers
     # to a gather Mosaic rejects, so select the successive time DIFFS with a
     # (T·D, T−1) ±1 matrix built from iota — one small matmul on the MXU.
@@ -97,7 +111,7 @@ def _forward_loss(plist, x_flat, cond, eps, cfg: CVAEConfig, w: LossWeights):
         - (rows == D * cols).astype(jnp.float32)
     )
     t_diffs = jnp.dot(recon, diff_mat, preferred_element_type=jnp.float32)
-    time_loss = jnp.mean(recon[:, 0:1] ** 2) + jnp.mean(
+    time_loss = mean_rows(recon[:, 0:1] ** 2) + mean_rows(
         jnp.maximum(-t_diffs, 0.0)
     )
     total = (
@@ -248,6 +262,154 @@ def fused_train(
     metrics = np.asarray(metrics)[:, :5]
     history = {k: metrics[:, i] for i, k in enumerate(FUSED_METRIC_KEYS)}
     return _unflatten_params(list(out_plist)), history
+
+
+def _make_multi_kernel(cfg: CVAEConfig, weights: LossWeights, epochs: int,
+                       lr: float, n_params: int):
+    """Grid kernel: grid index = scenario; each program trains its own
+    model on its own (padded, masked) batch block."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    b1, b2, adam_eps = 0.9, 0.999, 1e-8
+
+    def kernel(*refs):
+        seed_ref = refs[0]
+        x_ref, cond_ref, mask_ref = refs[1], refs[2], refs[3]
+        p_refs = refs[4 : 4 + n_params]
+        out_refs = refs[4 + n_params : 4 + 2 * n_params]
+        metrics_ref = refs[4 + 2 * n_params]
+
+        import jax.experimental.pallas as pl
+
+        s = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0, 0] + s)
+        x = x_ref[0]
+        cond = cond_ref[0]
+        mask = mask_ref[0]  # (B, 1), kept 2-D for Mosaic-friendly reductions
+        B = x.shape[0]
+
+        params0 = [r[0] for r in p_refs]
+        zeros = [jnp.zeros_like(p) for p in params0]
+
+        def body(t, carry):
+            params, m, v = carry
+            eps = _normal_noise((B, cfg.latent_dim))
+            (_, comps), grads = jax.value_and_grad(
+                lambda pl_: _forward_loss(pl_, x, cond, eps, cfg, weights, mask),
+                has_aux=True,
+            )(params)
+            tf = (t + 1).astype(jnp.float32)
+            bc1 = 1.0 - jnp.exp(tf * np.log(b1))
+            bc2 = 1.0 - jnp.exp(tf * np.log(b2))
+            new_p, new_m, new_v = [], [], []
+            for p, g, mi, vi in zip(params, grads, m, v):
+                mi = b1 * mi + (1 - b1) * g
+                vi = b2 * vi + (1 - b2) * g * g
+                update = (mi / bc1) / (jnp.sqrt(vi / bc2) + adam_eps)
+                new_p.append(p - lr * update)
+                new_m.append(mi)
+                new_v.append(vi)
+            metrics_ref[0, t, :] = jnp.concatenate([comps, jnp.zeros(3)])
+            return new_p, new_m, new_v
+
+        params, _, _ = jax.lax.fori_loop(0, epochs, body, (params0, zeros, zeros))
+        for r, p in zip(out_refs, params):
+            r[0] = p
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "weights", "epochs", "lr"))
+def _fused_multi_call(plists, x_flat, cond, mask, seed, cfg, weights, epochs, lr):
+    """plists: per-param stacked arrays with leading scenario axis (S, …)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    S = x_flat.shape[0]
+    n = len(plists)
+    kernel = _make_multi_kernel(cfg, weights, epochs, lr, n)
+
+    def block(arr):  # per-scenario block: slice leading axis by grid index
+        shape = (1,) + arr.shape[1:]
+        return pl.BlockSpec(shape, lambda i: (i,) + (0,) * (arr.ndim - 1),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    in_specs += [block(x_flat), block(cond), block(mask)]
+    in_specs += [block(p) for p in plists]
+    out_shape = tuple(jax.ShapeDtypeStruct(p.shape, p.dtype) for p in plists) + (
+        jax.ShapeDtypeStruct((S, epochs, 8), jnp.float32),
+    )
+    metrics_arr = jnp.zeros((S, epochs, 8), jnp.float32)
+    out_specs = tuple(block(p) for p in plists) + (
+        pl.BlockSpec((1, epochs, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(S,),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )(seed, x_flat, cond, mask, *plists)
+    return outs[:n], outs[n]
+
+
+def fused_train_multi(
+    windows_by_scenario: Dict[str, np.ndarray],
+    epochs: int = 3000,
+    lr: float = 1e-3,
+    weights: LossWeights = LossWeights(),
+    seed: int = 0,
+) -> Tuple[Dict[str, Params], Dict[str, Dict[str, np.ndarray]]]:
+    """Train every scenario model inside ONE Pallas kernel launch.
+
+    The Pallas grid axis enumerates scenarios; each grid program runs the
+    full training loop for its model on its own padded batch block (with a
+    sample mask), so the whole four-corpus job is one compile and one
+    launch.  Equivalent to calling :func:`fused_train` per scenario.
+    """
+    keys = sorted(windows_by_scenario.keys())
+    first = next(iter(windows_by_scenario.values()))
+    cfg = CVAEConfig(seq_len=first.shape[1], dim=first.shape[2])
+    n_max = max(w.shape[0] for w in windows_by_scenario.values())
+
+    xs, conds, masks = [], [], []
+    for k in keys:
+        w = jnp.asarray(windows_by_scenario[k], jnp.float32)
+        pad = n_max - w.shape[0]
+        w = jnp.concatenate([w, jnp.tile(w[:1], (pad, 1, 1))], axis=0)
+        start = w[:, 0, 1:3]
+        rel = w.at[:, :, 1:3].add(-start[:, None, :])
+        xs.append(rel.reshape(n_max, -1))
+        conds.append(start)
+        masks.append(
+            jnp.concatenate([jnp.ones(n_max - pad), jnp.zeros(pad)])[:, None]
+        )
+    x_flat = jnp.stack(xs)
+    cond = jnp.stack(conds)
+    mask = jnp.stack(masks)
+
+    per_scenario_params = [
+        _flatten_params(init_params(jax.random.PRNGKey(seed + i), cfg))
+        for i in range(len(keys))
+    ]
+    plists = tuple(
+        jnp.stack([p[j] for p in per_scenario_params])
+        for j in range(len(per_scenario_params[0]))
+    )
+    seed_arr = jnp.array([[seed]], jnp.int32)
+
+    out_p, metrics = _fused_multi_call(
+        plists, x_flat, cond, mask, seed_arr, cfg, weights, epochs, lr
+    )
+    metrics = np.asarray(metrics)[:, :, :5]
+    params_by, hist_by = {}, {}
+    for i, k in enumerate(keys):
+        params_by[k] = _unflatten_params([np.asarray(p[i]) for p in out_p])
+        hist_by[k] = {
+            m: metrics[i, :, j] for j, m in enumerate(FUSED_METRIC_KEYS)
+        }
+    return params_by, hist_by
 
 
 def fused_step_reference(params: Params, windows, eps, lr=1e-3,
