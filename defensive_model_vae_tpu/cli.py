@@ -99,6 +99,13 @@ def _cmd_dnda(args):
     print(json.dumps({"frames": res.frames, "dnda": res.dnda, "max_dnda": res.max_dnda}))
 
 
+def _cmd_dnda_sweep(args):
+    from .dnda import score_directory
+
+    rows = score_directory(args.dir, out_csv=args.out, processes=args.processes)
+    print(json.dumps(rows, indent=2))
+
+
 def _cmd_metrics(args):
     from .metrics import compute_metric
 
@@ -180,6 +187,12 @@ def main(argv=None):
     dn.add_argument("--csv", required=True)
     dn.add_argument("--max-frames", type=int, default=None)
     dn.set_defaults(fn=_cmd_dnda)
+
+    ds = sub.add_parser("dnda-sweep", help="score every SUT episode in a directory")
+    ds.add_argument("--dir", required=True)
+    ds.add_argument("--out", default=None, help="summary CSV path")
+    ds.add_argument("--processes", type=int, default=None)
+    ds.set_defaults(fn=_cmd_dnda_sweep)
 
     m = sub.add_parser("metrics", help="TTC/PET/JERK on an episode CSV")
     m.add_argument("--scenario", required=True)

@@ -5,7 +5,7 @@ from .paths import generate_ego_cluster
 from .collision import predict_surrounding_rectangles, collision_indices, sat_collision
 from .risk import drivable_area, risk_level, shoelace_area
 from .core import drivable_area_risk_level
-from .calculator import DndaResult, process_episode, baseline_for
+from .calculator import DndaResult, process_episode, baseline_for, score_directory
 
 __all__ = [
     "fmm_spline_coeffs",
@@ -27,4 +27,5 @@ __all__ = [
     "DndaResult",
     "process_episode",
     "baseline_for",
+    "score_directory",
 ]

@@ -138,6 +138,68 @@ class DndaResult:
         return max(self.dnda) if self.dnda else float("-inf")
 
 
+_EPISODE_RE = re.compile(r"^(?P<model>[^_]+)_(?P<scenario>[^_]+)_(?P<trial>\d+)\.csv$")
+
+
+def _score_one(args):
+    path, scenario, kwargs = args
+    res = process_episode(path, scenario, **kwargs)
+    return str(path), res.max_dnda, len(res.frames)
+
+
+def score_directory(
+    directory,
+    out_csv: Optional[str] = None,
+    processes: Optional[int] = None,
+    **episode_kwargs,
+):
+    """Score every ``<model>_<scenario>_<trial>.csv`` episode in a directory
+    and summarize the max DNDA per file (reference ``DNDA_calculator.main``
+    → ``max_dnda_summary.csv``, ``:371-453``).
+
+    Episodes are independent, so they are scored in a host process pool.
+    Returns a list of dicts; writes ``out_csv`` when given.
+    """
+    import concurrent.futures
+    import csv as _csv
+
+    directory = Path(directory)
+    jobs = []
+    for p in sorted(directory.rglob("*.csv")):
+        m = _EPISODE_RE.match(p.name)
+        if not m:
+            continue
+        town = m.group("scenario")
+        try:
+            sce = scenarios.get(town)
+        except KeyError:
+            continue  # e.g. FreeDriveTown05 — skipped by the reference too
+        jobs.append((str(p), sce.key, episode_kwargs))
+
+    rows = []
+    with concurrent.futures.ProcessPoolExecutor(max_workers=processes) as ex:
+        for (path, sce_key, _), (p, max_d, n) in zip(
+            jobs, ex.map(_score_one, jobs)
+        ):
+            m = _EPISODE_RE.match(Path(path).name)
+            rows.append(
+                {
+                    "model": m.group("model"),
+                    "scenario": m.group("scenario"),
+                    "trial": int(m.group("trial")),
+                    "max_dnda": max_d,
+                    "frames": n,
+                    "file_path": Path(path).name,
+                }
+            )
+    if out_csv:
+        with open(out_csv, "w", newline="") as f:
+            writer = _csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            writer.writeheader()
+            writer.writerows(rows)
+    return rows
+
+
 def process_episode(
     csv_path,
     scenario,

@@ -317,3 +317,26 @@ def test_da_rl_differential_fuzz_vs_live_reference():
         # loop at ~1e-7 relative.  RL (the published DNDA metric) is exact.
         assert np.isclose(da_m, da_r, rtol=1e-6), (trial, da_m, da_r)
         assert np.isclose(rl_m, rl_r, rtol=1e-9, atol=1e-9), (trial, rl_m, rl_r)
+
+
+@requires_reference
+def test_score_directory(tmp_path):
+    import shutil
+
+    src = REFERENCE_ROOT / "SUT_Testing/collected_data"
+    for name in ("DEF_StaticBlindTown05_1.csv", "IDM_StaticBlindTown05.csv",
+                 "description.txt"):
+        if (src / name).exists():
+            shutil.copy(src / name, tmp_path / name)
+    from defensive_model_vae_tpu.dnda import score_directory
+
+    rows = score_directory(
+        tmp_path, out_csv=str(tmp_path / "summary.csv"),
+        processes=2, max_frames=3,
+    )
+    # only the trial-suffixed episode matches the reference's name pattern;
+    # description.txt and the un-suffixed file are skipped like the reference
+    assert len(rows) == 1
+    assert rows[0]["model"] == "DEF" and rows[0]["trial"] == 1
+    assert 0.0 <= rows[0]["max_dnda"] <= 1.0
+    assert (tmp_path / "summary.csv").exists()
