@@ -4,6 +4,7 @@ from .train import (
     make_train_step,
     train_multi_scenario,
     train_conditioned,
+    train_conv,
 )
 from .checkpoint import (
     save_checkpoint,

@@ -279,3 +279,61 @@ def train_multi_scenario(
         for i, k in enumerate(keys)
     }
     return params_by, history_by
+
+
+def train_conv(
+    windows: np.ndarray,
+    model_cfg=None,
+    train_cfg: TrainConfig = TrainConfig(epochs=500),
+    kld_weight: float = 0.05,
+):
+    """Train the temporal-conv VAE on long windows (BASELINE config 3).
+
+    ``windows``: (N, T, D) trajectories (e.g. the 50-point random-walk set,
+    reference ``Traj_Data_Process.py:186-199``); conditioned on the start
+    point.  Returns (params, history dict, model_cfg).
+    """
+    from ..models import ConvCVAEConfig, conv_forward, init_conv_params
+
+    if model_cfg is None:
+        model_cfg = ConvCVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
+    x = jnp.asarray(windows, jnp.float32)
+    cond = x[:, 0, : min(2, x.shape[2])]
+    if cond.shape[1] < model_cfg.cond_dim:
+        cond = jnp.pad(cond, ((0, 0), (0, model_cfg.cond_dim - cond.shape[1])))
+
+    key = jax.random.PRNGKey(train_cfg.seed)
+    params = init_conv_params(key, model_cfg)
+    optimizer = optax.adam(train_cfg.lr)
+    opt_state = optimizer.init(params)
+
+    def loss_fn(p, k):
+        recon, mu, lv, _ = conv_forward(p, k, x, cond, model_cfg)
+        recon_l = jnp.mean((recon - x) ** 2)
+        kld = -0.5 * jnp.mean(1 + lv - mu**2 - jnp.exp(lv))
+        return recon_l + kld_weight * kld, (recon_l, kld)
+
+    def run(params, opt_state):
+        def body(carry, epoch):
+            params, opt_state = carry
+            k = jax.random.fold_in(key, epoch)
+            (total, (r, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, k
+            )
+            updates, opt_state = optimizer.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), jnp.stack([total, r, kl])
+
+        (params, _), metrics = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(train_cfg.epochs)
+        )
+        return params, metrics
+
+    params, metrics = jax.jit(run)(params, opt_state)
+    metrics = np.asarray(metrics)
+    history = {
+        "total": metrics[:, 0],
+        "recon": metrics[:, 1],
+        "kld": metrics[:, 2],
+    }
+    return params, history, model_cfg

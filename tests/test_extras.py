@@ -146,3 +146,12 @@ def test_stage_timer_and_metric_writer(tmp_path):
     mw.write_dict({"a": 1, "b": 2}, run="x")
     recs = mw.read()
     assert len(recs) == 3 and recs[0]["scenario"] == "sce2"
+
+
+def test_train_conv_api():
+    from defensive_model_vae_tpu.train import train_conv
+
+    trajs = generate_random_trajectories(48, 50, 5.0, seed=2).astype(np.float32)
+    params, hist, cfg = train_conv(trajs, train_cfg=TrainConfig(epochs=120))
+    assert hist["total"][-1] < hist["total"][0] / 3
+    assert cfg.seq_len == 50 and cfg.dim == 2
