@@ -162,6 +162,7 @@ def score_directory(
     """
     import concurrent.futures
     import csv as _csv
+    import multiprocessing
 
     directory = Path(directory)
     jobs = []
@@ -177,7 +178,10 @@ def score_directory(
         jobs.append((str(p), sce.key, episode_kwargs))
 
     rows = []
-    with concurrent.futures.ProcessPoolExecutor(max_workers=processes) as ex:
+    # spawn, not fork: the parent process is multi-threaded (jax runtime)
+    with concurrent.futures.ProcessPoolExecutor(
+        max_workers=processes, mp_context=multiprocessing.get_context("spawn")
+    ) as ex:
         for (path, sce_key, _), (p, max_d, n) in zip(
             jobs, ex.map(_score_one, jobs)
         ):
