@@ -127,6 +127,13 @@ def _cmd_metrics(args):
     )
 
 
+def _cmd_import(args):
+    from .train.torch_import import import_to_checkpoint
+
+    d = import_to_checkpoint(args.pth, args.ckpt)
+    print(f"imported {args.pth} -> {d}")
+
+
 def _cmd_writeback(args):
     from .sut import writeback_npy_to_csv
 
@@ -199,6 +206,11 @@ def main(argv=None):
     m.add_argument("--csv", required=True)
     m.add_argument("--metric", default="TTC")
     m.set_defaults(fn=_cmd_metrics)
+
+    im = sub.add_parser("import", help="convert a reference .pth checkpoint")
+    im.add_argument("--pth", required=True)
+    im.add_argument("--ckpt", required=True)
+    im.set_defaults(fn=_cmd_import)
 
     wb = sub.add_parser("writeback", help="inject tracked npy into source CSV")
     wb.add_argument("--npy", required=True)

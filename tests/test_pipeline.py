@@ -95,3 +95,38 @@ def test_reg157():
     assert reg157_brake(0.0, 20.0, 100.0, 5.0) == -6.0
     assert reg157_brake(0.0, 20.0, 1.0, 5.0) is None
     assert reg157_brake(0.0, 5.0, 50.0, 5.0) is None  # no closing speed
+
+
+@requires_reference
+def test_reference_torch_checkpoint_through_our_pipeline(tmp_path):
+    """Migration path: the reference's own shipped .pth weights load into
+    our parameter pytree and reproduce the published JS divergence through
+    OUR generation + MPC + metrics stack (0.130 vs published 0.1316 —
+    the residual is z-draw realization)."""
+    from defensive_model_vae_tpu import scenarios
+    from defensive_model_vae_tpu.train.torch_import import (
+        import_to_checkpoint,
+        load_torch_checkpoint,
+    )
+    from defensive_model_vae_tpu.pipeline import generate_and_track, validate
+    from defensive_model_vae_tpu.models import CVAEConfig
+
+    pth = REFERENCE_ROOT / "training/models/vae_offset_sce1_cond_ld8_epoch3000.pth"
+    params, cfg = load_torch_checkpoint(str(pth))
+    assert cfg == CVAEConfig(seq_len=10, dim=3, latent_dim=8, hidden_dim=128, cond_dim=2)
+
+    sce = scenarios.get("sce1")
+    csvs = collect_csv_files(str(REFERENCE_ROOT / "DefensiveData" / sce.town))
+    traces, _ = generate_and_track(params, cfg, sce, csvs, seed=5)
+    humans = load_humans(sce, csvs)
+    rep = validate(traces, humans, sce)
+    assert abs(rep["velocity_js_divergence"] - 0.131582) < 0.03
+    assert rep["n_tracked"] == 38
+
+    # conversion to a native checkpoint roundtrips
+    d = import_to_checkpoint(str(pth), str(tmp_path / "imported"))
+    from defensive_model_vae_tpu.train.checkpoint import load_checkpoint
+
+    p2, cfg2, manifest = load_checkpoint(d)
+    assert manifest["scenario"] == "sce1"
+    assert np.allclose(p2["enc_0"]["w"], params["enc_0"]["w"])
