@@ -340,3 +340,26 @@ def test_score_directory(tmp_path):
     assert rows[0]["model"] == "DEF" and rows[0]["trial"] == 1
     assert 0.0 <= rows[0]["max_dnda"] <= 1.0
     assert (tmp_path / "summary.csv").exists()
+
+
+def test_native_spline_matches_python():
+    """The C++ Thomas-sweep solver must agree with the Python path to the
+    last ulp (the golden parity tests above run through whichever is
+    active; this pins the two against each other directly)."""
+    import defensive_model_vae_tpu.dnda.spline as sp
+
+    if sp._load_native() is None:
+        pytest.skip("native spline unavailable (no toolchain)")
+    rng = np.random.default_rng(1)
+    for n in (2, 3, 4, 7, 51, 400):
+        x = np.sort(rng.uniform(0, 100, n)) + np.arange(n) * 1e-3
+        y = rng.normal(size=n)
+        bn, cn, dn = sp.fmm_spline_coeffs(x, y)
+        lib, failed = sp._lib, sp._lib_failed
+        sp._lib, sp._lib_failed = None, True
+        try:
+            bp, cp, dp = sp.fmm_spline_coeffs(x, y)
+        finally:
+            sp._lib, sp._lib_failed = lib, failed
+        for a, b in ((bn, bp), (cn, cp), (dn, dp)):
+            assert np.allclose(a, b, rtol=0, atol=1e-14)
