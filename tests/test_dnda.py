@@ -362,4 +362,5 @@ def test_native_spline_matches_python():
         finally:
             sp._lib, sp._lib_failed = lib, failed
         for a, b in ((bn, bp), (cn, cp), (dn, dp)):
-            assert np.allclose(a, b, rtol=0, atol=1e-14)
+            # ulp-scale drift accumulates through the length-n recurrence
+            assert np.allclose(a, b, rtol=1e-11, atol=1e-13)
