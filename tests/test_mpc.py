@@ -171,3 +171,19 @@ def test_horizon_sweep(windows_sce1):
     assert len(results) == 2
     for r in results:
         assert np.isfinite(r.max_error) and r.mean_error < 5.0
+
+
+def test_frozen_jacobian_parity(windows_sce1):
+    """The frozen-Jacobian solver variant must track within ~1 cm of the
+    re-linearized default (kept as an option; no TPU speed benefit —
+    see MPCConfig.freeze_jacobian)."""
+    import dataclasses
+
+    wp = windows_sce1[1][:, [1, 2, 0]].astype(float)
+    wp[0, 2] = 0.0
+    v0 = (wp[1, :2] - wp[0, :2]) / (wp[1, 2] - wp[0, 2])
+    init = np.array([wp[0, 0], wp[0, 1], np.arctan2(v0[1], v0[0]), v0[0], v0[1]])
+    cfg = MPCConfig(prediction_horizon=15, control_horizon=10, dt=0.04)
+    _, s_default, _ = track(wp, init, cfg)
+    _, s_frozen, _ = track(wp, init, dataclasses.replace(cfg, freeze_jacobian=True))
+    assert np.abs(s_default - s_frozen).max() < 0.05
