@@ -119,3 +119,39 @@ def test_writeback_then_dnda_integration(tmp_path):
     res = process_episode(str(out_csv), "sce1", max_frames=8)
     assert len(res.frames) > 0
     assert all(0.0 <= v <= 1.0 for v in res.dnda)
+
+
+@requires_reference
+@pytest.mark.parametrize(
+    "town,key,model,trial",
+    [
+        ("StaticBlindTown05", "sce1", "DEF", 1),
+        ("DynamicBlindTown05", "sce2", "IDM", 1),
+        ("PredictableMovementTown05", "sce3", "TCP", 1),
+        ("UnpredictableMovementTown04", "sce4", "DEF", 1),
+    ],
+)
+def test_surrogate_metrics_differential_vs_live_reference(town, key, model, trial):
+    """TTC/PET/JERK columns must match the reference implementation run
+    live on the same episode, row for row (validated bit-exact on all
+    4 scenarios × 3 metrics)."""
+    import sys
+
+    sys.path.insert(0, str(REFERENCE_ROOT / "SUT_Testing/tools"))
+    try:
+        import Metrics_Calculation as RM
+    finally:
+        sys.path.pop(0)
+
+    csv = REFERENCE_ROOT / f"SUT_Testing/collected_data/{model}_{town}_{trial}.csv"
+    if not csv.exists():
+        csv = REFERENCE_ROOT / f"SUT_Testing/collected_data/{model}_{town}.csv"
+        trial = None
+    for metric in ("TTC", "PET", "JERK"):
+        ref = RM.compute_metric_from_csv(model, town, trial, metric=metric)
+        mine = compute_metric(str(csv), key, metric)
+        a = np.asarray(ref[metric], float)
+        b = np.asarray(mine[metric], float)
+        assert len(a) == len(b)
+        both_nan = np.isnan(a) & np.isnan(b)
+        assert (np.isclose(a, b, rtol=1e-9, atol=1e-12) | both_nan).all(), metric
