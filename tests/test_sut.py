@@ -155,3 +155,37 @@ def test_surrogate_metrics_differential_vs_live_reference(town, key, model, tria
         assert len(a) == len(b)
         both_nan = np.isnan(a) & np.isnan(b)
         assert (np.isclose(a, b, rtol=1e-9, atol=1e-12) | both_nan).all(), metric
+
+
+@requires_reference
+def test_writeback_differential_vs_live_reference():
+    """merge_trajectory_into_csv must produce byte-equivalent ego columns
+    to the reference implementation run live on the same inputs."""
+    import sys
+
+    sys.path.insert(0, str(REFERENCE_ROOT / "SUT_Testing"))
+    try:
+        import Defensive_Testing as RD
+    finally:
+        sys.path.pop(0)
+
+    traj = np.load(
+        REFERENCE_ROOT / "results/GeneratedData/tracked_trajectory_sce1_exp11_3.npy"
+    )[:, :4].astype(float)
+    csv = (
+        REFERENCE_ROOT
+        / "DefensiveData/StaticBlindTown05/减速/exp_11_control_StaticBlindTown05_3.csv"
+    )
+    df = pd.read_csv(csv)
+    start_ref = RD.find_best_start_row(df, traj[0, 0], traj[0, 1])
+    start_my = find_best_start_row(df, traj[0, 0], traj[0, 1])
+    assert start_ref == start_my
+    ref_out = RD.merge_trajectory_into_csv(df, traj, start_ref)
+    my_out = merge_trajectory_into_csv(df, traj, start_my)
+    assert len(ref_out) == len(my_out)
+    for col in ("ego_x", "ego_y", "ego_vx", "ego_vy", "ego_ax", "ego_ay", "ego_yaw"):
+        assert np.allclose(
+            np.asarray(ref_out[col], float),
+            np.asarray(my_out[col], float),
+            rtol=1e-12, atol=1e-12, equal_nan=True,
+        ), col
