@@ -116,3 +116,36 @@ def test_scenario_registry_lookup():
     assert scenarios.get("vae_offset_sce2_cond_ld8_epoch3000.pth").key == "sce2"
     with pytest.raises(KeyError):
         scenarios.get("nonsense")
+
+
+@requires_reference
+def test_extraction_differential_vs_live_reference():
+    """Human/background-vehicle extraction and start conditions must match
+    the reference Tools functions run live on the same CSVs."""
+    import glob
+    import sys
+
+    sys.path.insert(0, str(REFERENCE_ROOT))
+    try:
+        import Tools as RT
+    finally:
+        sys.path.pop(0)
+
+    cases = []
+    for town, key in [("StaticBlindTown05", "sce1"), ("DynamicBlindTown05", "sce2"),
+                      ("PredictableMovementTown05", "sce3"),
+                      ("UnpredictableMovementTown04", "sce4")]:
+        csv = sorted(glob.glob(str(REFERENCE_ROOT / "DefensiveData" / town / "减速/*.csv")))[0]
+        cases.append((csv, key, f"vae_offset_{key}_cond"))
+
+    for csv, key, model_name in cases:
+        rh, rb1, rb2 = RT.get_human_and_bv_trajectories(csv, model_name)
+        mh, mb1, mb2 = get_human_and_bv_trajectories(csv, key)
+        assert np.allclose(rh, mh)
+        assert np.allclose(rb1, mb1)
+        assert (rb2 is None) == (mb2 is None)
+        if rb2 is not None:
+            assert np.allclose(rb2, mb2)
+        sc_ref = RT.get_start_conditions_from_csv(csv, model_name)
+        sc = get_start_conditions(csv, key)
+        assert np.allclose(sc_ref, [sc.x, sc.y, sc.angle, sc.vx, sc.vy])
