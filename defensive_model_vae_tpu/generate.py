@@ -21,9 +21,16 @@ from .models import CVAEConfig, sample
 from .train.checkpoint import load_checkpoint
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _sample_jit(params, key, start_xy, cfg: CVAEConfig):
-    return sample(params, key, start_xy, cfg)
+@functools.partial(jax.jit, static_argnames=("cfg", "shift_start"))
+def _sample_jit(params, key, start_xy, cfg: CVAEConfig, shift_start: bool = True):
+    if shift_start:
+        return sample(params, key, start_xy, cfg)
+    # legacy non-offset models decode absolute [t, x, y] directly
+    from .models.cvae import decode, encode_condition
+
+    z = jax.random.normal(key, (start_xy.shape[0], cfg.latent_dim), jnp.float32)
+    h_cond = encode_condition(params, start_xy)
+    return decode(params, z, h_cond, cfg)
 
 
 def generate_trajectories(
@@ -32,6 +39,7 @@ def generate_trajectories(
     start_xy: np.ndarray,
     n_samples: int = 1,
     seed: Union[int, jax.Array] = 0,
+    shift_start: bool = True,
 ) -> np.ndarray:
     """Generate ``n_samples`` global [t, x, y] trajectories per start point.
 
@@ -47,7 +55,7 @@ def generate_trajectories(
     start_xy = np.atleast_2d(np.asarray(start_xy, np.float32))
     B = start_xy.shape[0]
     tiled = jnp.asarray(np.repeat(start_xy, n_samples, axis=0))
-    out = _sample_jit(params, key, tiled, cfg)
+    out = _sample_jit(params, key, tiled, cfg, shift_start)
     out = np.asarray(out).reshape(B, n_samples, cfg.seq_len, cfg.dim)
     if B == 1 and n_samples == 1:
         return out[0, 0]
@@ -61,8 +69,12 @@ def load_and_generate(
     n_samples: int = 1,
     seed: int = 0,
 ) -> np.ndarray:
-    """Checkpoint-path convenience mirroring the reference call shape."""
-    params, cfg, _ = load_checkpoint(checkpoint_dir)
+    """Checkpoint-path convenience mirroring the reference call shape.
+
+    Honors the manifest's ``offset_mode`` (False for legacy non-offset
+    imports, whose decoder emits absolute coordinates)."""
+    params, cfg, manifest = load_checkpoint(checkpoint_dir)
     return generate_trajectories(
-        params, cfg, np.array([start_x, start_y]), n_samples, seed
+        params, cfg, np.array([start_x, start_y]), n_samples, seed,
+        shift_start=manifest.get("offset_mode", True),
     )

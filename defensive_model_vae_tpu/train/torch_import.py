@@ -76,13 +76,24 @@ def load_torch_checkpoint(path: str) -> Tuple[Params, CVAEConfig]:
 
 
 def import_to_checkpoint(pth_path: str, out_dir: str) -> str:
-    """Convert a .pth into a native checkpoint directory."""
+    """Convert a .pth into a native checkpoint directory.
+
+    The reference encodes the coordinate mode in the filename:
+    ``vae_offset_*`` models decode relative [t, dx, dy] (shifted by the
+    start condition at generation time), plain ``vae_*`` legacy models
+    decode absolute [t, x, y].  Recorded as ``offset_mode`` in the
+    manifest; ``generate.load_and_generate`` honors it.
+    """
     from .checkpoint import save_checkpoint
 
     params, cfg = load_torch_checkpoint(pth_path)
     m = re.search(r"sce[1-4]", str(pth_path))
     scenario = m.group(0) if m else None
+    offset_mode = "offset" in str(pth_path)
     return save_checkpoint(
         out_dir, params, cfg, scenario,
-        extra_manifest={"imported_from": str(pth_path)},
+        extra_manifest={
+            "imported_from": str(pth_path),
+            "offset_mode": offset_mode,
+        },
     )

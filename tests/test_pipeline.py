@@ -130,3 +130,24 @@ def test_reference_torch_checkpoint_through_our_pipeline(tmp_path):
     p2, cfg2, manifest = load_checkpoint(d)
     assert manifest["scenario"] == "sce1"
     assert np.allclose(p2["enc_0"]["w"], params["enc_0"]["w"])
+
+
+@requires_reference
+def test_legacy_non_offset_checkpoint_import(tmp_path):
+    """Legacy (pre-offset) reference checkpoints decode absolute [t, x, y]
+    — the importer records offset_mode=False and generation skips the
+    start shift."""
+    from defensive_model_vae_tpu.generate import load_and_generate
+    from defensive_model_vae_tpu.train.checkpoint import load_checkpoint
+    from defensive_model_vae_tpu.train.torch_import import import_to_checkpoint
+
+    ck = import_to_checkpoint(
+        str(REFERENCE_ROOT / "training/models/vae_sce1_ld8_epoch2000.pth"),
+        str(tmp_path / "legacy"),
+    )
+    _, _, manifest = load_checkpoint(ck)
+    assert manifest["offset_mode"] is False
+    traj = load_and_generate(ck, -194.2, 18.9, n_samples=1, seed=0)
+    # absolute sce1-area coordinates, not doubled by a start shift
+    assert -210 < traj[0, 1] < -180
+    assert 0 < traj[0, 2] < 100
