@@ -1,4 +1,6 @@
 from .reference import PathReference
 from .mpc import MPCConfig, track, track_batch, rollout
+from .linear_mpc import LinearMPCConfig, solve_ltv_qp, simulate_tracking, sine_road_demo
 
-__all__ = ["PathReference", "MPCConfig", "track", "track_batch", "rollout"]
+__all__ = ["PathReference", "MPCConfig", "track", "track_batch", "rollout",
+           "LinearMPCConfig", "solve_ltv_qp", "simulate_tracking", "sine_road_demo"]

@@ -187,3 +187,19 @@ def test_frozen_jacobian_parity(windows_sce1):
     _, s_default, _ = track(wp, init, cfg)
     _, s_frozen, _ = track(wp, init, dataclasses.replace(cfg, freeze_jacobian=True))
     assert np.abs(s_default - s_frozen).max() < 0.05
+
+
+def test_linear_mpc_sine_road():
+    """C10 equivalent: LTV box-QP MPC tracks the reference demo's sine
+    road from a 1 m lateral offset."""
+    from defensive_model_vae_tpu.control import sine_road_demo
+
+    ref, states, controls = sine_road_demo(100)
+    # controls respect bounds
+    assert np.all(np.abs(controls[:, 0]) <= 1.0 + 1e-6)
+    assert np.all(np.abs(controls[:, 1]) <= np.deg2rad(45) + 1e-6)
+    # after settling, stays within 0.2 m of the road
+    err = [np.hypot(ref[:, 0] - p[0], ref[:, 1] - p[1]).min() for p in states[40:]]
+    assert max(err) < 0.2
+    # vehicle accelerates from rest toward the reference speed
+    assert states[-1, 2] > 1.5
