@@ -49,9 +49,11 @@ def bench_jax(windows, epochs=3000):
 
         _, hist = fused_train(windows, epochs=epochs)  # includes compile
         cold = time.time() - t0
-        t0 = time.time()
-        _, hist = fused_train(windows, epochs=epochs, seed=1)
-        warm = time.time() - t0
+        warm = float("inf")
+        for s in (1, 2, 3):  # best-of-3 to damp host-side jitter
+            t0 = time.time()
+            _, hist = fused_train(windows, epochs=epochs, seed=s)
+            warm = min(warm, time.time() - t0)
         label = "pallas-fused"
     except Exception as e:
         _log(f"fused kernel unavailable ({type(e).__name__}); scan trainer")

@@ -62,8 +62,14 @@ class PathReference:
         self._t = t
 
         kind = _interp_kind(len(t))
-        self._x = interp1d(t, x, kind=kind, bounds_error=False, fill_value="extrapolate")
-        self._y = interp1d(t, y, kind=kind, bounds_error=False, fill_value="extrapolate")
+        try:
+            self._x = interp1d(t, x, kind=kind, bounds_error=False, fill_value="extrapolate")
+            self._y = interp1d(t, y, kind=kind, bounds_error=False, fill_value="extrapolate")
+        except Exception:
+            # linear fallback, mirroring the reference's robustness
+            # (``MPC_Tracking.py:138-142``)
+            self._x = interp1d(t, x, kind="linear", bounds_error=False, fill_value="extrapolate")
+            self._y = interp1d(t, y, kind="linear", bounds_error=False, fill_value="extrapolate")
 
         dt = np.diff(t)
         dt = np.where(dt == 0, 1e-6, dt)
@@ -74,8 +80,13 @@ class PathReference:
         vy = np.concatenate(([self.initial_state[-1]], vy))
         t_vel = np.concatenate(([0.0], t[:-1] + np.diff(t) / 2))
         vkind = _interp_kind(len(t_vel))
-        self._vx = interp1d(t_vel, vx, kind=vkind, bounds_error=False, fill_value="extrapolate")
-        self._vy = interp1d(t_vel, vy, kind=vkind, bounds_error=False, fill_value="extrapolate")
+        try:
+            self._vx = interp1d(t_vel, vx, kind=vkind, bounds_error=False, fill_value="extrapolate")
+            self._vy = interp1d(t_vel, vy, kind=vkind, bounds_error=False, fill_value="extrapolate")
+        except Exception:
+            # linear fallback (reference ``MPC_Tracking.py:182-186``)
+            self._vx = interp1d(t_vel, vx, kind="linear", bounds_error=False, fill_value="extrapolate")
+            self._vy = interp1d(t_vel, vy, kind="linear", bounds_error=False, fill_value="extrapolate")
 
         self.end_x = float(self._x(self.t_end))
         self.end_y = float(self._y(self.t_end))
