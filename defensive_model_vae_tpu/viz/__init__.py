@@ -7,6 +7,8 @@ from .plots import (
     plot_static_case,
     plot_histogram,
     plot_spatiotemporal,
+    plot_space_time_velocity,
+    unified_colorbar_range,
 )
 from .gif import (
     vehicle_rectangle,
@@ -26,6 +28,8 @@ __all__ = [
     "plot_static_case",
     "plot_histogram",
     "plot_spatiotemporal",
+    "plot_space_time_velocity",
+    "unified_colorbar_range",
     "vehicle_rectangle",
     "smooth_curve",
     "animate_human_vs_model",

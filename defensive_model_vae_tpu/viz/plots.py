@@ -315,6 +315,97 @@ def plot_velocity_and_lateral_offset(
     return _save(fig, save_path)
 
 
+def unified_colorbar_range(
+    coordinate_sets=None, scenario=None, grid_size=1.0, trajectory_sets=None
+):
+    """Shared (vmin, vmax) across several spatial distributions so paired
+    heatmaps are comparable (reference ``calculate_unified_colorbar_range``
+    / ``_new``, ``Spatial_Distribution.py:164-209,495-537``).
+
+    Pass ``coordinate_sets`` (list of (N, 2) arrays, point counting) or
+    ``trajectory_sets`` (list of track lists, per-track counting)."""
+    sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
+    x_edges = np.arange(sce.grid_x[0], sce.grid_x[1], grid_size)
+    y_edges = np.arange(sce.grid_y[0], sce.grid_y[1], grid_size)
+    maxima, minima = [], []
+    if trajectory_sets is not None:
+        from ..metrics import count_trajectories_per_grid
+
+        hists = [
+            count_trajectories_per_grid(trajs, sce, grid_size)[0]
+            for trajs in trajectory_sets if len(trajs)
+        ]
+    else:
+        hists = []
+        for coords in coordinate_sets or []:
+            if len(coords) == 0:
+                continue
+            H, _, _ = np.histogram2d(
+                coords[:, 0], coords[:, 1], bins=[x_edges, y_edges]
+            )
+            hists.append(H)
+    for H in hists:
+        nz = H[H > 0]
+        if len(nz):
+            maxima.append(H.max())
+            minima.append(nz.min())
+    if not maxima:
+        return 0, 1
+    return float(min(minima)), float(max(maxima))
+
+
+def plot_space_time_velocity(
+    coords_list, times_list, v_list, save_path_lines, save_path_surface,
+    axis_label="Y", title_prefix="Model",
+    num_coord_bins=40, num_time_bins=40,
+    coord_range=None, time_range=None, vmin=None, vmax=None,
+):
+    """3-D coordinate–time–velocity figures: per-track curves plus the
+    grid-averaged Gaussian-smoothed surface (reference
+    ``plot_space_time_velocity_{model,human}``,
+    ``Spatial_Distribution.py:934-1197``).  Feed with
+    ``metrics.model_stv_data`` / ``metrics.human_stv_data``.
+
+    Returns the speed surface (also the input to ``surface_rmse``)."""
+    from ..metrics import build_stv_surface
+
+    plt = _plt()
+
+    fig = plt.figure(figsize=(10, 10))
+    ax = fig.add_subplot(111, projection="3d")
+    for coords, times, v in zip(coords_list, times_list, v_list):
+        ax.plot(coords, times, v, alpha=0.8)
+    ax.set_xlabel(f"{axis_label} (m)")
+    ax.set_ylabel("Time (s)")
+    ax.set_zlabel("Velocity (m/s)")
+    ax.set_title(f"{title_prefix} Trajectories: {axis_label}-Time-Velocity")
+    if coord_range:
+        ax.set_xlim(coord_range)
+    if time_range:
+        ax.set_ylim(time_range)
+    if vmin is not None and vmax is not None:
+        ax.set_zlim(vmin, vmax)
+    _save(fig, save_path_lines)
+
+    coord_grid, time_grid, surface = build_stv_surface(
+        coords_list, times_list, v_list, num_coord_bins, num_time_bins,
+        coord_range, time_range,
+    )
+    fig2 = plt.figure(figsize=(10, 10))
+    ax2 = fig2.add_subplot(111, projection="3d")
+    surf = ax2.plot_surface(
+        coord_grid, time_grid, surface, cmap="viridis", edgecolor="none",
+        antialiased=True, alpha=0.95, vmin=vmin, vmax=vmax,
+    )
+    fig2.colorbar(surf, ax=ax2, shrink=0.5, aspect=10, pad=0.1, label="Velocity (m/s)")
+    ax2.set_xlabel(f"{axis_label} (m)")
+    ax2.set_ylabel("Time (s)")
+    ax2.set_zlabel("Velocity (m/s)")
+    ax2.set_title(f"{title_prefix} Trajectories Surface: {axis_label}-Time-Velocity")
+    _save(fig2, save_path_surface)
+    return surface
+
+
 def plot_spatiotemporal(
     human_trajs, model_trajs, scenario, save_dir, elev=20, azim=-35
 ):

@@ -145,3 +145,31 @@ def test_spatial_distribution_trajectory_count_mode(tmp_path):
         scenario="sce1", save_path=str(tmp_path / "tc.png"), trajectories=trajs
     )
     assert (tmp_path / "tc.png").exists()
+
+
+def test_space_time_velocity_and_colorbar_range(tmp_path):
+    from defensive_model_vae_tpu.viz import (
+        plot_space_time_velocity,
+        unified_colorbar_range,
+    )
+
+    t = np.linspace(0, 10, 80)
+    coords = [45 + 5 * t, 45 + 5.5 * t]
+    times = [t, t]
+    vs = [np.full_like(t, 5.0), np.full_like(t, 6.0)]
+    surf = plot_space_time_velocity(
+        coords, times, vs,
+        str(tmp_path / "lines.png"), str(tmp_path / "surf.png"),
+    )
+    assert surf.shape == (40, 40)
+    assert (tmp_path / "lines.png").exists() and (tmp_path / "surf.png").exists()
+
+    rng = np.random.default_rng(0)
+    a = rng.uniform([-197, 45], [-190, 75], (200, 2))
+    b = rng.uniform([-197, 45], [-190, 75], (900, 2))
+    vmin, vmax = unified_colorbar_range([a, b], "sce1")
+    assert 0 < vmin <= vmax
+    # trajectory-count mode
+    trajs = [np.column_stack([a, np.zeros(len(a))])]
+    vmin2, vmax2 = unified_colorbar_range(scenario="sce1", trajectory_sets=[trajs])
+    assert vmax2 >= vmin2 >= 0
