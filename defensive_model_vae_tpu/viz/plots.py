@@ -99,10 +99,11 @@ def plot_spatial_distribution(
     """
     from matplotlib.colors import LinearSegmentedColormap
 
+    from ..metrics.spatial import _grid_edges
+
     plt = _plt()
     sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
-    x_edges = np.arange(sce.grid_x[0], sce.grid_x[1], grid_size)
-    y_edges = np.arange(sce.grid_y[0], sce.grid_y[1], grid_size)
+    x_edges, y_edges = _grid_edges(sce, grid_size)
     if trajectories is not None:
         from ..metrics import count_trajectories_per_grid
 
@@ -324,9 +325,9 @@ def unified_colorbar_range(
 
     Pass ``coordinate_sets`` (list of (N, 2) arrays, point counting) or
     ``trajectory_sets`` (list of track lists, per-track counting)."""
+    from ..metrics.spatial import _grid_edges
+
     sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
-    x_edges = np.arange(sce.grid_x[0], sce.grid_x[1], grid_size)
-    y_edges = np.arange(sce.grid_y[0], sce.grid_y[1], grid_size)
     maxima, minima = [], []
     if trajectory_sets is not None:
         from ..metrics import count_trajectories_per_grid
@@ -336,6 +337,7 @@ def unified_colorbar_range(
             for trajs in trajectory_sets if len(trajs)
         ]
     else:
+        x_edges, y_edges = _grid_edges(sce, grid_size)
         hists = []
         for coords in coordinate_sets or []:
             if len(coords) == 0:
@@ -356,7 +358,7 @@ def unified_colorbar_range(
 
 def plot_space_time_velocity(
     coords_list, times_list, v_list, save_path_lines, save_path_surface,
-    axis_label="Y", title_prefix="Model",
+    axis="x", title_prefix="Model", scenario=None,
     num_coord_bins=40, num_time_bins=40,
     coord_range=None, time_range=None, vmin=None, vmax=None,
 ):
@@ -364,27 +366,44 @@ def plot_space_time_velocity(
     grid-averaged Gaussian-smoothed surface (reference
     ``plot_space_time_velocity_{model,human}``,
     ``Spatial_Distribution.py:934-1197``).  Feed with
-    ``metrics.model_stv_data`` / ``metrics.human_stv_data``.
+    ``metrics.model_stv_data`` / ``metrics.human_stv_data`` (same ``axis``
+    argument in both places).  When ``scenario`` is given, the spatial axis
+    is inverted for every scenario except sce1, matching the reference's
+    published figure orientation (``:991-992``).
 
     Returns the speed surface (also the input to ``surface_rmse``)."""
     from ..metrics import build_stv_surface
 
+    if not len(coords_list):
+        import warnings
+
+        warnings.warn("no trajectories to plot for space-time-velocity")
+        return None
+
+    sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
+    invert = sce is not None and sce.key != "sce1"
+    axis_label = "X" if axis == "x" else "Y"
     plt = _plt()
+
+    def style(ax):
+        ax.set_xlabel(f"{axis_label} (m)")
+        ax.set_ylabel("Time (s)")
+        ax.set_zlabel("Velocity (m/s)")
+        if coord_range is not None:
+            ax.set_xlim(coord_range)
+        if time_range is not None:
+            ax.set_ylim(time_range)
+        if vmin is not None and vmax is not None:
+            ax.set_zlim(vmin, vmax)
+        if invert:
+            ax.invert_xaxis()
 
     fig = plt.figure(figsize=(10, 10))
     ax = fig.add_subplot(111, projection="3d")
     for coords, times, v in zip(coords_list, times_list, v_list):
         ax.plot(coords, times, v, alpha=0.8)
-    ax.set_xlabel(f"{axis_label} (m)")
-    ax.set_ylabel("Time (s)")
-    ax.set_zlabel("Velocity (m/s)")
     ax.set_title(f"{title_prefix} Trajectories: {axis_label}-Time-Velocity")
-    if coord_range:
-        ax.set_xlim(coord_range)
-    if time_range:
-        ax.set_ylim(time_range)
-    if vmin is not None and vmax is not None:
-        ax.set_zlim(vmin, vmax)
+    style(ax)
     _save(fig, save_path_lines)
 
     coord_grid, time_grid, surface = build_stv_surface(
@@ -398,10 +417,8 @@ def plot_space_time_velocity(
         antialiased=True, alpha=0.95, vmin=vmin, vmax=vmax,
     )
     fig2.colorbar(surf, ax=ax2, shrink=0.5, aspect=10, pad=0.1, label="Velocity (m/s)")
-    ax2.set_xlabel(f"{axis_label} (m)")
-    ax2.set_ylabel("Time (s)")
-    ax2.set_zlabel("Velocity (m/s)")
     ax2.set_title(f"{title_prefix} Trajectories Surface: {axis_label}-Time-Velocity")
+    style(ax2)
     _save(fig2, save_path_surface)
     return surface
 

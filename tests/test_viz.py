@@ -160,9 +160,17 @@ def test_space_time_velocity_and_colorbar_range(tmp_path):
     surf = plot_space_time_velocity(
         coords, times, vs,
         str(tmp_path / "lines.png"), str(tmp_path / "surf.png"),
+        axis="y", scenario="sce3",
+        coord_range=np.array([40.0, 110.0]),  # array-valued ranges accepted
+        time_range=(0.0, 10.0), vmin=0.0, vmax=8.0,
     )
     assert surf.shape == (40, 40)
     assert (tmp_path / "lines.png").exists() and (tmp_path / "surf.png").exists()
+    # empty input warns and returns None instead of crashing
+    with pytest.warns(UserWarning):
+        assert plot_space_time_velocity(
+            [], [], [], str(tmp_path / "l2.png"), str(tmp_path / "s2.png")
+        ) is None
 
     rng = np.random.default_rng(0)
     a = rng.uniform([-197, 45], [-190, 75], (200, 2))
