@@ -178,8 +178,12 @@ def build_stv_surface(
     all_t = np.concatenate(times_list)
     all_v = np.concatenate(v_list)
 
-    cmin, cmax = coord_range if coord_range else (all_c.min(), all_c.max())
-    tmin, tmax = time_range if time_range else (all_t.min(), all_t.max())
+    cmin, cmax = (
+        coord_range if coord_range is not None else (all_c.min(), all_c.max())
+    )
+    tmin, tmax = (
+        time_range if time_range is not None else (all_t.min(), all_t.max())
+    )
     c_edges = np.linspace(cmin, cmax, num_coord_bins + 1)
     t_edges = np.linspace(tmin, tmax, num_time_bins + 1)
 
