@@ -151,3 +151,31 @@ def test_legacy_non_offset_checkpoint_import(tmp_path):
     # absolute sce1-area coordinates, not doubled by a start shift
     assert -210 < traj[0, 1] < -180
     assert 0 < traj[0, 2] < 100
+
+
+@requires_reference
+def test_cli_import_and_validate(tmp_path):
+    """CLI coverage: import a reference checkpoint and run validate over
+    previously saved traces."""
+    from defensive_model_vae_tpu.cli import main
+
+    main([
+        "import",
+        "--pth", str(REFERENCE_ROOT / "training/models/vae_offset_sce2_cond_ld8_epoch3000.pth"),
+        "--ckpt", str(tmp_path / "imported"),
+    ])
+    assert (tmp_path / "imported" / "manifest.json").exists()
+
+    # produce a few traces, then validate them through the CLI
+    from defensive_model_vae_tpu.train.checkpoint import load_checkpoint
+    from defensive_model_vae_tpu.pipeline import generate_and_track, save_tracked
+
+    params, cfg, _ = load_checkpoint(str(tmp_path / "imported"))
+    csvs = collect_csv_files(str(REFERENCE_ROOT / "DefensiveData/DynamicBlindTown05"))[:4]
+    traces, names = generate_and_track(params, cfg, "sce2", csvs, seed=2)
+    save_tracked(traces, names, str(tmp_path / "traces"))
+    main([
+        "validate", "--scenario", "sce2",
+        "--tracked-dir", str(tmp_path / "traces"),
+        "--data-root", str(REFERENCE_ROOT / "DefensiveData"),
+    ])
