@@ -203,3 +203,80 @@ def test_linear_mpc_sine_road():
     assert max(err) < 0.2
     # vehicle accelerates from rest toward the reference speed
     assert states[-1, 2] > 1.5
+
+
+def test_device_reference_matches_host(windows_sce1):
+    """The JAX not-a-knot reference construction must match the host
+    scipy implementation (f32 serving precision)."""
+    from defensive_model_vae_tpu.control.device_reference import (
+        build_reference_device,
+        cubic_eval,
+        notaknot_coeffs,
+    )
+    from scipy.interpolate import interp1d
+
+    rng = np.random.default_rng(0)
+    # spline parity vs scipy interp1d(kind='cubic') incl. extrapolation
+    t = np.sort(rng.uniform(0, 10, 10)) + np.arange(10) * 1e-3
+    y = rng.normal(size=10) * 5
+    f = interp1d(t, y, kind="cubic", bounds_error=False, fill_value="extrapolate")
+    q = np.linspace(t[0] - 1, t[-1] + 1, 300)
+    M = notaknot_coeffs(jnp.asarray(t), jnp.asarray(y))
+    mine = cubic_eval(jnp.asarray(t), jnp.asarray(y), M, jnp.asarray(q))
+    assert np.abs(np.asarray(mine) - f(q)).max() < 5e-3  # f32
+
+    # reference-tensor parity on real windows
+    for idx in (1, 3):
+        wp = windows_sce1[idx][:, [1, 2, 0]].astype(float)
+        wp[0, 2] = 0.0
+        v0 = (wp[1, :2] - wp[0, :2]) / (wp[1, 2] - wp[0, 2])
+        init = np.array([wp[0, 0], wp[0, 1], np.arctan2(v0[1], v0[0]), v0[0], v0[1]])
+        n = int(wp[-1, 2] / 0.02)
+        host = PathReference(wp, init).build(n, 30, 0.02)
+        dev = np.asarray(
+            jax.jit(
+                lambda w, i: __import__(
+                    "defensive_model_vae_tpu.control.device_reference",
+                    fromlist=["build_reference_device"],
+                ).build_reference_device(w, i, n, 30, 0.02)
+            )(jnp.asarray(wp), jnp.asarray(init))
+        )
+        assert np.abs(host[..., 0] - dev[..., 0]).max() < 1e-4  # theta
+        assert np.abs(host[..., 1] - dev[..., 1]).max() < 0.05  # v (f32)
+
+
+def test_serve_fn_end_to_end(windows_sce1):
+    """One jitted device program: sample → reference → MPC; the result must
+    track its own generated waypoints."""
+    from defensive_model_vae_tpu.control.device_reference import make_serve_fn
+    from defensive_model_vae_tpu.models import CVAEConfig, init_params, sample
+    from defensive_model_vae_tpu.train import TrainConfig, train
+
+    params, _ = train(windows_sce1, train_cfg=TrainConfig(epochs=400))
+    cfg = CVAEConfig()
+    mpc = MPCConfig(prediction_horizon=15, control_horizon=10, dt=0.1)
+    serve = make_serve_fn(params, cfg, mpc, num_steps=80)
+
+    starts = windows_sce1[:2, 0, 1:3].astype(np.float32)
+    inits = []
+    for b in range(2):
+        w = windows_sce1[b]
+        v0 = (w[1, 1:3] - w[0, 1:3]) / (w[1, 0] - w[0, 0])
+        inits.append([starts[b, 0], starts[b, 1], np.arctan2(v0[1], v0[0]), v0[0], v0[1]])
+    inits = np.asarray(inits, np.float32)
+
+    key = jax.random.PRNGKey(2)
+    states, controls = serve(key, jnp.asarray(starts), jnp.asarray(inits))
+    states = np.asarray(states)
+    assert states.shape == (2, 81, 4)
+    assert np.isfinite(states).all()
+
+    # request 0 tracks its own waypoints
+    keys = jax.random.split(key, 2)
+    traj = np.asarray(sample(params, keys[0], starts[0][None], cfg)[0])
+    wp = traj[:, [1, 2, 0]].astype(float)
+    wp[0, 2] = 0.0
+    ref = PathReference(wp, inits[0].astype(float))
+    n = min(81, int(wp[-1, 2] / mpc.dt) + 1)
+    err = ref.position_error(np.arange(n) * mpc.dt, states[0, :n, :2])
+    assert err.mean() < 2.0
