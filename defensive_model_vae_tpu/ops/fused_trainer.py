@@ -120,6 +120,20 @@ def _forward_loss(plist, x_flat, cond, eps, cfg: CVAEConfig, w: LossWeights,
     return total, jnp.stack([total, recon_loss, kld, start_loss, time_loss])
 
 
+def _check_vmem_budget(cfg: CVAEConfig, limit_mb: float = 12.0):
+    """The whole-run kernel holds params + Adam m/v in VMEM; refuse configs
+    that cannot fit (measured envelope on v5e: hidden=256 works at ~6 MB,
+    hidden=512 fails at ~23 MB against the ~16 MB core).  Use the XLA scan
+    trainer (``train.train``) for larger models."""
+    n = sum(fi * fo + fo for fi, fo in cfg.layer_spec().values())
+    mb = n * 3 * 4 / 1e6
+    if mb > limit_mb:
+        raise ValueError(
+            f"fused trainer needs ~{mb:.1f} MB VMEM for params+Adam state "
+            f"(> {limit_mb} MB budget); use train.train for this model size"
+        )
+
+
 def _normal_noise(shape):
     """Box–Muller over the core PRNG → N(0, 1)."""
     from jax.experimental.pallas import tpu as pltpu
@@ -246,6 +260,7 @@ def fused_train(
     optimizer; PRNG stream differs — see module docstring).
     """
     cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
+    _check_vmem_budget(cfg)
     batch = jnp.asarray(windows, jnp.float32)
     start = batch[:, 0, 1:3]
     rel = batch.at[:, :, 1:3].add(-start[:, None, :])

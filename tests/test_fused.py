@@ -129,3 +129,13 @@ def test_fused_train_multi_on_tpu(all_windows):
     params_by, hist_by = fused_train_multi(all_windows, epochs=300, seed=3)
     for k, h in hist_by.items():
         assert h["total"][-1] < h["total"][0] / 5
+
+
+def test_fused_vmem_budget_check():
+    """Oversized configs get a clear error pointing at the scan trainer
+    (measured envelope: hidden=256 fits, hidden=512 exceeds VMEM)."""
+    from defensive_model_vae_tpu.ops.fused_trainer import _check_vmem_budget
+
+    _check_vmem_budget(CVAEConfig(hidden_dim=256))  # fits
+    with pytest.raises(ValueError, match="train.train"):
+        _check_vmem_budget(CVAEConfig(hidden_dim=512))
