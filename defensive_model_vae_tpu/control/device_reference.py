@@ -26,8 +26,6 @@ seq_len=10 paths); shorter paths use the host implementation.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -177,7 +175,7 @@ def make_serve_fn(params, model_cfg, mpc_cfg, num_steps: int):
     request executes on-device with no host round-trips.
     """
     from ..models import sample
-    from .mpc import _initial_tracker_state, _simulate
+    from .mpc import _simulate
 
     P = mpc_cfg.prediction_horizon
 

@@ -14,7 +14,6 @@ import os
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
-import pandas as pd
 
 from .. import scenarios
 from .csv_io import read_csv

@@ -8,7 +8,7 @@ enabling ONE model over the combined four-scenario corpus.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

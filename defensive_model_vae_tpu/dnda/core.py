@@ -11,7 +11,7 @@ predict surrounding vehicles, run the SAT sweep, and compute DA and RL.
 from __future__ import annotations
 
 import math
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

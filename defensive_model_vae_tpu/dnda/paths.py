@@ -16,7 +16,7 @@ per-path geometry inside each round is vectorized.
 from __future__ import annotations
 
 import math
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

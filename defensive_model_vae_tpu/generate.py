@@ -11,7 +11,7 @@ loop, ``Distribution.py:143-166``).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Union
+from typing import Union
 
 import jax
 import jax.numpy as jnp

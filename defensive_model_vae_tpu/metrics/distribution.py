@@ -12,7 +12,7 @@ divergence (``Distribution.py:195-333``) as vectorized array ops:
 
 from __future__ import annotations
 
-from typing import Iterable, List, Sequence, Tuple
+from typing import Iterable, List, Sequence
 
 import numpy as np
 

@@ -7,7 +7,7 @@ ray-intersection PET (``:19-95``), and ego jerk (``:300-328``).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import pandas as pd

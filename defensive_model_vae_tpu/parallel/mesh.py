@@ -17,7 +17,7 @@ Multi-host DCN is intentionally out of scope (the largest corpus is
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

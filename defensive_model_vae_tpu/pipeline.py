@@ -16,7 +16,6 @@ explicit function:
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 import re

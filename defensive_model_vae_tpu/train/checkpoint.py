@@ -24,7 +24,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import CVAEConfig
-from ..models.losses import LossWeights
 
 
 def _flatten(tree, prefix=""):

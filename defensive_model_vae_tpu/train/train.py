@@ -16,7 +16,6 @@ one device program (a capability the reference runs as four separate jobs).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Dict, Optional, Tuple
 
 import jax

@@ -7,7 +7,7 @@ the diverged Tools/Plot_Gif copies noted in SURVEY §5)."""
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Sequence
+from typing import Dict
 
 import numpy as np
 
