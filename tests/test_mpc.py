@@ -280,3 +280,34 @@ def test_serve_fn_end_to_end(windows_sce1):
     n = min(81, int(wp[-1, 2] / mpc.dt) + 1)
     err = ref.position_error(np.arange(n) * mpc.dt, states[0, :n, :2])
     assert err.mean() < 2.0
+
+
+def test_tracker_dominates_slsqp_oracle_on_hard_paths(all_windows):
+    """On sce2/sce4 oracle paths the reference SLSQP frequently fails its
+    solves (falls back to near-zero controls), so trace equality is the
+    wrong bar; instead assert our solver tracks the SAME reference tensor
+    at least as well as the SLSQP run did (measured: v-err 0.06 vs 1.44
+    m/s on sce2; path error 0.05 vs 1.71 m)."""
+    import json
+    from conftest import FIXTURES
+
+    meta = json.load(open(FIXTURES / "oracle/multi_scenario_starts.json"))
+    for key in ("sce2", "sce4"):
+        m = meta[key]
+        w = all_windows[key]
+        wp = w[m["idx"]][:, [1, 2, 0]].astype(float)
+        wp[0, 2] = 0.0
+        init = np.array([wp[0, 0], wp[0, 1], m["angle"], m["vx"], m["vy"]])
+        cfg = MPCConfig(prediction_horizon=30, control_horizon=20, dt=m["dt"])
+        times, states, _ = track(wp, init, cfg)
+        ref_states = np.load(FIXTURES / f"oracle/ref_track_{key}w{m['idx']}.npy")
+        pr = PathReference(wp, init)
+        n = min(len(states), len(ref_states))
+        refs = pr.build(n, 30, m["dt"])
+        mine_v = np.abs(states[: n - 1, 3] - refs[: n - 1, 0, 1]).mean()
+        orac_v = np.abs(ref_states[: n - 1, 3] - refs[: n - 1, 0, 1]).mean()
+        mine_pos = pr.position_error(times[:n], states[:n, :2]).mean()
+        orac_pos = pr.position_error(times[:n], ref_states[:n, :2]).mean()
+        assert mine_v <= orac_v + 1e-6, (key, mine_v, orac_v)
+        assert mine_pos <= orac_pos + 1e-6, (key, mine_pos, orac_pos)
+        assert mine_pos < 0.3  # and good in absolute terms
