@@ -287,12 +287,13 @@ def test_tracker_dominates_slsqp_oracle_on_hard_paths(all_windows):
     solves (falls back to near-zero controls), so trace equality is the
     wrong bar; instead assert our solver tracks the SAME reference tensor
     at least as well as the SLSQP run did (measured: v-err 0.06 vs 1.44
-    m/s on sce2; path error 0.05 vs 1.71 m)."""
+    m/s on sce2; path error 0.05 vs 1.71 m).  sce3's SLSQP run succeeded
+    (trace band 0.31 m) and is included in the dominance check too."""
     import json
     from conftest import FIXTURES
 
     meta = json.load(open(FIXTURES / "oracle/multi_scenario_starts.json"))
-    for key in ("sce2", "sce4"):
+    for key in ("sce2", "sce3", "sce4"):
         m = meta[key]
         w = all_windows[key]
         wp = w[m["idx"]][:, [1, 2, 0]].astype(float)
