@@ -284,7 +284,6 @@ def track_batch(
     if mesh is not None:
         from ..parallel import shard_batch
 
-        n_pad = states0_j.shape[0]
         states0_j = shard_batch(states0_j, mesh)
         refs_j = shard_batch(refs_j, mesh)
         last0 = shard_batch(last0, mesh)

@@ -89,12 +89,42 @@ def test_cli_dataset_train_generate(tmp_path, all_windows):
 
 
 def test_reg157():
+    """Both branches of the fixed TTC trigger (the reference's own condition
+    is inverted — see the preserved-quirk note in driver_models.py)."""
     from defensive_model_vae_tpu.sut.driver_models import reg157_brake
 
-    # closing fast from far → brake command; ttc below threshold → none
-    assert reg157_brake(0.0, 20.0, 100.0, 5.0) == -6.0
-    assert reg157_brake(0.0, 20.0, 1.0, 5.0) is None
+    # closing fast from far: ttc 100/15 ≈ 6.7 s > threshold 1.6 s → safe
+    assert reg157_brake(0.0, 20.0, 100.0, 5.0) is None
+    # closing from near: ttc 1/15 ≈ 0.07 s ≤ threshold → emergency brake
+    assert reg157_brake(0.0, 20.0, 1.0, 5.0) == -6.0
+    # at the threshold boundary → brake (trigger is <=)
+    v_rel, margin = 12.0, 0.35
+    thr = v_rel / 12.0 + margin
+    assert reg157_brake(0.0, v_rel, v_rel * thr * (1 - 1e-12), 0.0) == -6.0
     assert reg157_brake(0.0, 5.0, 50.0, 5.0) is None  # no closing speed
+    assert reg157_brake(0.0, 5.0, 50.0, 9.0) is None  # opening gap
+
+
+def test_validate_tolerates_empty_inputs():
+    import math
+
+    from defensive_model_vae_tpu.pipeline import validate
+
+    rep = validate([], [], "sce2")
+    assert rep["n_tracked"] == 0 and rep["n_human"] == 0
+    assert math.isnan(rep["velocity_js_divergence"])
+    assert math.isnan(rep["plane_centroid_rmse"])
+
+
+def test_provenance_block():
+    from defensive_model_vae_tpu.pipeline import provenance
+
+    p = provenance("sce4", seed=3, n_csvs=135)
+    assert p["scenario"] == "sce4" and p["seed"] == 3 and p["n_csvs"] == 135
+    assert p["tracker"]["prediction_horizon"] == 30
+    assert p["tracker"]["dt"] == 0.02
+    assert any("134" in n for n in p["notes"])  # sce4 stale-window note
+    assert p["git_sha"] is None or len(p["git_sha"]) == 40
 
 
 @requires_reference
