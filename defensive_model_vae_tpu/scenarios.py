@@ -144,6 +144,27 @@ def _sce1_dataset_start(df):
     return (df["ego_y"] >= 18) & (df["sv2_vx"] != 0) & (df["sv2_vy"] != 0)
 
 
+def _sce1_generation_start(df):
+    """sce1 start mask for GENERATION (``Plot_Gif.py:82``: ``ego_y >= 40``).
+
+    The reference tree carries two divergent sce1 start masks (SURVEY §5):
+    ``Tools.py:85`` (``ego_y >= 18 & sv2 moving``) and ``Plot_Gif.py:82``
+    (``ego_y >= 40``).  The published artifacts settle which one produced
+    them: 37/38 shipped ``results/GeneratedData/*sce1*.npy`` traces start
+    EXACTLY (to 1e-3 in x, y, yaw, and speed) at the first ``ego_y >= 40``
+    row of their source CSV, and 0/38 match the Tools.py mask (the 38th is
+    a visibly broken runaway trace).  The y>=40 convention is also the one
+    the rest of the published workflow assumes: the human-velocity trim is
+    ``y >= 40`` (``Distribution.py:264``) and the sce1 metric grid starts at
+    y=40 (``Spatial_Distribution.py:363``).  The Tools.py variant matches
+    the TRAINING-window extraction (``Traj_Data_Process.py:10``) — shipped
+    ``trajectory_sce1_cond.npy`` windows start at y≈19 — so it stays as
+    ``dataset_start`` below, and generation uses this mask.  Closing this
+    fork is what closes the published sce1 RMSE_frequency (2.44) gap.
+    """
+    return df["ego_y"] >= 40
+
+
 def _sce2_dataset_start(df):
     return df["sv1_yaw"] < -170
 
@@ -198,7 +219,7 @@ REGISTRY: Dict[str, Scenario] = {
         dt=0.02,
         dataset_start=_sce1_dataset_start,
         dataset_end_row=lambda row: row["ego_y"] >= 95,
-        start_condition_mask=_sce1_dataset_start,
+        start_condition_mask=_sce1_generation_start,
         start_fallback=(-193.3, 50.0, -np.pi / 2),
         human_start_mask=_sce1_dataset_start,
         human_end_mask=_sce1_human_end,

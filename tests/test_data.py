@@ -55,11 +55,16 @@ def test_windows_shape_and_time_monotone(all_windows):
 
 @requires_reference
 def test_start_conditions_first_matching_row():
-    sce = scenarios.get("sce1")
+    """sce3's generation mask equals its dataset mask, so start conditions
+    coincide with the first window point (sce1's generation mask is the
+    y>=40 variant — covered by the artifact-parity test below)."""
+    sce = scenarios.get("sce3")
     import glob
 
     csvs = sorted(
-        glob.glob(str(REFERENCE_ROOT / "DefensiveData/StaticBlindTown05/减速/*.csv"))
+        glob.glob(
+            str(REFERENCE_ROOT / "DefensiveData/PredictableMovementTown05/减速/*.csv")
+        )
     )
     sc = get_start_conditions(csvs[0], sce)
     # must equal the first row of the extracted window for the same file
@@ -68,6 +73,44 @@ def test_start_conditions_first_matching_row():
     w = process_csv(csvs[0], sce, target_points=10, time_interval=sce.dt)
     assert np.isclose(sc.x, w[0, 1]) and np.isclose(sc.y, w[0, 2])
     assert np.isfinite(sc.angle) and np.isfinite(sc.vx) and np.isfinite(sc.vy)
+
+
+@requires_reference
+def test_sce1_start_conditions_match_published_artifacts():
+    """The sce1 GENERATION start mask is ``ego_y >= 40`` (Plot_Gif.py:82),
+    not Tools.py:85's ``ego_y >= 18`` — proven by the shipped artifacts:
+    37/38 ``results/GeneratedData/*sce1*.npy`` traces start exactly at the
+    first ego_y>=40 row of their source CSV (the 38th, exp1_3, is a broken
+    runaway trace).  Pin our start conditions to those initial states."""
+    import glob
+    import math
+    import os
+
+    sce = scenarios.get("sce1")
+    csvs = sorted(
+        glob.glob(str(REFERENCE_ROOT / "DefensiveData/StaticBlindTown05/*/*.csv"))
+    )
+    shipped = {
+        os.path.basename(f): np.load(f)[0]
+        for f in glob.glob(str(REFERENCE_ROOT / "results/GeneratedData/*sce1*.npy"))
+    }
+    n_exact = 0
+    for c in csvs:
+        parts = os.path.basename(c).split("_")
+        name = f"tracked_trajectory_sce1_exp{parts[1]}_{parts[-1].split('.')[0]}.npy"
+        if name not in shipped:
+            continue
+        st = shipped[name]
+        sc = get_start_conditions(c, sce)
+        v = math.hypot(sc.vx, sc.vy)
+        if (
+            abs(sc.x - st[0]) < 1e-3
+            and abs(sc.y - st[1]) < 1e-3
+            and abs(sc.angle - st[2]) < 1e-3
+            and abs(v - st[3]) < 1e-3
+        ):
+            n_exact += 1
+    assert n_exact == 37  # all but the known-broken exp1_3 trace
 
 
 def test_start_conditions_fallback(tmp_path):
@@ -148,4 +191,12 @@ def test_extraction_differential_vs_live_reference():
             assert np.allclose(rb2, mb2)
         sc_ref = RT.get_start_conditions_from_csv(csv, model_name)
         sc = get_start_conditions(csv, key)
-        assert np.allclose(sc_ref, [sc.x, sc.y, sc.angle, sc.vx, sc.vy])
+        if key == "sce1":
+            # deliberate deviation: our sce1 generation mask is the
+            # Plot_Gif.py:82 ``ego_y >= 40`` variant, which the published
+            # artifacts prove is the one that produced them (see
+            # test_sce1_start_conditions_match_published_artifacts);
+            # Tools.py:85 returns the y>=18 training-extraction row instead
+            assert sc_ref[1] < 20 < 40 <= sc.y
+        else:
+            assert np.allclose(sc_ref, [sc.x, sc.y, sc.angle, sc.vx, sc.vy])
