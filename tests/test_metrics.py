@@ -198,3 +198,49 @@ def test_rmse_frequency_published():
         trajs, humans = _load_shipped(key)
         val = rmse_frequency_trajcount(trajs, humans, key, 0.5)
         assert abs(val - pub) <= tol, (key, val)
+
+
+@requires_reference
+@pytest.mark.parametrize("key", ["sce1", "sce2", "sce3", "sce4"])
+def test_plane_rmse_differential_vs_live_reference(key):
+    """Plane-centroid RMSE matches the reference function run LIVE on the
+    shipped GeneratedData + humans (``Spatial_Distribution.py:1357-1429``
+    at the 0.5 s interval of the :1354 call site).
+
+    This pins the sce4 'anomaly' (≈74 even on the reference's own data):
+    the large value is inherent to the reference metric — sce4's
+    human-extraction mask (50 m radius, Tools.py:160) and its generation
+    start mask (40 m + yaw) put the two point clouds ~56 m apart already in
+    the first time slice, and the gap grows as short model traces end while
+    long human tracks continue.  Not a defect in this implementation."""
+    import contextlib
+    import io
+    import sys
+
+    sys.path.insert(0, str(REFERENCE_ROOT))
+    try:
+        import Distribution as RD
+        import Spatial_Distribution as RS
+    finally:
+        sys.path.pop(0)
+
+    model_name = f"vae_offset_{key}_cond_ld8_epoch3000.pth"
+    csvs = collect_csv_files(str(REFERENCE_ROOT / "DefensiveData" / TOWN[key]))
+    shipped = [
+        np.load(f)
+        for f in sorted(
+            glob.glob(
+                str(REFERENCE_ROOT / f"results/GeneratedData/tracked_trajectory_{key}_*.npy")
+            )
+        )
+    ]
+    with contextlib.redirect_stdout(io.StringIO()):
+        ref_humans = RD.load_human_trajectories(csvs, model_name)
+        ref_val, ref_errs = RS.compute_spatiotemporal_plane_rmse(
+            ref_humans, shipped, model_name, time_interval=0.5
+        )
+
+    _, humans = _load_shipped(key)
+    val, errs = spatiotemporal_plane_rmse(humans, shipped, key)
+    assert np.isclose(val, ref_val, atol=1e-9), (key, val, ref_val)
+    assert np.allclose(errs, ref_errs, atol=1e-9)
