@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 import re
 from pathlib import Path
 from typing import Dict, List, Optional
@@ -20,7 +21,13 @@ import pandas as pd
 
 from .. import scenarios
 from ..data.csv_io import read_csv
-from .core import drivable_area_risk_level
+from .core import (
+    drivable_area_risk_level,
+    finalize_frame,
+    prepare_frame,
+    sweep_frame_host,
+    sweep_frames,
+)
 from .geometry import Road, Vehicle
 
 
@@ -45,22 +52,23 @@ def _rotate_to_x(baseline: np.ndarray):
     return baseline @ R.T, angle
 
 
-def _rotate_row(row: pd.Series, angle: float, max_sv: int) -> Dict[str, float]:
+def _rotate_row(row, angle: float, max_sv: int) -> Dict[str, float]:
     """Rotate all vehicle states like the baseline (by +angle — see
     ``_rotate_to_x``) and convert yaws to radians measured from the y axis
-    (reference ``rotate_vehicle_positions``)."""
-    R = np.array([[math.cos(angle), -math.sin(angle)],
-                  [math.sin(angle), math.cos(angle)]])
+    (reference ``rotate_vehicle_positions``).  Scalar math — bit-identical
+    to the former R @ vec formulation (dot(cos·x, −sin·y) ≡ cos·x − sin·y)."""
+    ca, sa = math.cos(angle), math.sin(angle)
+    deg = math.degrees(angle)
     out: Dict[str, float] = {}
 
     def rot(prefix):
-        p = R @ np.array([row[f"{prefix}_x"], row[f"{prefix}_y"]])
-        v = R @ np.array([row[f"{prefix}_vx"], row[f"{prefix}_vy"]])
-        a = R @ np.array([row[f"{prefix}_ax"], row[f"{prefix}_ay"]])
-        yaw = (row[f"{prefix}_yaw"] - math.degrees(angle)) % 360
-        out[f"{prefix}_x"], out[f"{prefix}_y"] = p
-        out[f"{prefix}_vx"], out[f"{prefix}_vy"] = v
-        out[f"{prefix}_ax"], out[f"{prefix}_ay"] = a
+        x, y = row[f"{prefix}_x"], row[f"{prefix}_y"]
+        vx, vy = row[f"{prefix}_vx"], row[f"{prefix}_vy"]
+        axx, ayy = row[f"{prefix}_ax"], row[f"{prefix}_ay"]
+        yaw = (row[f"{prefix}_yaw"] - deg) % 360
+        out[f"{prefix}_x"], out[f"{prefix}_y"] = ca * x + -sa * y, sa * x + ca * y
+        out[f"{prefix}_vx"], out[f"{prefix}_vy"] = ca * vx + -sa * vy, sa * vx + ca * vy
+        out[f"{prefix}_ax"], out[f"{prefix}_ay"] = ca * axx + -sa * ayy, sa * axx + ca * ayy
         out[f"{prefix}_yaw"] = math.radians(90 - yaw)
 
     rot("ego")
@@ -147,17 +155,30 @@ def _score_one(args):
     return str(path), res.max_dnda, len(res.frames)
 
 
+def _prep_one(args):
+    """Pool worker for the device-sweep path: host prep only (no jax)."""
+    path, scenario, kwargs = args
+    frames, preps = prepare_episode(path, scenario, **kwargs)
+    return str(path), frames, preps
+
+
 def score_directory(
     directory,
     out_csv: Optional[str] = None,
     processes: Optional[int] = None,
+    device: bool = False,
     **episode_kwargs,
 ):
     """Score every ``<model>_<scenario>_<trial>.csv`` episode in a directory
     and summarize the max DNDA per file (reference ``DNDA_calculator.main``
     → ``max_dnda_summary.csv``, ``:371-453``).
 
-    Episodes are independent, so they are scored in a host process pool.
+    ``device=False``: episodes are scored end-to-end in a host process pool
+    (numpy sweep).  ``device=True``: the pool does host prep only, then the
+    parent runs the SAT collision sweep for ALL episodes' frames as ONE
+    batched device program (frames × paths × ego-points × vehicles × 4
+    axes) — the results are identical.
+
     Returns a list of dicts; writes ``out_csv`` when given.
     """
     import concurrent.futures
@@ -178,13 +199,35 @@ def score_directory(
         jobs.append((str(p), sce.key, episode_kwargs))
 
     rows = []
-    # spawn, not fork: the parent process is multi-threaded (jax runtime)
-    with concurrent.futures.ProcessPoolExecutor(
-        max_workers=processes, mp_context=multiprocessing.get_context("spawn")
-    ) as ex:
-        for (path, sce_key, _), (p, max_d, n) in zip(
-            jobs, ex.map(_score_one, jobs)
-        ):
+    n_workers = processes if processes is not None else (os.cpu_count() or 1)
+    if n_workers <= 1:
+        # no parallelism to gain — run inline and skip the spawn +
+        # prep-pickling overhead entirely
+        mapper = map
+        ex = None
+    else:
+        # spawn, not fork: the parent process is multi-threaded (jax runtime)
+        ex = concurrent.futures.ProcessPoolExecutor(
+            max_workers=processes, mp_context=multiprocessing.get_context("spawn")
+        )
+        mapper = ex.map
+    try:
+        if device:
+            prepped = list(mapper(_prep_one, jobs))
+            # one device program over every frame of every episode
+            all_preps = [p for _, _, preps in prepped for p in preps]
+            all_cis = sweep_frames(all_preps, device=True)
+            results, k = [], 0
+            for path, frames, preps in prepped:
+                res = _finalize_episode(frames, preps, all_cis[k : k + len(preps)])
+                results.append((path, res.max_dnda, len(res.frames)))
+                k += len(preps)
+        else:
+            results = list(mapper(_score_one, jobs))
+    finally:
+        if ex is not None:
+            ex.shutdown()
+        for (path, sce_key, _), (p, max_d, n) in zip(jobs, results):
             m = _EPISODE_RE.match(Path(path).name)
             rows.append(
                 {
@@ -204,7 +247,7 @@ def score_directory(
     return rows
 
 
-def process_episode(
+def _iter_frame_preps(
     csv_path,
     scenario,
     frame_stride: int = 10,
@@ -212,8 +255,10 @@ def process_episode(
     time_step: float = 0.1,
     basepoint_num: int = 400,
     max_frames: Optional[int] = None,
-) -> DndaResult:
-    """Score one SUT episode CSV (reference ``process_file``, ``:286-364``)."""
+):
+    """Yield (frame_number, FramePrep) for every scorable frame of one SUT
+    episode (reference ``process_file``, ``:286-364``, up to the collision
+    sweep)."""
     sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
     df = read_csv(csv_path)
     baseline, angle = _rotate_to_x(baseline_for(sce))
@@ -224,10 +269,11 @@ def process_episode(
     moving = (df["ego_vx"] != 0) | (df["ego_vy"] != 0)
     start_frame = int(np.flatnonzero(moving)[0]) if moving.any() else 0
 
-    frames: List[int] = []
-    values: List[float] = []
+    n_yielded = 0
     cfg = sce.dnda
-    for idx, raw in df.iterrows():
+    # plain-dict rows: iterrows() materializes a pandas Series per row,
+    # which is ~0.4 s/episode of pure overhead in this loop
+    for idx, raw in enumerate(df.to_dict("records")):
         frame = idx + 1
         if frame % frame_stride != 0 or frame < start_frame:
             continue
@@ -259,15 +305,74 @@ def process_episode(
         )
         sur = _sur_input(row, raw, max_sv, sce)
         try:
-            _, rl = drivable_area_risk_level(
+            prep = prepare_frame(
                 time_horizon, time_step, road, ego, baseline, sur, basepoint_num
             )
         except (ValueError, ZeroDivisionError):
             continue
-        frames.append(frame)
+        yield frame, prep
+        n_yielded += 1
+        if max_frames is not None and n_yielded >= max_frames:
+            break
+
+
+def prepare_episode(csv_path, scenario, **kwargs):
+    """All scorable frames of one episode, prepared on the host.
+
+    Returns (frame_numbers, FramePrep list).  The reference's RL==1 early
+    stop is applied AFTER scoring (:func:`_finalize_episode`) — preparing
+    frames past a would-be stop is redundant work but yields identical
+    results."""
+    pairs = list(_iter_frame_preps(csv_path, scenario, **kwargs))
+    return [f for f, _ in pairs], [p for _, p in pairs]
+
+
+def _finalize_episode(frames, preps, cis) -> DndaResult:
+    """DA/RL per frame + the reference's stop-at-RL==1 truncation."""
+    out_frames: List[int] = []
+    values: List[float] = []
+    for frame, prep, ci in zip(frames, preps, cis):
+        _, rl = finalize_frame(prep, ci)
+        out_frames.append(frame)
         values.append(rl)
         if rl == 1:
             break
-        if max_frames is not None and len(frames) >= max_frames:
+    return DndaResult(out_frames, values)
+
+
+def process_episode(
+    csv_path,
+    scenario,
+    frame_stride: int = 10,
+    time_horizon: float = 3.0,
+    time_step: float = 0.1,
+    basepoint_num: int = 400,
+    max_frames: Optional[int] = None,
+    device: bool = False,
+) -> DndaResult:
+    """Score one SUT episode CSV (reference ``process_file``, ``:286-364``).
+
+    ``device=True`` batches the episode's SAT collision sweep into one
+    jitted device program (:mod:`.device_sweep`); results are identical to
+    the frame-by-frame numpy path (``device=False``, which additionally
+    keeps the reference's lazy RL==1 early stop).
+    """
+    kwargs = dict(
+        frame_stride=frame_stride, time_horizon=time_horizon,
+        time_step=time_step, basepoint_num=basepoint_num,
+        max_frames=max_frames,
+    )
+    if device:
+        frames, preps = prepare_episode(csv_path, scenario, **kwargs)
+        cis = sweep_frames(preps, device=True)
+        return _finalize_episode(frames, preps, cis)
+
+    frames: List[int] = []
+    values: List[float] = []
+    for frame, prep in _iter_frame_preps(csv_path, scenario, **kwargs):
+        _, rl = finalize_frame(prep, sweep_frame_host(prep))
+        frames.append(frame)
+        values.append(rl)
+        if rl == 1:
             break
     return DndaResult(frames, values)

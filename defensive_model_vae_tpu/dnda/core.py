@@ -10,8 +10,9 @@ predict surrounding vehicles, run the SAT sweep, and compute DA and RL.
 
 from __future__ import annotations
 
+import dataclasses
 import math
-from typing import List, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 
@@ -22,7 +23,23 @@ from .paths import generate_ego_cluster
 from .risk import drivable_area, risk_level
 
 
-def drivable_area_risk_level(
+@dataclasses.dataclass
+class FramePrep:
+    """Host-side precomputation for one frame: everything up to (but not
+    including) the SAT collision sweep, so the sweep itself can be batched
+    across frames on the device (:mod:`.device_sweep`)."""
+
+    ego_rects: List[np.ndarray]  # per usable path, (N, 2, 4)
+    usable: List[int]
+    unit_arc_paths: List[float]
+    k_maxes: List[float]
+    sur_array: np.ndarray  # (V, 9) rotated-frame vehicle rows
+    ego_speed: float
+    time_horizon: float
+    time_step: float
+
+
+def prepare_frame(
     time_horizon: float,
     time_step: float,
     road: Road,
@@ -30,13 +47,10 @@ def drivable_area_risk_level(
     baseline_xy: np.ndarray,
     sur_input: np.ndarray,
     basepoint_num: int = 400,
-) -> Tuple[float, float]:
-    """Compute (DA, RL) for one frame.
-
-    Args:
-        baseline_xy: (N, 2) reference path points.
-        sur_input: (V, 9) rows [x, y, len, wid, vx, vy, ax, ay, heading].
-    """
+) -> FramePrep:
+    """Frame rotation + Frenet resampling + ego path cluster + surrounding
+    vehicle transform (reference ``:561-892``) — the data-dependent host
+    part of ``DrivableArea_RiskLevel_Calculation``."""
     # ego absolute heading from the velocity vector (angle w.r.t. the y
     # axis, sign from the x quadrant — reference ``:562-578``)
     if ego.speed_x**2 + ego.speed_y**2 != 0:
@@ -97,10 +111,97 @@ def drivable_area_risk_level(
         ego, road, k_max, unit_arc, way, s_grid, m_equal, time_horizon, time_step
     )
 
-    sur_rects = predict_surrounding_rectangles(sur, time_horizon, time_step)
-    ci = collision_indices(
-        ego_rects, sur_rects, ego.speed, unit_arc_paths, time_horizon, time_step
+    sur_array = (
+        np.stack([v.as_array() for v in sur]) if sur else np.zeros((0, 9))
     )
-    da = drivable_area(len(usable), ego_rects, ci)
-    rl = risk_level(usable, k_maxes, ci, unit_arc_paths, ego.speed, time_horizon)
+    return FramePrep(
+        ego_rects=ego_rects,
+        usable=usable,
+        unit_arc_paths=unit_arc_paths,
+        k_maxes=k_maxes,
+        sur_array=sur_array,
+        ego_speed=ego.speed,
+        time_horizon=time_horizon,
+        time_step=time_step,
+    )
+
+
+def sweep_frame_host(prep: FramePrep) -> np.ndarray:
+    """Numpy collision sweep for one prepared frame (the exactness oracle
+    for the batched device sweep)."""
+    sur = [
+        SurroundingVehicle(*row) for row in np.atleast_2d(prep.sur_array) if len(row)
+    ]
+    sur_rects = predict_surrounding_rectangles(
+        sur, prep.time_horizon, prep.time_step
+    )
+    return collision_indices(
+        prep.ego_rects,
+        sur_rects,
+        prep.ego_speed,
+        prep.unit_arc_paths,
+        prep.time_horizon,
+        prep.time_step,
+    )
+
+
+def finalize_frame(prep: FramePrep, ci: np.ndarray) -> Tuple[float, float]:
+    """(DA, RL) from a prepared frame and its collision indices."""
+    da = drivable_area(len(prep.usable), prep.ego_rects, ci)
+    rl = risk_level(
+        prep.usable,
+        prep.k_maxes,
+        ci,
+        prep.unit_arc_paths,
+        prep.ego_speed,
+        prep.time_horizon,
+    )
     return da, rl
+
+
+def sweep_frames(
+    preps: Sequence[FramePrep],
+    device: bool = False,
+    sat_dtype: str = "float32",
+) -> List[np.ndarray]:
+    """Collision indices for many prepared frames — batched on the device
+    (one jitted program, :mod:`.device_sweep`) or frame-by-frame numpy.
+
+    ``sat_dtype`` applies to the device path's SAT geometry only (window
+    bookkeeping stays f64); both f32 and f64 are validated index-identical
+    to the numpy oracle on the full real-episode corpus."""
+    if device and len(preps) > 0:
+        from .device_sweep import sweep_frames_device
+
+        return sweep_frames_device(
+            [p.ego_rects for p in preps],
+            [p.unit_arc_paths for p in preps],
+            [p.ego_speed for p in preps],
+            [p.sur_array for p in preps],
+            preps[0].time_horizon,
+            preps[0].time_step,
+            sat_dtype=sat_dtype,
+        )
+    return [sweep_frame_host(p) for p in preps]
+
+
+def drivable_area_risk_level(
+    time_horizon: float,
+    time_step: float,
+    road: Road,
+    ego: Vehicle,
+    baseline_xy: np.ndarray,
+    sur_input: np.ndarray,
+    basepoint_num: int = 400,
+) -> Tuple[float, float]:
+    """Compute (DA, RL) for one frame (reference
+    ``DrivableArea_RiskLevel_Calculation``, ``dnda_functions.py:518-909``).
+
+    Args:
+        baseline_xy: (N, 2) reference path points.
+        sur_input: (V, 9) rows [x, y, len, wid, vx, vy, ax, ay, heading].
+    """
+    prep = prepare_frame(
+        time_horizon, time_step, road, ego, baseline_xy, sur_input, basepoint_num
+    )
+    return finalize_frame(prep, sweep_frame_host(prep))

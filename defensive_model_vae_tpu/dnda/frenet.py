@@ -19,7 +19,7 @@ from typing import Tuple
 
 import numpy as np
 
-from .spline import fmm_spline_coeffs, spline_eval
+from .spline import fmm_spline_coeffs, frenet_native, spline_eval
 
 
 @dataclasses.dataclass
@@ -65,7 +65,19 @@ def cartesian_to_frenet(
         (unit_arc, arc_len, trans_xy (m_equal+1, 2), bx, cx, by, cy, s_grid)
         where (bx, cx) / (by, cy) are the FMM coefficients of x(s) / y(s)
         (the reference's a2/a1 arrays) and s_grid = i * unit_arc.
+
+    Dispatches to the native C++ kernel (``native/dnda_spline.cpp``,
+    ``dmv_frenet``) when available; :func:`cartesian_to_frenet_numpy` is the
+    arithmetic oracle it matches to the last ulp.
     """
+    out = frenet_native(np.asarray(baseline_xy, float), m_equal)
+    if out is not None:
+        return out
+    return cartesian_to_frenet_numpy(baseline_xy, m_equal)
+
+
+def cartesian_to_frenet_numpy(baseline_xy: np.ndarray, m_equal: int):
+    """Pure-numpy reference implementation (oracle for the native kernel)."""
     pts = np.asarray(baseline_xy, float)
     chord = pts[-1] - pts[0]
     rot_deg = np.arccos(

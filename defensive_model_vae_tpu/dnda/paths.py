@@ -22,7 +22,7 @@ import numpy as np
 
 from .frenet import Way, cartesian_to_frenet, _rotation
 from .geometry import Road, Vehicle
-from .spline import fmm_spline_coeffs, spline_eval
+from .spline import fmm_spline_coeffs, max_curvature_native, spline_eval
 
 
 def _cubic_lateral_profile(ego: Vehicle, cdnt_arc, seg_end: int, qf: float):
@@ -51,7 +51,17 @@ def _path_xy(way: Way, cdnt_arc, seg_end: int, a, b, c, d):
 
 def _max_curvature(x: np.ndarray, y: np.ndarray) -> float:
     """Reference curvature check (``:1127-1185``): rotate chord to +x, fit
-    y(x) spline, evaluate curvature at max(100, n_seg) uniform x samples."""
+    y(x) spline, evaluate curvature at max(100, n_seg) uniform x samples.
+
+    Dispatches to the native kernel (``dmv_max_curvature``); the numpy body
+    below is its arithmetic oracle."""
+    k = max_curvature_native(x, y)
+    if k is not None:
+        return k
+    return _max_curvature_numpy(x, y)
+
+
+def _max_curvature_numpy(x: np.ndarray, y: np.ndarray) -> float:
     chord = np.array([x[-1] - x[0], y[-1] - y[0]])
     ang = np.arccos(np.clip(chord[0] / np.linalg.norm(chord), -1, 1))
     if chord[1] < 0:

@@ -59,8 +59,89 @@ def _load_native() -> Optional[ctypes.CDLL]:
         dptr = ctypes.POINTER(ctypes.c_double)
         lib.dmv_fmm_spline.restype = ctypes.c_int
         lib.dmv_fmm_spline.argtypes = [ctypes.c_int64] + [dptr] * 5
+        try:
+            lib.dmv_spline_eval.restype = None
+            lib.dmv_spline_eval.argtypes = (
+                [ctypes.c_int64] + [dptr] * 5 + [ctypes.c_int64] + [dptr] * 3
+            )
+            lib.dmv_max_curvature.restype = ctypes.c_int
+            lib.dmv_max_curvature.argtypes = [ctypes.c_int64, dptr, dptr, dptr]
+            lib.dmv_frenet.restype = ctypes.c_int
+            lib.dmv_frenet.argtypes = (
+                [ctypes.c_int64, dptr, dptr, ctypes.c_int64] + [dptr] * 8
+            )
+        except AttributeError:
+            # stale .so from before the frenet/curvature kernels — rebuild
+            try:
+                subprocess.run(
+                    ["g++", "-O2", "-std=c++17", "-fPIC", "-shared",
+                     os.path.join(_REPO_ROOT, "native", "dnda_spline.cpp"),
+                     "-o", _SO_PATH],
+                    check=True, capture_output=True, timeout=120,
+                )
+                lib = ctypes.CDLL(_SO_PATH)
+                lib.dmv_fmm_spline.restype = ctypes.c_int
+                lib.dmv_fmm_spline.argtypes = [ctypes.c_int64] + [dptr] * 5
+                lib.dmv_spline_eval.restype = None
+                lib.dmv_spline_eval.argtypes = (
+                    [ctypes.c_int64] + [dptr] * 5 + [ctypes.c_int64] + [dptr] * 3
+                )
+                lib.dmv_max_curvature.restype = ctypes.c_int
+                lib.dmv_max_curvature.argtypes = [ctypes.c_int64, dptr, dptr, dptr]
+                lib.dmv_frenet.restype = ctypes.c_int
+                lib.dmv_frenet.argtypes = (
+                    [ctypes.c_int64, dptr, dptr, ctypes.c_int64] + [dptr] * 8
+                )
+            except Exception:
+                _lib_failed = True
+                return None
         _lib = lib
         return _lib
+
+
+def _dptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def max_curvature_native(x: np.ndarray, y: np.ndarray) -> Optional[float]:
+    """Native chord-rotate + fit + curvature-max (paths._max_curvature);
+    None → caller should fall back to the numpy path."""
+    lib = _load_native()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, float)
+    y = np.ascontiguousarray(y, float)
+    out = ctypes.c_double()
+    rc = lib.dmv_max_curvature(len(x), _dptr(x), _dptr(y), ctypes.byref(out))
+    if rc != 0:
+        return None
+    return out.value
+
+
+def frenet_native(pts: np.ndarray, m_equal: int):
+    """Native uniform-arc resample (frenet.cartesian_to_frenet); returns
+    the same tuple, or None → numpy fallback."""
+    lib = _load_native()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(pts, float)
+    n = pts.shape[0]
+    px = np.ascontiguousarray(pts[:, 0])
+    py = np.ascontiguousarray(pts[:, 1])
+    m1 = m_equal + 1
+    tx, ty = np.empty(m1), np.empty(m1)
+    bx, cx, by, cy = np.empty(m1), np.empty(m1), np.empty(m1), np.empty(m1)
+    ua, al = ctypes.c_double(), ctypes.c_double()
+    rc = lib.dmv_frenet(
+        n, _dptr(px), _dptr(py), m_equal,
+        _dptr(tx), _dptr(ty), _dptr(bx), _dptr(cx), _dptr(by), _dptr(cy),
+        ctypes.byref(ua), ctypes.byref(al),
+    )
+    if rc != 0:
+        return None
+    trans = np.column_stack([tx, ty])
+    s_grid = np.arange(m_equal + 1) * ua.value
+    return ua.value, al.value, trans, bx, cx, by, cy, s_grid
 
 
 def fmm_spline_coeffs(x: np.ndarray, y: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

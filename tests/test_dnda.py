@@ -364,3 +364,67 @@ def test_native_spline_matches_python():
         for a, b in ((bn, bp), (cn, cp), (dn, dp)):
             # ulp-scale drift accumulates through the length-n recurrence
             assert np.allclose(a, b, rtol=1e-11, atol=1e-13)
+
+
+@requires_reference
+@pytest.mark.parametrize("sat_dtype", ["float64", "float32"])
+def test_device_sweep_matches_host_on_real_episode(sat_dtype):
+    """The batched device collision sweep (device_sweep.py) produces
+    IDENTICAL frames and RL values to the frame-by-frame numpy path on a
+    real SUT episode, in both SAT precisions.  (On the full 21-episode
+    corpus both dtypes are row-identical to the host pool — validated at
+    integration time; this is the CI-sized pin.)"""
+    from defensive_model_vae_tpu.dnda.calculator import (
+        _finalize_episode,
+        prepare_episode,
+    )
+    from defensive_model_vae_tpu.dnda.core import sweep_frames
+
+    csv = REFERENCE_ROOT / "SUT_Testing/collected_data/DEF_StaticBlindTown05_1.csv"
+    frames, preps = prepare_episode(str(csv), "sce1", max_frames=40)
+    host = _finalize_episode(frames, preps, sweep_frames(preps, device=False))
+    dev = _finalize_episode(
+        frames, preps, sweep_frames(preps, device=True, sat_dtype=sat_dtype)
+    )
+    assert host.frames == dev.frames
+    assert np.array_equal(np.asarray(host.dnda), np.asarray(dev.dnda))
+
+
+def test_device_sweep_synthetic_shapes():
+    """Padding/bucketing edge cases: empty vehicle list, differing path
+    counts per frame, and point counts below the bucket size."""
+    from defensive_model_vae_tpu.dnda.core import FramePrep, sweep_frames
+
+    rng = np.random.default_rng(0)
+
+    def rect_sweep(n, x0):
+        # straight path of axis-aligned 2x1 rectangles along +x
+        rects = np.zeros((n, 2, 4))
+        xs = x0 + np.arange(n)[:, None]
+        rects[:, 0] = xs + np.array([1.0, -1.0, -1.0, 1.0])
+        rects[:, 1] = np.array([-0.5, -0.5, 0.5, 0.5])
+        return rects
+
+    preps = [
+        FramePrep(
+            ego_rects=[rect_sweep(60, 0.0), rect_sweep(45, 0.0)],
+            usable=[0, 1], unit_arc_paths=[1.0, 1.3],
+            k_maxes=[0.01, 0.02],
+            sur_array=np.array([[20.0, 0.0, 4.0, 2.0, 0.0, 0.0, 0.0, 0.0, 0.0]]),
+            ego_speed=10.0, time_horizon=3.0, time_step=0.1,
+        ),
+        FramePrep(
+            ego_rects=[rect_sweep(60, 0.0)],
+            usable=[0], unit_arc_paths=[1.0], k_maxes=[0.01],
+            sur_array=np.zeros((0, 9)),  # no vehicles → default indices
+            ego_speed=5.0, time_horizon=3.0, time_step=0.1,
+        ),
+    ]
+    host = sweep_frames(preps, device=False)
+    dev = sweep_frames(preps, device=True)
+    for h, d in zip(host, dev):
+        assert np.array_equal(h, d), (h, d)
+    # stationary vehicle at x=20 blocks the path: first hit before index 20
+    assert host[0][0] < 20
+    # vehicle-free frame returns the ceil(speed*horizon/u) default
+    assert host[1][0] == int(np.ceil(5.0 * 3.0 / 1.0))
