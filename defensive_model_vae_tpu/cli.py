@@ -26,7 +26,10 @@ import numpy as np
 def _cmd_dataset(args):
     from .data import build_dataset, save_windows
 
-    arr = build_dataset(args.data_root, args.scenario, args.points)
+    arr = build_dataset(
+        args.data_root, args.scenario, args.points,
+        dataset_variant=getattr(args, "variant", "shipped"),
+    )
     save_windows(arr, args.out)
     print(f"saved {arr.shape} windows to {args.out}")
 
@@ -149,6 +152,12 @@ def main(argv=None):
     d.add_argument("--data-root", required=True)
     d.add_argument("--out", required=True)
     d.add_argument("--points", type=int, default=10)
+    d.add_argument(
+        "--variant", choices=("shipped", "artifact"), default="shipped",
+        help="extraction predicate set: 'shipped' reproduces the reference's "
+        "npy datasets; 'artifact' uses the predicates the published results "
+        "were trained with (sce1: ego_y>=40)",
+    )
     d.set_defaults(fn=_cmd_dataset)
 
     t = sub.add_parser("train", help="train a scenario CVAE")

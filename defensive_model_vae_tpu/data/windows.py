@@ -27,6 +27,7 @@ def process_csv(
     target_points: int = 10,
     point_mode: str = "normal",
     time_interval: float = 0.015,
+    dataset_variant: str = "shipped",
 ) -> Optional[np.ndarray]:
     """Extract one ``(target_points, 3)`` [t, x, y] window from a CSV log.
 
@@ -37,11 +38,19 @@ def process_csv(
     - equal-interval integer index subsampling including both endpoints
     - ``extend_mid`` mode replaces interior samples by ceil-midpoints
     - time column: ``arange(P) * time_interval * (len(window)-1)/(P-1)``
+
+    ``dataset_variant``: "shipped" uses the in-tree Traj_Data_Process
+    predicate (reproduces the shipped npy datasets); "artifact" uses the
+    predicate the published results were trained with where it differs
+    (``Scenario.artifact_dataset_start`` — currently sce1's ego_y>=40).
     """
     sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
     df = read_csv(csv_path)
 
-    start_mask = np.asarray(sce.dataset_start(df))
+    start_pred = sce.dataset_start
+    if dataset_variant == "artifact" and sce.artifact_dataset_start is not None:
+        start_pred = sce.artifact_dataset_start
+    start_mask = np.asarray(start_pred(df))
     start_hits = np.flatnonzero(start_mask)
     if len(start_hits) == 0:
         return None
@@ -88,6 +97,7 @@ def collect_trajectories(
     target_points: int = 10,
     point_mode: str = "normal",
     time_interval: float = 0.015,
+    dataset_variant: str = "shipped",
 ) -> List[np.ndarray]:
     """Walk ``data_root/<town>/<action>/*.csv`` and extract all windows.
 
@@ -111,6 +121,7 @@ def collect_trajectories(
                     target_points,
                     point_mode,
                     time_interval,
+                    dataset_variant,
                 )
                 if traj is not None and len(traj) == target_points:
                     all_trajs.append(traj)
@@ -123,24 +134,30 @@ def build_dataset(
     target_points: int = 10,
     point_mode: str = "normal",
     time_interval: Optional[float] = None,
+    dataset_variant: str = "shipped",
 ) -> np.ndarray:
     """Build the ``(N, P, 3)`` float32 window array for one scenario.
 
     Uses the scenario's registered ``dt`` when ``time_interval`` is omitted
     (the reference hand-sets 0.02/0.025/0.015/0.02 per scenario,
-    ``Traj_Data_Process.py:165-166``).
+    ``Traj_Data_Process.py:165-166``).  ``dataset_variant="artifact"``
+    selects the published-artifact extraction predicate where it differs
+    from the shipped one (see :func:`process_csv`).
     """
     sce = scenarios.get(scenario_key)
     dt = sce.dt if time_interval is None else time_interval
     if point_mode == "extend_mid":
         trajs = collect_trajectories(
-            data_root, [sce.key], scenarios.ACTIONS, target_points, "normal", dt
+            data_root, [sce.key], scenarios.ACTIONS, target_points, "normal", dt,
+            dataset_variant,
         ) + collect_trajectories(
-            data_root, [sce.key], scenarios.ACTIONS, target_points, "extend_mid", dt
+            data_root, [sce.key], scenarios.ACTIONS, target_points, "extend_mid",
+            dt, dataset_variant,
         )
     else:
         trajs = collect_trajectories(
-            data_root, [sce.key], scenarios.ACTIONS, target_points, point_mode, dt
+            data_root, [sce.key], scenarios.ACTIONS, target_points, point_mode,
+            dt, dataset_variant,
         )
     if not trajs:
         raise RuntimeError(f"no trajectories extracted for {scenario_key}")

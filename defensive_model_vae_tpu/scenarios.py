@@ -104,6 +104,15 @@ class Scenario:
     # --- DNDA (reference DNDA_calculator.py) ---
     dnda: DndaConfig = None  # type: ignore[assignment]
 
+    # Optional ARTIFACT-variant dataset start: the extraction predicate the
+    # published results were actually trained with, where it provably
+    # differs from the shipped Traj_Data_Process.py one.  sce1 only: the
+    # published GeneratedData implies training windows starting at
+    # ego_y>=40 (decoded path length ≈ the y40→95 human corridor; the
+    # shipped trajectory_sce1_cond.npy and its y>=18 predicate postdate the
+    # artifacts, like the Tools.py start-mask — see _sce1_generation_start).
+    artifact_dataset_start: Optional[Predicate] = None
+
 
 # ---------------------------------------------------------------------------
 # DNDA straight-line baselines (reference DNDA_calculator.py:38-78)
@@ -240,6 +249,7 @@ REGISTRY: Dict[str, Scenario] = {
         thw_distance_by_suffix=None,
         sut_jerk_axis="ay",
         dnda=DndaConfig(lane_num=2, lane_egodirect=2, baseline_fn=_baseline_sce1),
+        artifact_dataset_start=_sce1_generation_start,
     ),
     "sce2": Scenario(
         key="sce2",

@@ -200,3 +200,24 @@ def test_extraction_differential_vs_live_reference():
             assert sc_ref[1] < 20 < 40 <= sc.y
         else:
             assert np.allclose(sc_ref, [sc.x, sc.y, sc.angle, sc.vx, sc.vy])
+
+
+@requires_reference
+def test_sce1_artifact_dataset_variant():
+    """The 'artifact' extraction variant (ego_y>=40, the predicate the
+    published results were trained with — see scenarios.py) yields the same
+    38-window corpus shape as the shipped variant but starting at the
+    metric-grid origin, matching the human corridor from y=40."""
+    from defensive_model_vae_tpu.data import build_dataset
+
+    w = build_dataset(
+        str(REFERENCE_ROOT / "DefensiveData"), "sce1", 10,
+        dataset_variant="artifact",
+    )
+    assert w.shape == (38, 10, 3)
+    assert np.all(w[:, 0, 2] >= 40)  # start y
+    assert abs(float(w[:, 0, 2].mean()) - 40.2) < 0.3
+    # shipped variant unchanged (still reproduces the shipped npy)
+    w0 = build_dataset(str(REFERENCE_ROOT / "DefensiveData"), "sce1", 10)
+    assert w0.shape == (38, 10, 3)
+    assert np.all(w0[:, 0, 2] < 20)
