@@ -77,7 +77,9 @@ def generate_and_track(
 
     def _draw(s):
         g = generate_trajectories(params, model_cfg, starts, n_samples=1, seed=s)
-        return g.reshape(len(csv_files), model_cfg.seq_len, model_cfg.dim)
+        # writable host copy — the degenerate-sample re-draw below assigns
+        # into it (np.asarray of a jax array is a read-only view)
+        return np.array(g).reshape(len(csv_files), model_cfg.seq_len, model_cfg.dim)
 
     # one z-sample per CSV, one device call; re-draw degenerate samples
     # (non-monotone time) with a folded seed — the reference simply skips
