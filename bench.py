@@ -159,6 +159,43 @@ def bench_torch_baseline(windows, epochs=200):
     return rate
 
 
+def bench_multi_kernel():
+    """Convergence check for the multi-scenario grid kernel
+    (``ops/fused_trainer._make_multi_kernel``).
+
+    This is the automated coverage the CPU test suite cannot provide: the
+    kernel needs the TPU core PRNG (interpret mode stubs
+    ``prng_random_bits`` to zeros, which inf's the Box–Muller transform),
+    so the convergence assertion lives here — bench.py runs on the real
+    chip every round and its result lands in ``BENCH_r*.json``.  A
+    regression raises and fails the whole bench run.
+    """
+    from defensive_model_vae_tpu.ops import fused_train_multi
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    corpora = {}
+    for key in ("sce1", "sce2", "sce3", "sce4"):
+        fix = os.path.join(here, "fixtures", f"trajectory_{key}_cond.npy")
+        if os.path.exists(fix):
+            corpora[key] = np.load(fix)
+    if len(corpora) < 4:
+        _log("multi-kernel check skipped (fixtures missing)")
+        return None
+    t0 = time.time()
+    _, hist_by = fused_train_multi(corpora, epochs=300, seed=3)
+    dt = time.time() - t0
+    for key, h in hist_by.items():
+        first, last = float(h["total"][0]), float(h["total"][-1])
+        _log(f"multi-kernel {key}: loss {first:.2f} → {last:.4f}")
+        if not np.isfinite(last) or last >= first / 5:
+            raise RuntimeError(
+                f"multi-scenario grid kernel regressed: {key} loss "
+                f"{first:.3f} → {last:.3f} (needs < first/5)"
+            )
+    _log(f"multi-kernel: all four corpora converged in {dt:.2f}s")
+    return True
+
+
 def bench_generation(windows, n=4096):
     """Sampling throughput (stderr detail only)."""
     try:
@@ -180,21 +217,33 @@ def bench_generation(windows, n=4096):
 
 
 def main():
+    warm_only = "--warm-only" in sys.argv
     windows = _load_windows()
     _log(f"corpus: {windows.shape}")
     jax_rate, final_loss = bench_jax(windows)
-    bench_generation(windows)
-    try:
-        torch_rate = bench_torch_baseline(windows)
-    except Exception as e:  # torch missing/broken → fall back to a recorded rate
-        _log(f"torch baseline failed ({e}); using recorded CPU rate")
-        torch_rate = 5600.0  # measured on this image's CPU, 2026-08
+    multi_ok = None
+    if warm_only:
+        # --warm-only: headline warm throughput without the slow extras
+        # (generation bench, multi-kernel check, live torch re-baseline) —
+        # for wall-clock-constrained driver rounds; the persistent
+        # .jax_cache keeps even the 'cold' compile cheap on repeats
+        torch_rate = 5600.0  # recorded on this image's CPU, 2026-08
+    else:
+        bench_generation(windows)
+        multi_ok = bench_multi_kernel()
+        try:
+            torch_rate = bench_torch_baseline(windows)
+        except Exception as e:  # torch missing/broken → recorded rate
+            _log(f"torch baseline failed ({e}); using recorded CPU rate")
+            torch_rate = 5600.0  # measured on this image's CPU, 2026-08
     result = {
         "metric": "vae_train_windows_per_sec_per_chip",
         "value": round(jax_rate, 1),
         "unit": "windows/s",
         "vs_baseline": round(jax_rate / torch_rate, 1),
     }
+    if multi_ok is not None:
+        result["multi_kernel_converged"] = bool(multi_ok)
     print(json.dumps(result))
 
 

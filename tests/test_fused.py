@@ -120,8 +120,11 @@ def test_forward_loss_masked_matches_padded():
 
 @pytest.mark.skipif(
     jax.default_backend() == "cpu",
-    reason="multi-scenario grid kernel needs the TPU core PRNG "
-    "(validated live on v5e: all four corpora converge, 3.05 s warm)",
+    reason="multi-scenario grid kernel needs the TPU core PRNG — interpret "
+    "mode stubs prng_random_bits to zeros, which infs the Box–Muller "
+    "transform.  Automated coverage lives in bench.py::bench_multi_kernel "
+    "instead: it runs on the real chip every driver round, asserts all "
+    "four corpora converge, and lands in BENCH_r*.json",
 )
 def test_fused_train_multi_on_tpu(all_windows):
     from defensive_model_vae_tpu.ops import fused_train_multi
