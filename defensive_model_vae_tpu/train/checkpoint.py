@@ -54,14 +54,38 @@ def save_checkpoint(
     scenario: Optional[str] = None,
     history: Optional[Dict[str, np.ndarray]] = None,
     extra_manifest: Optional[Dict[str, Any]] = None,
+    backend: str = "npz",
 ) -> str:
+    """Save a checkpoint under ``directory``.
+
+    ``backend="npz"`` (default): single-file flattened pytree — complete
+    for this model family's sizes.  ``backend="orbax"``: Orbax
+    StandardCheckpointer under ``directory/orbax`` — sharded/async-capable
+    saving for sharded ``jax.Array`` params if corpora ever grow; the
+    manifest (identity as data, not filename convention) is the same for
+    both backends and ``load_checkpoint`` auto-detects.
+    """
     os.makedirs(directory, exist_ok=True)
-    params = jax.device_get(params)
-    np.savez(os.path.join(directory, "params.npz"), **_flatten(params))
+    if backend == "orbax":
+        import shutil
+
+        import orbax.checkpoint as ocp
+
+        path = os.path.join(os.path.abspath(directory), "orbax")
+        if os.path.exists(path):
+            shutil.rmtree(path)  # orbax refuses to overwrite in place
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, params)
+    elif backend == "npz":
+        params = jax.device_get(params)
+        np.savez(os.path.join(directory, "params.npz"), **_flatten(params))
+    else:
+        raise ValueError(f"unknown checkpoint backend {backend!r}")
     manifest = {
         "format_version": 1,
         "model_config": dataclasses.asdict(model_cfg),
         "scenario": scenario,
+        "backend": backend,
     }
     if extra_manifest:
         manifest.update(extra_manifest)
@@ -78,8 +102,18 @@ def save_checkpoint(
 def load_checkpoint(directory: str) -> Tuple[Dict, CVAEConfig, Dict[str, Any]]:
     with open(os.path.join(directory, "manifest.json")) as f:
         manifest = json.load(f)
-    with np.load(os.path.join(directory, "params.npz")) as z:
-        params = _unflatten({k: z[k] for k in z.files})
+    npz_path = os.path.join(directory, "params.npz")
+    orbax_path = os.path.join(os.path.abspath(directory), "orbax")
+    if os.path.exists(npz_path):
+        with np.load(npz_path) as z:
+            params = _unflatten({k: z[k] for k in z.files})
+    elif os.path.isdir(orbax_path):
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            params = ckptr.restore(orbax_path)
+    else:
+        raise FileNotFoundError(f"no params.npz or orbax/ under {directory}")
     model_cfg = CVAEConfig(**manifest["model_config"])
     return params, model_cfg, manifest
 

@@ -155,3 +155,31 @@ def test_train_conv_api():
     params, hist, cfg = train_conv(trajs, train_cfg=TrainConfig(epochs=120))
     assert hist["total"][-1] < hist["total"][0] / 3
     assert cfg.seq_len == 50 and cfg.dim == 2
+
+
+def test_orbax_checkpoint_backend(tmp_path):
+    """Orbax backend roundtrips the same pytree behind the same manifest
+    API; load_checkpoint auto-detects the backend (ROADMAP item 4)."""
+    import jax
+
+    from defensive_model_vae_tpu.models import CVAEConfig, init_params
+    from defensive_model_vae_tpu.train.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    cfg = CVAEConfig()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    d = str(tmp_path / "ckpt_orbax")
+    save_checkpoint(d, params, cfg, "sce2", backend="orbax")
+    restored, cfg2, manifest = load_checkpoint(d)
+    assert manifest["backend"] == "orbax" and manifest["scenario"] == "sce2"
+    assert cfg2 == cfg
+    from defensive_model_vae_tpu.train.checkpoint import _flatten
+
+    flat0, flat1 = _flatten(jax.device_get(params)), _flatten(restored)
+    assert set(flat0) == set(flat1)
+    for k in flat0:
+        np.testing.assert_array_equal(flat0[k], np.asarray(flat1[k]))
+    # overwrite in place works (orbax refuses by default; we clear first)
+    save_checkpoint(d, params, cfg, "sce2", backend="orbax")
