@@ -275,7 +275,11 @@ def track_batch(
     steps = np.array(
         [int(float(w[-1, 2]) / cfg.dt) for w in waypoints_batch], dtype=np.int64
     )
-    S = int(steps.max())
+    # bucket the scan length to a multiple of 64: S depends on the sampled
+    # trajectories' time spans, so an exact S would recompile (and re-miss
+    # the persistent cache) on almost every z-draw; the extra steps run
+    # past each path's end and are sliced off by callers via `steps`
+    S = -(-int(steps.max()) // 64) * 64
     refs = np.stack([r.build(S, cfg.prediction_horizon, cfg.dt) for r in path_refs])
     states0 = np.stack([_initial_tracker_state(s) for s in initial_states])
     states0_j = jnp.asarray(states0)

@@ -16,17 +16,26 @@ _enabled = False
 
 
 def enable_persistent_cache(cache_dir: str | None = None) -> str:
-    """Point jax at the repo-local compilation cache (idempotent)."""
+    """Point jax at the repo-local compilation cache (idempotent).
+
+    Falls back to ``~/.cache/defensive_model_vae_tpu/jax`` when the package
+    parent directory is not writable (installed, not editable).  Opt out
+    with ``DEFVAE_NO_JAX_CACHE=1``.
+    """
     global _enabled
+    if os.environ.get("DEFVAE_NO_JAX_CACHE"):
+        return ""
     import jax
 
     if cache_dir is None:
-        cache_dir = os.path.join(
-            os.path.dirname(
-                os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-            ),
-            ".jax_cache",
+        repo = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
+        cache_dir = os.path.join(repo, ".jax_cache")
+        if not (os.path.isdir(cache_dir) or os.access(repo, os.W_OK)):
+            cache_dir = os.path.expanduser(
+                "~/.cache/defensive_model_vae_tpu/jax"
+            )
     if not _enabled:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
