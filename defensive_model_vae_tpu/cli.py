@@ -97,14 +97,18 @@ def _cmd_validate(args):
 def _cmd_dnda(args):
     from .dnda import process_episode
 
-    res = process_episode(args.csv, args.scenario, max_frames=args.max_frames)
+    res = process_episode(
+        args.csv, args.scenario, max_frames=args.max_frames, device=args.device
+    )
     print(json.dumps({"frames": res.frames, "dnda": res.dnda, "max_dnda": res.max_dnda}))
 
 
 def _cmd_dnda_sweep(args):
     from .dnda import score_directory
 
-    rows = score_directory(args.dir, out_csv=args.out, processes=args.processes)
+    rows = score_directory(
+        args.dir, out_csv=args.out, processes=args.processes, device=args.device
+    )
     print(json.dumps(rows, indent=2))
 
 
@@ -201,12 +205,22 @@ def main(argv=None):
     dn.add_argument("--scenario", required=True)
     dn.add_argument("--csv", required=True)
     dn.add_argument("--max-frames", type=int, default=None)
+    dn.add_argument(
+        "--device", action="store_true",
+        help="batch the SAT collision sweep on the accelerator "
+        "(identical results to the host path)",
+    )
     dn.set_defaults(fn=_cmd_dnda)
 
     ds = sub.add_parser("dnda-sweep", help="score every SUT episode in a directory")
     ds.add_argument("--dir", required=True)
     ds.add_argument("--out", default=None, help="summary CSV path")
     ds.add_argument("--processes", type=int, default=None)
+    ds.add_argument(
+        "--device", action="store_true",
+        help="prep episodes on the host pool, then run ONE batched device "
+        "program for every frame's SAT collision sweep",
+    )
     ds.set_defaults(fn=_cmd_dnda_sweep)
 
     m = sub.add_parser("metrics", help="TTC/PET/JERK on an episode CSV")

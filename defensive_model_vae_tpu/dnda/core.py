@@ -163,13 +163,16 @@ def sweep_frames(
     preps: Sequence[FramePrep],
     device: bool = False,
     sat_dtype: str = "float32",
+    mesh=None,
 ) -> List[np.ndarray]:
     """Collision indices for many prepared frames — batched on the device
     (one jitted program, :mod:`.device_sweep`) or frame-by-frame numpy.
 
     ``sat_dtype`` applies to the device path's SAT geometry only (window
     bookkeeping stays f64); both f32 and f64 are validated index-identical
-    to the numpy oracle on the full real-episode corpus."""
+    to the numpy oracle on the full real-episode corpus.  ``mesh`` shards
+    the frame axis over the mesh 'data' axis (frames are independent —
+    no collectives)."""
     if device and len(preps) > 0:
         from .device_sweep import sweep_frames_device
 
@@ -181,6 +184,7 @@ def sweep_frames(
             preps[0].time_horizon,
             preps[0].time_step,
             sat_dtype=sat_dtype,
+            mesh=mesh,
         )
     return [sweep_frame_host(p) for p in preps]
 

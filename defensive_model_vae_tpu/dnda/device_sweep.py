@@ -196,15 +196,27 @@ def _sweep_chunk(frames, *, n_time, time_step, time_horizon, sat_dtype):
     return body(frames)
 
 
-def _sweep_batch(frames, *, n_time, time_step, time_horizon, sat_dtype):
+def _sweep_batch(frames, *, n_time, time_step, time_horizon, sat_dtype, mesh=None):
     """Chunked sweep: the per-chunk program is jitted once (stable padded
     shapes); chunks dispatch from Python so XLA cannot hoist chunk-invariant
     broadcasts into one whole-batch allocation (observed 34 GB under a
-    single lax.map-of-vmap program)."""
+    single lax.map-of-vmap program).
+
+    With a ``jax.sharding.Mesh``, each chunk's frame axis is sharded over
+    the mesh 'data' axis — frames are independent, so the sweep scales
+    embarrassingly across chips with zero collectives.
+    """
+    sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sharding = NamedSharding(mesh, PartitionSpec("data"))
     F = frames[0].shape[0]
     outs = []
     for k in range(0, F, _CHUNK):
         chunk = tuple(a[k : k + _CHUNK] for a in frames)
+        if sharding is not None:
+            chunk = tuple(jax.device_put(a, sharding) for a in chunk)
         outs.append(
             _sweep_chunk(
                 chunk, n_time=n_time, time_step=time_step,
@@ -222,6 +234,7 @@ def sweep_frames_device(
     time_horizon: float,
     time_step: float,
     sat_dtype: str = "float32",
+    mesh=None,
 ) -> List[np.ndarray]:
     """Run the SAT collision sweep for many frames in one device program.
 
@@ -300,6 +313,7 @@ def sweep_frames_device(
             time_step=time_step,
             time_horizon=time_horizon,
             sat_dtype=None if dt == jnp.float64 else dt,
+            mesh=mesh,
         )
     ci = np.asarray(ci)
     return [

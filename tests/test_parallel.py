@@ -118,3 +118,40 @@ def test_track_batch_over_mesh_matches(windows_sce1):
     _, states_mesh, _, _ = track_batch(wps, inits, cfg, mesh=mesh)
     assert states_mesh.shape == states_ref.shape
     assert np.allclose(states_ref, states_mesh, atol=1e-5)
+
+
+def test_dnda_sweep_sharded_over_mesh():
+    """The batched DNDA SAT sweep shards its frame axis over the mesh
+    'data' axis (frames independent, no collectives) and returns indices
+    identical to the single-device and host paths."""
+    import numpy as np
+
+    from defensive_model_vae_tpu.dnda.core import FramePrep, sweep_frames
+    from defensive_model_vae_tpu.parallel import create_mesh
+
+    def rect_sweep(n, x0):
+        rects = np.zeros((n, 2, 4))
+        rects[:, 0] = (x0 + np.arange(n)[:, None]) + np.array([1.0, -1.0, -1.0, 1.0])
+        rects[:, 1] = np.array([-0.5, -0.5, 0.5, 0.5])
+        return rects
+
+    rng = np.random.default_rng(3)
+    preps = [
+        FramePrep(
+            ego_rects=[rect_sweep(60, 0.0), rect_sweep(50, 0.0)],
+            usable=[0, 1], unit_arc_paths=[1.0, 1.2], k_maxes=[0.01, 0.02],
+            sur_array=np.array(
+                [[float(rng.uniform(5, 40)), 0.0, 4.0, 2.0,
+                  float(rng.uniform(-2, 2)), 0.0, 0.0, 0.0, 0.0]]
+            ),
+            ego_speed=float(rng.uniform(4, 12)),
+            time_horizon=3.0, time_step=0.1,
+        )
+        for _ in range(17)
+    ]
+    host = sweep_frames(preps, device=False)
+    mesh = create_mesh()
+    sharded = sweep_frames(preps, device=True, mesh=mesh)
+    single = sweep_frames(preps, device=True)
+    for h, s, d in zip(host, sharded, single):
+        assert np.array_equal(h, s) and np.array_equal(h, d)
