@@ -27,6 +27,18 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
         return ""
     import jax
 
+    # CPU-only processes (tests, dryruns) skip the cache: XLA:CPU AOT
+    # entries bake in the compiling host's machine features, so reloading
+    # them on a different host risks SIGILL — and CPU compiles are fast
+    # anyway.  The cache is for the minutes-long TPU tunnel compiles.
+    # a cpu-ONLY platform list means a forced-CPU process (tests, dryruns);
+    # accelerator-first lists like the axon default "axon,cpu" keep the cache
+    platforms = getattr(jax.config, "jax_platforms", None)
+    if platforms and all(
+        p.strip().lower() == "cpu" for p in str(platforms).split(",")
+    ):
+        return ""
+
     if cache_dir is None:
         repo = os.path.dirname(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
