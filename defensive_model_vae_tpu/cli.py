@@ -107,7 +107,8 @@ def _cmd_dnda_sweep(args):
     from .dnda import score_directory
 
     rows = score_directory(
-        args.dir, out_csv=args.out, processes=args.processes, device=args.device
+        args.dir, out_csv=args.out, processes=args.processes,
+        device=not args.host,
     )
     print(json.dumps(rows, indent=2))
 
@@ -217,9 +218,9 @@ def main(argv=None):
     ds.add_argument("--out", default=None, help="summary CSV path")
     ds.add_argument("--processes", type=int, default=None)
     ds.add_argument(
-        "--device", action="store_true",
-        help="prep episodes on the host pool, then run ONE batched device "
-        "program for every frame's SAT collision sweep",
+        "--host", action="store_true",
+        help="score end-to-end on the host process pool (numpy sweep — the "
+        "oracle path) instead of the default batched device sweep",
     )
     ds.set_defaults(fn=_cmd_dnda_sweep)
 

@@ -166,18 +166,19 @@ def score_directory(
     directory,
     out_csv: Optional[str] = None,
     processes: Optional[int] = None,
-    device: bool = False,
+    device: bool = True,
     **episode_kwargs,
 ):
     """Score every ``<model>_<scenario>_<trial>.csv`` episode in a directory
     and summarize the max DNDA per file (reference ``DNDA_calculator.main``
     → ``max_dnda_summary.csv``, ``:371-453``).
 
-    ``device=False``: episodes are scored end-to-end in a host process pool
-    (numpy sweep).  ``device=True``: the pool does host prep only, then the
+    ``device=True`` (default): the pool does host prep only, then the
     parent runs the SAT collision sweep for ALL episodes' frames as ONE
     batched device program (frames × paths × ego-points × vehicles × 4
-    axes) — the results are identical.
+    axes).  ``device=False``: episodes are scored end-to-end in a host
+    process pool (numpy sweep) — the oracle path; results are identical
+    (validated on the full corpus).
 
     Returns a list of dicts; writes ``out_csv`` when given.
     """
