@@ -22,7 +22,6 @@ import pandas as pd
 from .. import scenarios
 from ..data.csv_io import read_csv
 from .core import (
-    drivable_area_risk_level,
     finalize_frame,
     prepare_frame,
     sweep_frame_host,

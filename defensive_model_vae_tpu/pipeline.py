@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -26,7 +25,6 @@ import numpy as np
 from . import scenarios
 from .control import MPCConfig, track_batch
 from .data import (
-    StartConditions,
     collect_csv_files,
     get_human_and_bv_trajectories,
     get_start_conditions,
