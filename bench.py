@@ -196,6 +196,50 @@ def bench_multi_kernel():
     return True
 
 
+def bench_dnda_sweep():
+    """Full 21-episode SUT DNDA sweep (host prep + ONE batched device SAT
+    program); returns warm seconds or None when the corpus is absent."""
+    d = "/root/reference/SUT_Testing/collected_data"
+    if not os.path.isdir(d):
+        _log("dnda sweep skipped (no SUT corpus)")
+        return None
+    from defensive_model_vae_tpu.dnda import score_directory
+
+    rows = score_directory(d)  # includes any cold compiles
+    t0 = time.time()
+    rows = score_directory(d)
+    dt = time.time() - t0
+    _log(f"dnda sweep: {len(rows)} episodes in {dt:.1f}s (warm)")
+    return dt
+
+
+def bench_mpc_corpus():
+    """Whole-corpus MPC tracking (sce1 fixture-shaped synthetic paths, 38
+    paths × ~500 steps, one vmapped device program); warm seconds."""
+    from defensive_model_vae_tpu.control import MPCConfig, track_batch
+
+    rng = np.random.default_rng(0)
+    B, N = 38, 10
+    t = np.sort(rng.uniform(0.5, 11.0, (B, N)), axis=1)
+    t[:, 0] = 0.0
+    y = 40.0 + np.cumsum(rng.uniform(2.0, 8.0, (B, N)), axis=1)
+    x = -194.5 + rng.normal(0, 0.4, (B, N)).cumsum(axis=1)
+    wps = np.stack([x, y, t], axis=-1)
+    inits = np.stack(
+        [x[:, 0], y[:, 0], np.full(B, np.pi / 2), np.full(B, 8.0), np.zeros(B)],
+        axis=1,
+    )
+    cfg = MPCConfig(prediction_horizon=30, control_horizon=20, dt=0.02)
+    track_batch(wps, inits, cfg)  # compile
+    t0 = time.time()
+    _, states, _, steps = track_batch(wps, inits, cfg)
+    dt = time.time() - t0
+    n_solves = int(steps.sum())
+    _log(f"mpc corpus: {B} paths, {n_solves} control steps in {dt:.2f}s "
+         f"({n_solves/dt:,.0f} solves/s)")
+    return dt
+
+
 def bench_generation(windows, n=4096):
     """Sampling throughput (stderr detail only)."""
     try:
@@ -228,9 +272,18 @@ def main():
         # for wall-clock-constrained driver rounds; the persistent
         # .jax_cache keeps even the 'cold' compile cheap on repeats
         torch_rate = 5600.0  # recorded on this image's CPU, 2026-08
-    else:
+    dnda_s = mpc_s = None
+    if not warm_only:
         bench_generation(windows)
         multi_ok = bench_multi_kernel()
+        try:
+            dnda_s = bench_dnda_sweep()
+        except Exception as e:
+            _log(f"dnda sweep failed ({e})")
+        try:
+            mpc_s = bench_mpc_corpus()
+        except Exception as e:
+            _log(f"mpc corpus bench failed ({e})")
         try:
             torch_rate = bench_torch_baseline(windows)
         except Exception as e:  # torch missing/broken → recorded rate
@@ -244,6 +297,10 @@ def main():
     }
     if multi_ok is not None:
         result["multi_kernel_converged"] = bool(multi_ok)
+    if dnda_s is not None:
+        result["dnda_sweep_21ep_s"] = round(dnda_s, 1)
+    if mpc_s is not None:
+        result["mpc_corpus_38path_s"] = round(mpc_s, 2)
     print(json.dumps(result))
 
 
