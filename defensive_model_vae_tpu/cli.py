@@ -12,6 +12,7 @@ subcommands:
     defvae dnda      --scenario sce1 --csv episode.csv
     defvae metrics   --scenario sce1 --csv episode.csv --metric TTC
     defvae writeback --npy tracked.npy --data-root ... --out-dir out/
+    defvae gif / case / thw / speed-plots / loss-plot   (visualization)
 """
 
 from __future__ import annotations
@@ -111,6 +112,92 @@ def _cmd_dnda_sweep(args):
         device=not args.host,
     )
     print(json.dumps(rows, indent=2))
+
+
+def _load_model_xyt(trace_path: str, scenario):
+    """Tracked npy [N, 4] → [x, y, t] rows on the scenario clock."""
+    from . import scenarios as _sc
+
+    sce = _sc.get(scenario)
+    states = np.load(trace_path)
+    t = np.arange(len(states)) * sce.dt
+    return np.column_stack([states[:, 0], states[:, 1], t])
+
+
+def _cmd_gif(args):
+    """Human-vs-model animation (reference ``Plot_Gif.py`` / ``Tools.py``)."""
+    from .data import get_human_and_bv_trajectories
+    from .viz.gif import animate_human_vs_model
+
+    human, bv1, bv2 = get_human_and_bv_trajectories(args.csv, args.scenario)
+    model = _load_model_xyt(args.trace, args.scenario)
+    animate_human_vs_model(human, bv1, bv2, model, args.scenario, args.out)
+    print(f"wrote {args.out}")
+
+
+def _cmd_case(args):
+    """Static paper figure (reference ``Plot_case.py``)."""
+    from .data import get_human_and_bv_trajectories
+    from .viz.plots import plot_static_case
+
+    humans, bvs = [], []
+    for c in args.csv:
+        h, b1, b2 = get_human_and_bv_trajectories(c, args.scenario)
+        if h is not None:
+            humans.append(h)
+        bvs.extend([b for b in (b1, b2) if b is not None])
+    model = _load_model_xyt(args.trace, args.scenario)
+    plot_static_case(model, humans, bvs, args.scenario, args.out)
+    print(f"wrote {args.out}")
+
+
+def _cmd_thw(args):
+    """THW / start-velocity analysis (reference ``Get_THW.py``)."""
+    from . import scenarios as _sc
+    from .data import collect_csv_files
+    from .metrics.thw import start_velocities, thw_values
+    from .viz.plots import plot_histogram
+
+    sce = _sc.get(args.scenario)
+    csvs = collect_csv_files(os.path.join(args.data_root, sce.town))
+    sv = start_velocities(csvs, sce)
+    report = {"start_speeds": {n: round(v, 3) for n, v in sv}}
+    if args.out_velocity:
+        plot_histogram(
+            [v for _, v in sv], args.out_velocity,
+            f"Start velocity — {sce.town}", "Speed (m/s)",
+        )
+    if sce.thw_distance is not None or sce.thw_distance_by_suffix is not None:
+        thws = thw_values(sv, sce)
+        report["thw"] = [round(float(t), 3) for t in thws]
+        if args.out_thw:
+            plot_histogram(thws, args.out_thw, f"THW — {sce.town}", "THW (s)")
+    print(json.dumps(report, indent=2))
+
+
+def _cmd_speed_plots(args):
+    """SUT ego speed-vs-time curves (reference ``Data_Plot.py``)."""
+    from . import scenarios as _sc
+    from .data.csv_io import read_csv
+    from .viz.plots import plot_speed_time_curves
+
+    sce = _sc.get(args.scenario)
+    episodes = {}
+    for f in sorted(os.listdir(args.dir)):
+        if f.endswith(".csv") and sce.town in f:
+            episodes[f.split("_")[0]] = read_csv(os.path.join(args.dir, f))
+    if not episodes:
+        raise SystemExit(f"no {sce.town} episodes in {args.dir}")
+    plot_speed_time_curves(episodes, sce, args.out)
+    print(f"wrote {args.out} ({len(episodes)} SUT models)")
+
+
+def _cmd_loss_plot(args):
+    """Re-plot loss curves from a saved CSV (reference ``Loss_Re-plot.py``)."""
+    from .viz.losses import load_loss_csv, plot_losses
+
+    plot_losses(load_loss_csv(args.csv), args.out)
+    print(f"wrote {args.out}")
 
 
 def _cmd_metrics(args):
@@ -223,6 +310,38 @@ def main(argv=None):
         "oracle path) instead of the default batched device sweep",
     )
     ds.set_defaults(fn=_cmd_dnda_sweep)
+
+    gf = sub.add_parser("gif", help="human-vs-model GIF animation")
+    gf.add_argument("--scenario", required=True)
+    gf.add_argument("--csv", required=True, help="source human CSV")
+    gf.add_argument("--trace", required=True, help="tracked trajectory npy")
+    gf.add_argument("--out", required=True)
+    gf.set_defaults(fn=_cmd_gif)
+
+    cs = sub.add_parser("case", help="static case figure (model vs humans)")
+    cs.add_argument("--scenario", required=True)
+    cs.add_argument("--csv", required=True, nargs="+", help="human CSV(s)")
+    cs.add_argument("--trace", required=True, help="tracked trajectory npy")
+    cs.add_argument("--out", required=True)
+    cs.set_defaults(fn=_cmd_case)
+
+    th = sub.add_parser("thw", help="THW / start-velocity analysis")
+    th.add_argument("--scenario", required=True)
+    th.add_argument("--data-root", required=True)
+    th.add_argument("--out-velocity", default=None, help="histogram PNG")
+    th.add_argument("--out-thw", default=None, help="histogram PNG")
+    th.set_defaults(fn=_cmd_thw)
+
+    sp = sub.add_parser("speed-plots", help="SUT ego speed-vs-time curves")
+    sp.add_argument("--scenario", required=True)
+    sp.add_argument("--dir", required=True, help="collected_data directory")
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=_cmd_speed_plots)
+
+    lp = sub.add_parser("loss-plot", help="re-plot loss curves from CSV")
+    lp.add_argument("--csv", required=True)
+    lp.add_argument("--out", required=True)
+    lp.set_defaults(fn=_cmd_loss_plot)
 
     m = sub.add_parser("metrics", help="TTC/PET/JERK on an episode CSV")
     m.add_argument("--scenario", required=True)

@@ -20,6 +20,8 @@ from defensive_model_vae_tpu.viz import (
     vehicle_rectangle,
 )
 
+from conftest import REFERENCE_ROOT, requires_reference
+
 
 def _history(n=50):
     e = np.arange(n, dtype=float)
@@ -181,3 +183,50 @@ def test_space_time_velocity_and_colorbar_range(tmp_path):
     trajs = [np.column_stack([a, np.zeros(len(a))])]
     vmin2, vmax2 = unified_colorbar_range(scenario="sce1", trajectory_sets=[trajs])
     assert vmax2 >= vmin2 >= 0
+
+
+def test_cli_loss_plot(tmp_path):
+    """defvae loss-plot round-trips a saved loss CSV (Loss_Re-plot.py)."""
+    import numpy as np
+
+    from defensive_model_vae_tpu.cli import main
+    from defensive_model_vae_tpu.viz.losses import save_loss_csv
+
+    hist = {
+        k: np.linspace(10, 0.1, 50)
+        for k in ("total", "recon", "kld", "start", "time")
+    }
+    csv = tmp_path / "loss.csv"
+    save_loss_csv(hist, str(csv))
+    out = tmp_path / "loss.png"
+    main(["loss-plot", "--csv", str(csv), "--out", str(out)])
+    assert out.exists() and out.stat().st_size > 1000
+
+
+@requires_reference
+def test_cli_gif_and_case(tmp_path):
+    """defvae gif/case render from a real CSV + tracked trace."""
+    import numpy as np
+
+    from defensive_model_vae_tpu.cli import main
+
+    csv = str(
+        REFERENCE_ROOT
+        / "DefensiveData/StaticBlindTown05/减速/exp_11_control_StaticBlindTown05_3.csv"
+    )
+    trace = tmp_path / "trace.npy"
+    # short synthetic trace shaped like a tracked trajectory
+    n = 60
+    states = np.column_stack(
+        [
+            np.full(n, -194.4),
+            np.linspace(40, 60, n),
+            np.full(n, np.pi / 2),
+            np.full(n, 10.0),
+        ]
+    )
+    np.save(trace, states)
+    case = tmp_path / "case.png"
+    main(["case", "--scenario", "sce1", "--csv", csv, "--trace", str(trace),
+          "--out", str(case)])
+    assert case.exists() and case.stat().st_size > 1000
