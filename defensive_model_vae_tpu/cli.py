@@ -200,6 +200,64 @@ def _cmd_loss_plot(args):
     print(f"wrote {args.out}")
 
 
+def _cmd_mpc_sweep(args):
+    """Prediction/control-horizon study (reference ``test_control_horizon.py``)."""
+    from .control.sweep import sweep_horizons
+
+    wps = np.load(args.waypoints)
+    init = np.asarray(json.loads(args.initial_state), float)
+    combos = [tuple(map(int, c.split(":"))) for c in args.combos.split(",")]
+    results = sweep_horizons(wps, init, combos=combos, dt=args.dt)
+    print(
+        json.dumps(
+            [
+                {
+                    "P": r.prediction_horizon, "M": r.control_horizon,
+                    "max_error_m": round(r.max_error, 4),
+                    "mean_error_m": round(r.mean_error, 4),
+                    "final_error_m": round(r.final_error, 4),
+                }
+                for r in results
+            ],
+            indent=2,
+        )
+    )
+
+
+def _cmd_serve(args):
+    """One-shot serving demo: condition → sample → reference → MPC on
+    device (no reference counterpart — the framework's deployment path)."""
+    import jax
+
+    from .control import MPCConfig
+    from .control.device_reference import make_serve_fn
+    from .train.checkpoint import load_checkpoint
+
+    params, cfg, manifest = load_checkpoint(args.ckpt)
+    mpc = MPCConfig(prediction_horizon=30, control_horizon=20, dt=args.dt)
+    serve = make_serve_fn(params, cfg, mpc, num_steps=args.steps)
+    starts = np.tile([[args.start_x, args.start_y]], (args.batch, 1)).astype(np.float32)
+    inits = np.tile(
+        [[args.start_x, args.start_y, args.heading, args.vx, args.vy]],
+        (args.batch, 1),
+    ).astype(np.float32)
+    states, controls = serve(jax.random.PRNGKey(args.seed), starts, inits)
+    states = np.asarray(states)
+    if args.out:
+        np.save(args.out, states)
+        print(f"saved {states.shape} tracked states to {args.out}")
+    else:
+        print(
+            json.dumps(
+                {
+                    "batch": args.batch, "steps": args.steps,
+                    "final_xy": states[0, -1, :2].round(2).tolist(),
+                    "mean_speed": round(float(states[..., 3].mean()), 2),
+                }
+            )
+        )
+
+
 def _cmd_metrics(args):
     from .metrics import compute_metric
 
@@ -342,6 +400,29 @@ def main(argv=None):
     lp.add_argument("--csv", required=True)
     lp.add_argument("--out", required=True)
     lp.set_defaults(fn=_cmd_loss_plot)
+
+    ms_ = sub.add_parser("mpc-sweep", help="prediction/control-horizon study")
+    ms_.add_argument("--waypoints", required=True, help="(N,3) [x,y,t] npy")
+    ms_.add_argument("--initial-state", required=True,
+                     help='JSON "[x, y, theta, vx, vy]"')
+    ms_.add_argument("--combos", default="10:5,20:10,30:20,40:30",
+                     help="comma-separated P:M pairs")
+    ms_.add_argument("--dt", type=float, default=0.02)
+    ms_.set_defaults(fn=_cmd_mpc_sweep)
+
+    sv = sub.add_parser("serve", help="sample→reference→MPC, one device program")
+    sv.add_argument("--ckpt", required=True)
+    sv.add_argument("--start-x", type=float, required=True)
+    sv.add_argument("--start-y", type=float, required=True)
+    sv.add_argument("--heading", type=float, default=1.57)
+    sv.add_argument("--vx", type=float, default=0.0)
+    sv.add_argument("--vy", type=float, default=10.0)
+    sv.add_argument("--steps", type=int, default=512)
+    sv.add_argument("--batch", type=int, default=1)
+    sv.add_argument("--seed", type=int, default=0)
+    sv.add_argument("--dt", type=float, default=0.02)
+    sv.add_argument("--out", default=None)
+    sv.set_defaults(fn=_cmd_serve)
 
     m = sub.add_parser("metrics", help="TTC/PET/JERK on an episode CSV")
     m.add_argument("--scenario", required=True)
