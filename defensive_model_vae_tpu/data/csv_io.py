@@ -95,12 +95,32 @@ def read_csv_native(path: str) -> Optional[Tuple[list, np.ndarray]]:
         lib.dmv_csv_close(handle)
 
 
+# parse cache: the pipeline reads each CSV several times (start conditions,
+# human extraction, THW, …); keyed by (path, mtime, size) so edits
+# invalidate.  Each read_csv call wraps a COPY of the cached matrix, so
+# callers that mutate their DataFrame (e.g. sut.writeback) can't corrupt it.
+_parse_cache: dict = {}
+_PARSE_CACHE_MAX = 512
+
+
 def read_csv(path: str) -> pd.DataFrame:
     """DataFrame over the native parse; pandas fallback."""
+    try:
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    if key is not None and key in _parse_cache:
+        names, data = _parse_cache[key]
+        return pd.DataFrame(data.copy(), columns=names)
     parsed = read_csv_native(path)
     if parsed is None:
         return pd.read_csv(path)
     names, data = parsed
     # pandas naming convention for blank header fields
     names = [n if n.strip() else f"Unnamed: {i}" for i, n in enumerate(names)]
-    return pd.DataFrame(data, columns=names)
+    if key is not None:
+        if len(_parse_cache) >= _PARSE_CACHE_MAX:
+            _parse_cache.clear()
+        _parse_cache[key] = (names, data)
+    return pd.DataFrame(data.copy(), columns=names)
