@@ -7,14 +7,18 @@ directive: the path × step × vehicle separating-axis sweep as one batched
 tensor op over (frames × paths × ego-points × vehicles × 4 axes).
 
 All frames of an episode (or a whole SUT sweep) are padded to static
-shapes and processed by ONE jitted ``lax.map`` over frames — the
+bucketed shapes and processed in 256-frame chunks: one jitted vmapped
+program per chunk (dispatched from Python — a scan over chunks lets XLA
+hoist chunk-invariant broadcasts into a whole-batch allocation).  The
 data-dependent parts of DNDA (path-cluster lengthening, Frenet resampling)
-stay on the host in :func:`..dnda.core.prepare_frame`; this module turns
-the per-frame O(paths · points · vehicles) sweep loop into a single device
-program.  Everything runs in float64 (``jax.enable_x64`` scope) so the
-collision indices are bit-identical to the numpy oracle in
-:mod:`.collision` — validated frame-for-frame on the real SUT episodes in
-``tests/test_dnda.py``.
+stay on the host in :func:`..dnda.core.prepare_frame`.
+
+Precision: the ceil-based first-hit window bookkeeping always runs in
+float64 (``jax.enable_x64`` scope) — its integer boundaries are
+rounding-sensitive; the SAT geometry runs in ``sat_dtype`` (float32
+default, halving the host↔device transfer).  Both precisions are
+validated index-identical to the numpy oracle in :mod:`.collision` on the
+full real-episode corpus (``tests/test_dnda.py``).
 """
 
 from __future__ import annotations
@@ -298,7 +302,7 @@ def sweep_frames_device(
     from ..utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
-    dt = jnp.dtype(sat_dtype)
+    sdt = jnp.dtype(sat_dtype)
     with jax.enable_x64():
         ci = _sweep_batch(
             (
@@ -312,7 +316,7 @@ def sweep_frames_device(
             n_time=n_time,
             time_step=time_step,
             time_horizon=time_horizon,
-            sat_dtype=None if dt == jnp.float64 else dt,
+            sat_dtype=None if sdt == jnp.float64 else sdt,
             mesh=mesh,
         )
     ci = np.asarray(ci)
