@@ -428,3 +428,52 @@ def test_device_sweep_synthetic_shapes():
     assert host[0][0] < 20
     # vehicle-free frame returns the ceil(speed*horizon/u) default
     assert host[1][0] == int(np.ceil(5.0 * 3.0 / 1.0))
+
+
+def test_device_sweep_fuzz_vs_host():
+    """Randomized frames (varying path counts, point counts, vehicle
+    counts, speeds, accelerating/reversing vehicles) — device sweep must
+    match the host scan index-for-index in both SAT precisions."""
+    from defensive_model_vae_tpu.dnda.core import FramePrep, sweep_frames
+
+    rng = np.random.default_rng(7)
+
+    def rand_path_rects(n):
+        # curving path of rectangles with random heading drift
+        th = np.cumsum(rng.normal(0, 0.05, n))
+        x = np.cumsum(np.cos(th)); y = np.cumsum(np.sin(th))
+        L, W = 4.8, 2.0
+        base = np.array([[L/2, -L/2, -L/2, L/2], [-W/2, -W/2, W/2, W/2]])
+        c, s = np.cos(th), np.sin(th)
+        R = np.stack([np.stack([c, -s], -1), np.stack([s, c], -1)], axis=-2)
+        r = np.einsum("nij,jk->nik", R, base)
+        r += np.stack([x, y], axis=1)[:, :, None]
+        return r
+
+    preps = []
+    for _ in range(25):
+        n_paths = int(rng.integers(1, 9))
+        n_veh = int(rng.integers(0, 7))
+        sur = np.zeros((n_veh, 9))
+        for v in range(n_veh):
+            sur[v] = [rng.uniform(0, 40), rng.uniform(-6, 6), 4.0, 2.0,
+                      rng.uniform(-8, 8), rng.uniform(-2, 2),
+                      rng.uniform(-3, 3), rng.uniform(-1, 1),
+                      rng.uniform(-3, 3)]
+        preps.append(
+            FramePrep(
+                ego_rects=[rand_path_rects(int(rng.integers(20, 120)))
+                           for _ in range(n_paths)],
+                usable=list(range(n_paths)),
+                unit_arc_paths=list(rng.uniform(0.6, 1.6, n_paths)),
+                k_maxes=list(rng.uniform(0.005, 0.1, n_paths)),
+                sur_array=sur,
+                ego_speed=float(rng.uniform(0.5, 18)),
+                time_horizon=3.0, time_step=0.1,
+            )
+        )
+    host = sweep_frames(preps, device=False)
+    for dtype in ("float64", "float32"):
+        dev = sweep_frames(preps, device=True, sat_dtype=dtype)
+        for i, (h, d) in enumerate(zip(host, dev)):
+            assert np.array_equal(h, d), (dtype, i, h, d)
