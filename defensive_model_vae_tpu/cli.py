@@ -101,6 +101,15 @@ def _cmd_dnda(args):
     res = process_episode(
         args.csv, args.scenario, max_frames=args.max_frames, device=args.device
     )
+    if args.out_csv:
+        # per-frame CSV like the reference driver's per-file output
+        # (DNDA_calculator.py:352-361)
+        import csv as _csv
+
+        with open(args.out_csv, "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["frame", "dnda"])
+            w.writerows(zip(res.frames, res.dnda))
     print(json.dumps({"frames": res.frames, "dnda": res.dnda, "max_dnda": res.max_dnda}))
 
 
@@ -351,6 +360,7 @@ def main(argv=None):
     dn.add_argument("--scenario", required=True)
     dn.add_argument("--csv", required=True)
     dn.add_argument("--max-frames", type=int, default=None)
+    dn.add_argument("--out-csv", default=None, help="per-frame CSV path")
     dn.add_argument(
         "--device", action="store_true",
         help="batch the SAT collision sweep on the accelerator "
