@@ -186,19 +186,28 @@ def _cmd_thw(args):
 
 def _cmd_speed_plots(args):
     """SUT ego speed-vs-time curves (reference ``Data_Plot.py``)."""
+    import re
+
     from . import scenarios as _sc
     from .data.csv_io import read_csv
     from .viz.plots import plot_speed_time_curves
 
     sce = _sc.get(args.scenario)
+    # one curve per SUT episode, labeled "<MODEL> #<trial>" — keying by the
+    # model alone would collapse trials, and exp_* experiment logs are not
+    # SUT episodes
+    pat = re.compile(rf"^(?P<model>[A-Za-z]+)_{re.escape(sce.town)}(?:_(?P<trial>\d+))?\.csv$")
     episodes = {}
     for f in sorted(os.listdir(args.dir)):
-        if f.endswith(".csv") and sce.town in f:
-            episodes[f.split("_")[0]] = read_csv(os.path.join(args.dir, f))
+        m = pat.match(f)
+        if m is None:
+            continue
+        label = m.group("model") + (f" #{m.group('trial')}" if m.group("trial") else "")
+        episodes[label] = read_csv(os.path.join(args.dir, f))
     if not episodes:
         raise SystemExit(f"no {sce.town} episodes in {args.dir}")
     plot_speed_time_curves(episodes, sce, args.out)
-    print(f"wrote {args.out} ({len(episodes)} SUT models)")
+    print(f"wrote {args.out} ({len(episodes)} SUT episodes)")
 
 
 def _cmd_loss_plot(args):

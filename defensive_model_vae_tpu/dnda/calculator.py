@@ -227,18 +227,18 @@ def score_directory(
     finally:
         if ex is not None:
             ex.shutdown()
-        for (path, sce_key, _), (p, max_d, n) in zip(jobs, results):
-            m = _EPISODE_RE.match(Path(path).name)
-            rows.append(
-                {
-                    "model": m.group("model"),
-                    "scenario": m.group("scenario"),
-                    "trial": int(m.group("trial")),
-                    "max_dnda": max_d,
-                    "frames": n,
-                    "file_path": Path(path).name,
-                }
-            )
+    for (path, sce_key, _), (p, max_d, n) in zip(jobs, results):
+        m = _EPISODE_RE.match(Path(path).name)
+        rows.append(
+            {
+                "model": m.group("model"),
+                "scenario": m.group("scenario"),
+                "trial": int(m.group("trial")),
+                "max_dnda": max_d,
+                "frames": n,
+                "file_path": Path(path).name,
+            }
+        )
     if out_csv:
         with open(out_csv, "w", newline="") as f:
             writer = _csv.DictWriter(f, fieldnames=list(rows[0].keys()))
@@ -328,11 +328,17 @@ def prepare_episode(csv_path, scenario, **kwargs):
 
 
 def _finalize_episode(frames, preps, cis) -> DndaResult:
-    """DA/RL per frame + the reference's stop-at-RL==1 truncation."""
+    """DA/RL per frame + the reference's stop-at-RL==1 truncation.
+
+    Per-frame errors skip the frame (the pre-refactor behavior, which
+    wrapped the whole DA/RL computation)."""
     out_frames: List[int] = []
     values: List[float] = []
     for frame, prep, ci in zip(frames, preps, cis):
-        _, rl = finalize_frame(prep, ci)
+        try:
+            _, rl = finalize_frame(prep, ci)
+        except (ValueError, ZeroDivisionError):
+            continue
         out_frames.append(frame)
         values.append(rl)
         if rl == 1:
@@ -370,7 +376,10 @@ def process_episode(
     frames: List[int] = []
     values: List[float] = []
     for frame, prep in _iter_frame_preps(csv_path, scenario, **kwargs):
-        _, rl = finalize_frame(prep, sweep_frame_host(prep))
+        try:
+            _, rl = finalize_frame(prep, sweep_frame_host(prep))
+        except (ValueError, ZeroDivisionError):
+            continue  # skip the frame, like the reference driver
         frames.append(frame)
         values.append(rl)
         if rl == 1:

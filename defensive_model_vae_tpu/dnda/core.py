@@ -111,6 +111,14 @@ def prepare_frame(
         ego, road, k_max, unit_arc, way, s_grid, m_equal, time_horizon, time_step
     )
 
+    # a degenerate path (zero/nonfinite arc step) would divide-by-zero in
+    # the host sweep and silently poison the batched device sweep — reject
+    # the frame here so BOTH paths skip it identically (the episode driver
+    # catches ValueError per frame, like the pre-refactor code did around
+    # the whole DA/RL computation)
+    if not all(np.isfinite(u) and u > 0 for u in unit_arc_paths):
+        raise ValueError("degenerate path arc step in cluster")
+
     sur_array = (
         np.stack([v.as_array() for v in sur]) if sur else np.zeros((0, 9))
     )
@@ -176,6 +184,14 @@ def sweep_frames(
     if device and len(preps) > 0:
         from .device_sweep import sweep_frames_device
 
+        if any(
+            (p.time_horizon, p.time_step) != (preps[0].time_horizon, preps[0].time_step)
+            for p in preps
+        ):
+            raise ValueError(
+                "device sweep requires one (time_horizon, time_step) across "
+                "the batch — sweep mixed-horizon frames separately"
+            )
         return sweep_frames_device(
             [p.ego_rects for p in preps],
             [p.unit_arc_paths for p in preps],

@@ -241,14 +241,7 @@ def provenance(
     }
     if n_csvs is not None:
         p["n_csvs"] = n_csvs
-    if sce.key == "sce4":
-        # the shipped sce4 dataset has 135 windows but one is provably
-        # stale (not derivable from any CSV in DefensiveData) — our
-        # pipeline runs with the 134 reproducible ones (test_data.py)
-        p["notes"].append(
-            "sce4 corpus is n=134: the 135th shipped window is stale "
-            "(not derivable from any raw CSV); see tests/test_data.py"
-        )
+    p["notes"].extend(sce.provenance_notes)
     return p
 
 
@@ -273,6 +266,12 @@ def run_scenario(
     report = validate(traces, humans, sce)
     report["provenance"] = provenance(sce, seed, n_csvs=len(csvs))
     os.makedirs(out_dir, exist_ok=True)
+    # non-finite metric values (the empty-input NaN report) serialize to
+    # null — bare NaN is not valid JSON and breaks non-Python consumers
+    jsonable = {
+        k: (None if isinstance(v, float) and not np.isfinite(v) else v)
+        for k, v in report.items()
+    }
     with open(os.path.join(out_dir, f"validation_{sce.key}.json"), "w") as f:
-        json.dump(report, f, indent=2)
+        json.dump(jsonable, f, indent=2)
     return report

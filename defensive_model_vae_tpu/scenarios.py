@@ -113,6 +113,10 @@ class Scenario:
     # artifacts, like the Tools.py start-mask — see _sce1_generation_start).
     artifact_dataset_start: Optional[Predicate] = None
 
+    # Scenario-specific caveats embedded into every validation artifact's
+    # provenance block (pipeline.provenance)
+    provenance_notes: Tuple[str, ...] = ()
+
 
 # ---------------------------------------------------------------------------
 # DNDA straight-line baselines (reference DNDA_calculator.py:38-78)
@@ -339,6 +343,10 @@ REGISTRY: Dict[str, Scenario] = {
         thw_distance_by_suffix={"3": 40.0, "default": 30.0},
         sut_jerk_axis="ay",
         dnda=DndaConfig(lane_num=3, lane_egodirect=3, baseline_fn=_baseline_sce4),
+        provenance_notes=(
+            "sce4 corpus is n=134: the 135th shipped window is stale "
+            "(not derivable from any raw CSV); see tests/test_data.py",
+        ),
     ),
 }
 

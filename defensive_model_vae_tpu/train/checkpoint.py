@@ -66,19 +66,28 @@ def save_checkpoint(
     both backends and ``load_checkpoint`` auto-detects.
     """
     os.makedirs(directory, exist_ok=True)
+    npz_path = os.path.join(directory, "params.npz")
+    orbax_path = os.path.join(os.path.abspath(directory), "orbax")
     if backend == "orbax":
         import shutil
 
         import orbax.checkpoint as ocp
 
-        path = os.path.join(os.path.abspath(directory), "orbax")
-        if os.path.exists(path):
-            shutil.rmtree(path)  # orbax refuses to overwrite in place
+        if os.path.exists(orbax_path):
+            shutil.rmtree(orbax_path)  # orbax refuses to overwrite in place
         with ocp.StandardCheckpointer() as ckptr:
-            ckptr.save(path, params)
+            ckptr.save(orbax_path, params)
+        # a stale params.npz from an earlier npz save would shadow the new
+        # weights on load — remove it so the directory has ONE params store
+        if os.path.exists(npz_path):
+            os.remove(npz_path)
     elif backend == "npz":
         params = jax.device_get(params)
-        np.savez(os.path.join(directory, "params.npz"), **_flatten(params))
+        np.savez(npz_path, **_flatten(params))
+        if os.path.isdir(orbax_path):
+            import shutil
+
+            shutil.rmtree(orbax_path)
     else:
         raise ValueError(f"unknown checkpoint backend {backend!r}")
     manifest = {
@@ -104,10 +113,15 @@ def load_checkpoint(directory: str) -> Tuple[Dict, CVAEConfig, Dict[str, Any]]:
         manifest = json.load(f)
     npz_path = os.path.join(directory, "params.npz")
     orbax_path = os.path.join(os.path.abspath(directory), "orbax")
-    if os.path.exists(npz_path):
+    # the manifest's backend is authoritative (a stale params store from an
+    # earlier save with the other backend must never shadow it); manifests
+    # from before the orbax backend have no "backend" key → file detection
+    backend = manifest.get("backend")
+    use_npz = backend == "npz" or (backend is None and os.path.exists(npz_path))
+    if use_npz:
         with np.load(npz_path) as z:
             params = _unflatten({k: z[k] for k in z.files})
-    elif os.path.isdir(orbax_path):
+    elif backend == "orbax" or os.path.isdir(orbax_path):
         import orbax.checkpoint as ocp
 
         with ocp.StandardCheckpointer() as ckptr:

@@ -31,13 +31,21 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
     # entries bake in the compiling host's machine features, so reloading
     # them on a different host risks SIGILL — and CPU compiles are fast
     # anyway.  The cache is for the minutes-long TPU tunnel compiles.
-    # a cpu-ONLY platform list means a forced-CPU process (tests, dryruns);
-    # accelerator-first lists like the axon default "axon,cpu" keep the cache
-    platforms = getattr(jax.config, "jax_platforms", None)
-    if platforms and all(
-        p.strip().lower() == "cpu" for p in str(platforms).split(",")
-    ):
-        return ""
+    # Enable ONLY when an accelerator platform is explicitly named
+    # (e.g. the axon default "axon,cpu" set by sitecustomize, or
+    # JAX_PLATFORMS=tpu).  Fail CLOSED otherwise — an unset platform list
+    # on a CPU-only box would otherwise write XLA:CPU AOT entries (which
+    # bake in the compiling host's machine features → SIGILL risk on
+    # reload elsewhere) into the shared committed cache.  CPU compiles are
+    # fast; the cache exists for the minutes-long TPU tunnel compiles.
+    # An explicit cache_dir is a deliberate opt-in and bypasses the guard.
+    if cache_dir is None:
+        platforms = getattr(jax.config, "jax_platforms", None) or os.environ.get(
+            "JAX_PLATFORMS", ""
+        )
+        names = [p.strip().lower() for p in str(platforms).split(",") if p.strip()]
+        if not names or all(n == "cpu" for n in names):
+            return ""
 
     if cache_dir is None:
         repo = os.path.dirname(
