@@ -251,11 +251,11 @@ def bench_generation(windows, n=4096):
         cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
         params = init_params(jax.random.PRNGKey(0), cfg)
         starts = np.tile(windows[0, 0, 1:3], (n, 1))
-        np.asarray(generate_trajectories(params, cfg, starts, seed=0))  # compile
+        generate_trajectories(params, cfg, starts, seed=0)  # compile
         t0 = time.time()
-        # force host materialization: async dispatch through the axon
-        # tunnel returns before execution, so un-awaited timings lie
-        np.asarray(generate_trajectories(params, cfg, starts, seed=1))
+        # generate_trajectories materializes to host numpy internally, so
+        # this timing already awaits execution through the axon tunnel
+        generate_trajectories(params, cfg, starts, seed=1)
         dt = time.time() - t0
         _log(f"generation: {n} trajectories in {dt*1e3:.0f} ms → {n/dt:,.0f} traj/s")
     except Exception as e:

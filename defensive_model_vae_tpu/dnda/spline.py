@@ -33,70 +33,82 @@ _lib: Optional[ctypes.CDLL] = None
 _lib_failed = False
 
 
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    """Attach prototypes; raises AttributeError on a stale pre-round .so."""
+    dptr = ctypes.POINTER(ctypes.c_double)
+    lib.dmv_fmm_spline.restype = ctypes.c_int
+    lib.dmv_fmm_spline.argtypes = [ctypes.c_int64] + [dptr] * 5
+    lib.dmv_spline_eval.restype = None
+    lib.dmv_spline_eval.argtypes = (
+        [ctypes.c_int64] + [dptr] * 5 + [ctypes.c_int64] + [dptr] * 3
+    )
+    lib.dmv_max_curvature.restype = ctypes.c_int
+    lib.dmv_max_curvature.argtypes = [ctypes.c_int64, dptr, dptr, dptr]
+    lib.dmv_frenet.restype = ctypes.c_int
+    lib.dmv_frenet.argtypes = (
+        [ctypes.c_int64, dptr, dptr, ctypes.c_int64] + [dptr] * 8
+    )
+    return lib
+
+
+def _build(out_path: str) -> bool:
+    src = os.path.join(_REPO_ROOT, "native", "dnda_spline.cpp")
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-std=c++17", "-fPIC", "-shared", src, "-o", out_path],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
 def _load_native() -> Optional[ctypes.CDLL]:
-    """Native Thomas-sweep solver (ulp-identical arithmetic, ~14× faster
-    than the Python loops — see native/dnda_spline.cpp)."""
+    """Native spline/Frenet/curvature kernels (numpy-oracle arithmetic —
+    see native/dnda_spline.cpp).
+
+    Staleness handling: the .so is rebuilt BEFORE first load when the
+    source is newer (the .so is untracked and can survive from an older
+    build), and a symbol-probe failure rebuilds to a unique path —
+    re-dlopening the original path would return the already-mapped stale
+    image (glibc dedups by pathname)."""
     global _lib, _lib_failed
     with _lock:
         if _lib is not None or _lib_failed:
             return _lib
         src = os.path.join(_REPO_ROOT, "native", "dnda_spline.cpp")
-        if not os.path.exists(_SO_PATH):
-            try:
-                subprocess.run(
-                    ["g++", "-O2", "-std=c++17", "-fPIC", "-shared", src,
-                     "-o", _SO_PATH],
-                    check=True, capture_output=True, timeout=120,
-                )
-            except Exception:
-                _lib_failed = True
-                return None
+        stale = (
+            not os.path.exists(_SO_PATH)
+            or (
+                os.path.exists(src)
+                and os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
+            )
+        )
+        if stale and not _build(_SO_PATH):
+            _lib_failed = True
+            return None
         try:
-            lib = ctypes.CDLL(_SO_PATH)
+            _lib = _bind(ctypes.CDLL(_SO_PATH))
+            return _lib
         except OSError:
             _lib_failed = True
             return None
-        dptr = ctypes.POINTER(ctypes.c_double)
-        lib.dmv_fmm_spline.restype = ctypes.c_int
-        lib.dmv_fmm_spline.argtypes = [ctypes.c_int64] + [dptr] * 5
-        try:
-            lib.dmv_spline_eval.restype = None
-            lib.dmv_spline_eval.argtypes = (
-                [ctypes.c_int64] + [dptr] * 5 + [ctypes.c_int64] + [dptr] * 3
-            )
-            lib.dmv_max_curvature.restype = ctypes.c_int
-            lib.dmv_max_curvature.argtypes = [ctypes.c_int64, dptr, dptr, dptr]
-            lib.dmv_frenet.restype = ctypes.c_int
-            lib.dmv_frenet.argtypes = (
-                [ctypes.c_int64, dptr, dptr, ctypes.c_int64] + [dptr] * 8
-            )
         except AttributeError:
-            # stale .so from before the frenet/curvature kernels — rebuild
+            # stale symbols despite mtimes (e.g. clock skew): rebuild to a
+            # unique path — the original pathname is already mapped
+            alt = f"{_SO_PATH}.{os.getpid()}"
             try:
-                subprocess.run(
-                    ["g++", "-O2", "-std=c++17", "-fPIC", "-shared",
-                     os.path.join(_REPO_ROOT, "native", "dnda_spline.cpp"),
-                     "-o", _SO_PATH],
-                    check=True, capture_output=True, timeout=120,
-                )
-                lib = ctypes.CDLL(_SO_PATH)
-                lib.dmv_fmm_spline.restype = ctypes.c_int
-                lib.dmv_fmm_spline.argtypes = [ctypes.c_int64] + [dptr] * 5
-                lib.dmv_spline_eval.restype = None
-                lib.dmv_spline_eval.argtypes = (
-                    [ctypes.c_int64] + [dptr] * 5 + [ctypes.c_int64] + [dptr] * 3
-                )
-                lib.dmv_max_curvature.restype = ctypes.c_int
-                lib.dmv_max_curvature.argtypes = [ctypes.c_int64, dptr, dptr, dptr]
-                lib.dmv_frenet.restype = ctypes.c_int
-                lib.dmv_frenet.argtypes = (
-                    [ctypes.c_int64, dptr, dptr, ctypes.c_int64] + [dptr] * 8
-                )
+                if _build(alt):
+                    _lib = _bind(ctypes.CDLL(alt))
+                    os.replace(alt, _SO_PATH)  # fresh build wins next time
+                    return _lib
             except Exception:
-                _lib_failed = True
-                return None
-        _lib = lib
-        return _lib
+                pass
+            finally:
+                if os.path.exists(alt) and _lib is None:
+                    os.remove(alt)
+            _lib_failed = True
+            return None
 
 
 def _dptr(a: np.ndarray):

@@ -27,18 +27,13 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
         return ""
     import jax
 
-    # CPU-only processes (tests, dryruns) skip the cache: XLA:CPU AOT
-    # entries bake in the compiling host's machine features, so reloading
-    # them on a different host risks SIGILL — and CPU compiles are fast
-    # anyway.  The cache is for the minutes-long TPU tunnel compiles.
-    # Enable ONLY when an accelerator platform is explicitly named
+    # Auto-enable ONLY when an accelerator platform is explicitly named
     # (e.g. the axon default "axon,cpu" set by sitecustomize, or
-    # JAX_PLATFORMS=tpu).  Fail CLOSED otherwise — an unset platform list
-    # on a CPU-only box would otherwise write XLA:CPU AOT entries (which
-    # bake in the compiling host's machine features → SIGILL risk on
-    # reload elsewhere) into the shared committed cache.  CPU compiles are
-    # fast; the cache exists for the minutes-long TPU tunnel compiles.
-    # An explicit cache_dir is a deliberate opt-in and bypasses the guard.
+    # JAX_PLATFORMS=tpu); fail CLOSED otherwise.  XLA:CPU AOT entries bake
+    # in the compiling host's machine features — reloading them elsewhere
+    # risks SIGILL — and CPU compiles are fast anyway: the cache exists
+    # for the minutes-long TPU tunnel compiles.  An explicit cache_dir is
+    # a deliberate opt-in and bypasses the guard.
     if cache_dir is None:
         platforms = getattr(jax.config, "jax_platforms", None) or os.environ.get(
             "JAX_PLATFORMS", ""

@@ -157,6 +157,10 @@ int dmv_max_curvature(int64_t n, const double *x, const double *y,
     double k;
     dmv_spline_eval(n, px.data(), py.data(), b.data(), c.data(), d.data(), 1,
                     &uj, nullptr, &k);
+    if (std::isnan(k)) {  // numpy's k.max() propagates NaN
+      kmax = k;
+      break;
+    }
     if (k > kmax)
       kmax = k;
   }

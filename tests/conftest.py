@@ -55,3 +55,12 @@ def all_windows() -> dict:
         k: np.load(FIXTURES / f"trajectory_{k}_cond.npy")
         for k in ("sce1", "sce2", "sce3", "sce4")
     }
+
+
+def straight_rect_sweep(n: int, x0: float = 0.0) -> np.ndarray:
+    """(n, 2, 4) axis-aligned 2×1 ego rectangles marching along +x —
+    shared synthetic geometry for DNDA sweep tests."""
+    rects = np.zeros((n, 2, 4))
+    rects[:, 0] = (x0 + np.arange(n)[:, None]) + np.array([1.0, -1.0, -1.0, 1.0])
+    rects[:, 1] = np.array([-0.5, -0.5, 0.5, 0.5])
+    return rects

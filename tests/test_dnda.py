@@ -395,15 +395,7 @@ def test_device_sweep_synthetic_shapes():
     counts per frame, and point counts below the bucket size."""
     from defensive_model_vae_tpu.dnda.core import FramePrep, sweep_frames
 
-    rng = np.random.default_rng(0)
-
-    def rect_sweep(n, x0):
-        # straight path of axis-aligned 2x1 rectangles along +x
-        rects = np.zeros((n, 2, 4))
-        xs = x0 + np.arange(n)[:, None]
-        rects[:, 0] = xs + np.array([1.0, -1.0, -1.0, 1.0])
-        rects[:, 1] = np.array([-0.5, -0.5, 0.5, 0.5])
-        return rects
+    from conftest import straight_rect_sweep as rect_sweep
 
     preps = [
         FramePrep(

@@ -129,11 +129,7 @@ def test_dnda_sweep_sharded_over_mesh():
     from defensive_model_vae_tpu.dnda.core import FramePrep, sweep_frames
     from defensive_model_vae_tpu.parallel import create_mesh
 
-    def rect_sweep(n, x0):
-        rects = np.zeros((n, 2, 4))
-        rects[:, 0] = (x0 + np.arange(n)[:, None]) + np.array([1.0, -1.0, -1.0, 1.0])
-        rects[:, 1] = np.array([-0.5, -0.5, 0.5, 0.5])
-        return rects
+    from conftest import straight_rect_sweep as rect_sweep
 
     rng = np.random.default_rng(3)
     preps = [

@@ -97,10 +97,12 @@ def test_reg157():
     assert reg157_brake(0.0, 20.0, 100.0, 5.0) is None
     # closing from near: ttc 1/15 ≈ 0.07 s ≤ threshold → emergency brake
     assert reg157_brake(0.0, 20.0, 1.0, 5.0) == -6.0
-    # at the threshold boundary → brake (trigger is <=)
-    v_rel, margin = 12.0, 0.35
-    thr = v_rel / 12.0 + margin
-    assert reg157_brake(0.0, v_rel, v_rel * thr * (1 - 1e-12), 0.0) == -6.0
+    # EXACTLY at the threshold → brake (trigger is <=; these float64
+    # values make ttc == threshold bit-exactly: threshold = 8/8 + 0.25 =
+    # 1.25, ttc = 10/8 = 1.25)
+    assert reg157_brake(
+        0.0, 8.0, 10.0, 0.0, max_decel=4.0, reaction_margin=0.25
+    ) == -4.0
     assert reg157_brake(0.0, 5.0, 50.0, 5.0) is None  # no closing speed
     assert reg157_brake(0.0, 5.0, 50.0, 9.0) is None  # opening gap
 
