@@ -21,6 +21,8 @@ from defensive_model_vae_tpu.train import TrainConfig, train, train_multi_scenar
 from defensive_model_vae_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from defensive_model_vae_tpu.generate import generate_trajectories
 
+from conftest import REFERENCE_ROOT, requires_reference
+
 
 CFG = CVAEConfig(seq_len=10, dim=3)
 
@@ -170,3 +172,30 @@ def test_multi_scenario_training(all_windows):
     w1 = params_by["sce1"]["enc_0"]["w"]
     w2 = params_by["sce2"]["enc_0"]["w"]
     assert not np.allclose(w1, w2)
+
+
+@requires_reference
+def test_all_loadable_reference_checkpoints_import():
+    """Every shipped .pth the reference's own code can load (25/29) imports
+    and generates finite trajectories.  The four vae_random_*.pth are
+    orphans from an older UNCONDITIONAL architecture (encoder input 100 =
+    50x2 random-walk windows, no condition_encoder) that the in-tree
+    ConditionalTrajectoryVAE cannot load either — documented, not
+    importable by design."""
+    import glob
+
+    from defensive_model_vae_tpu.generate import generate_trajectories
+    from defensive_model_vae_tpu.train.torch_import import load_torch_checkpoint
+
+    orphans = []
+    for p in sorted(glob.glob(str(REFERENCE_ROOT / "training/models/*.pth"))):
+        try:
+            params, cfg = load_torch_checkpoint(p)
+        except KeyError:
+            orphans.append(p.rsplit("/", 1)[-1])
+            continue
+        g = generate_trajectories(
+            params, cfg, np.array([[-190.0, 40.0]], np.float32), seed=0
+        )
+        assert np.all(np.isfinite(np.asarray(g))), p
+    assert orphans == [f"vae_random_{i}.pth" for i in (1, 2, 3, 4)]
