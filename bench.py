@@ -21,15 +21,12 @@ import numpy as np
 
 # persistent compilation cache: cuts the cold fused-kernel compile from
 # minutes to seconds on repeat runs (works through the axon remote-compile
-# tunnel; verified 127s → 39s across processes)
+# tunnel; verified 127s → 39s across processes).  The shared helper fails
+# closed on CPU-only platforms (host-specific XLA:CPU AOT entries).
 try:
-    import jax
+    from defensive_model_vae_tpu.utils.cache import enable_persistent_cache
 
-    _cache_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
-    )
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    enable_persistent_cache()
 except Exception:
     pass
 
