@@ -143,6 +143,9 @@ def build_reference_device(
     vx_g, vy_g = v_at(ti)
     vx_g = jnp.where(inside, vx_g, end_vx)
     vy_g = jnp.where(inside, vy_g, end_vy)
+    # 90° jump guard with the published-artifact (wrapped) semantics — the
+    # host twin's PathReference.raw_jump_guard docstring documents the
+    # in-tree-vs-artifact inconsistency this mirrors
     theta_g = _wrap(jnp.arctan2(vy_g, vx_g))
     jump = inside & (jnp.abs(theta_g - start_theta) > jnp.pi / 2)
     vx_g = jnp.where(jump, end_vx, vx_g)

@@ -61,6 +61,9 @@ class MPCConfig:
     # Jacobian FLOPs (measured: 1.88 s either way for the sce1 corpus) —
     # so the tighter re-linearized solver stays the default.
     freeze_jacobian: bool = False
+    # 90° jump-guard semantics (see PathReference.raw_jump_guard): False =
+    # published-artifact behavior, True = the in-tree MPC_Tracking.py code
+    raw_jump_guard: bool = False
 
 
 def _dynamics(cfg: MPCConfig, state, control):
@@ -233,7 +236,10 @@ def track(
 
     ``total_time`` defaults to the last waypoint time (the reference's batch
     driver, ``Distribution.py:104``)."""
-    ref = PathReference(np.asarray(waypoints, float), np.asarray(initial_state, float))
+    ref = PathReference(
+        np.asarray(waypoints, float), np.asarray(initial_state, float),
+        raw_jump_guard=cfg.raw_jump_guard,
+    )
     if total_time is None:
         total_time = float(waypoints[-1, 2])
     num_steps = int(total_time / cfg.dt)
@@ -269,7 +275,11 @@ def track_batch(
     """
     B = waypoints_batch.shape[0]
     path_refs = [
-        PathReference(np.asarray(waypoints_batch[b], float), np.asarray(initial_states[b], float))
+        PathReference(
+            np.asarray(waypoints_batch[b], float),
+            np.asarray(initial_states[b], float),
+            raw_jump_guard=cfg.raw_jump_guard,
+        )
         for b in range(B)
     ]
     steps = np.array(

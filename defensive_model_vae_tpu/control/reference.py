@@ -46,10 +46,23 @@ class PathReference:
     Args:
         waypoints: (N, 3) [x, y, t] rows, t strictly increasing.
         initial_state: (5,) [x, y, theta, vx, vy].
+        raw_jump_guard: semantics of the 90° heading-jump guard in
+            :meth:`get_reference`.  The reference tree is internally
+            inconsistent here: the IN-TREE code (``MPC_Tracking.py:243``)
+            compares the RAW arctan2 heading against the wrapped start
+            heading, which on westbound paths (raw heading ≈ −π vs wrapped
+            start ≈ +π) substitutes the end velocity over essentially the
+            whole path — but the PUBLISHED sce2 artifacts show varied
+            speed profiles (13% of steps end-velocity-dominated vs 57%
+            under raw semantics), i.e. they predate that behavior, exactly
+            like the stale sce1 masks/dataset.  Default False = wrapped
+            comparison (published-artifact semantics); True mirrors the
+            in-tree code for differential tests against the live reference.
     """
 
     waypoints: np.ndarray
     initial_state: np.ndarray
+    raw_jump_guard: bool = False
 
     def __post_init__(self):
         wp = np.asarray(self.waypoints, float)
@@ -121,8 +134,12 @@ class PathReference:
         vx = np.where(inside, self._vx(ti), self.end_vx)
         vy = np.where(inside, self._vy(ti), self.end_vy)
         # 90° jump guard: inside the path, if the instantaneous heading is
-        # >90° off the start heading, substitute the end velocity
-        theta = _wrap(np.arctan2(vy, vx))
+        # >90° off the start heading, substitute the end velocity — see the
+        # raw_jump_guard docstring for the in-tree vs published-artifact
+        # semantics choice
+        theta = np.arctan2(vy, vx)
+        if not self.raw_jump_guard:
+            theta = _wrap(theta)
         jump = inside & (np.abs(theta - self.start_theta) > np.pi / 2)
         vx = np.where(jump, self.end_vx, vx)
         vy = np.where(jump, self.end_vy, vy)

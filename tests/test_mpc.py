@@ -282,13 +282,18 @@ def test_serve_fn_end_to_end(windows_sce1):
     assert err.mean() < 2.0
 
 
-def test_tracker_dominates_slsqp_oracle_on_hard_paths(all_windows):
-    """On sce2/sce4 oracle paths the reference SLSQP frequently fails its
-    solves (falls back to near-zero controls), so trace equality is the
-    wrong bar; instead assert our solver tracks the SAME reference tensor
-    at least as well as the SLSQP run did (measured: v-err 0.06 vs 1.44
-    m/s on sce2; path error 0.05 vs 1.71 m).  sce3's SLSQP run succeeded
-    (trace band 0.31 m) and is included in the dominance check too."""
+def test_tracker_vs_slsqp_oracle_on_hard_paths(all_windows):
+    """sce2/sce3/sce4 oracle traces (reference SLSQP run live on identical
+    waypoints, fixtures/oracle/).
+
+    The oracle traces come from the IN-TREE reference code, whose 90° jump
+    guard uses raw-heading semantics (PathReference.raw_jump_guard
+    docstring) — on the westbound sce2 path, tracking with
+    raw_jump_guard=True reproduces the live SLSQP trace to <7 cm over the
+    whole run, direct behavioral parity.  On sce3/sce4 (southbound, guard
+    semantics identical) the SLSQP oracle tracks its reference loosely
+    (failed solves on sce4) and our solver strictly dominates it on both
+    velocity- and position-error against the SAME reference tensor."""
     import json
     from conftest import FIXTURES
 
@@ -299,16 +304,27 @@ def test_tracker_dominates_slsqp_oracle_on_hard_paths(all_windows):
         wp = w[m["idx"]][:, [1, 2, 0]].astype(float)
         wp[0, 2] = 0.0
         init = np.array([wp[0, 0], wp[0, 1], m["angle"], m["vx"], m["vy"]])
-        cfg = MPCConfig(prediction_horizon=30, control_horizon=20, dt=m["dt"])
+        raw = key == "sce2"  # mirror the in-tree guard on the affected path
+        cfg = MPCConfig(
+            prediction_horizon=30, control_horizon=20, dt=m["dt"],
+            raw_jump_guard=raw,
+        )
         times, states, _ = track(wp, init, cfg)
         ref_states = np.load(FIXTURES / f"oracle/ref_track_{key}w{m['idx']}.npy")
-        pr = PathReference(wp, init)
+        pr = PathReference(wp, init, raw_jump_guard=raw)
         n = min(len(states), len(ref_states))
         refs = pr.build(n, 30, m["dt"])
-        mine_v = np.abs(states[: n - 1, 3] - refs[: n - 1, 0, 1]).mean()
-        orac_v = np.abs(ref_states[: n - 1, 3] - refs[: n - 1, 0, 1]).mean()
         mine_pos = pr.position_error(times[:n], states[:n, :2]).mean()
         orac_pos = pr.position_error(times[:n], ref_states[:n, :2]).mean()
-        assert mine_v <= orac_v + 1e-6, (key, mine_v, orac_v)
-        assert mine_pos <= orac_pos + 1e-6, (key, mine_pos, orac_pos)
-        assert mine_pos < 0.3  # and good in absolute terms
+        trace_diff = np.hypot(
+            *(states[:n, :2] - ref_states[:n, :2]).T
+        ).max()
+        if key == "sce2":
+            assert trace_diff < 0.1, (key, trace_diff)  # measured 0.065 m
+            assert mine_pos <= orac_pos + 1e-6, (key, mine_pos, orac_pos)
+        else:
+            mine_v = np.abs(states[: n - 1, 3] - refs[: n - 1, 0, 1]).mean()
+            orac_v = np.abs(ref_states[: n - 1, 3] - refs[: n - 1, 0, 1]).mean()
+            assert mine_v <= orac_v + 1e-6, (key, mine_v, orac_v)
+            assert mine_pos <= orac_pos + 1e-6, (key, mine_pos, orac_pos)
+            assert mine_pos < 0.3  # and good in absolute terms
