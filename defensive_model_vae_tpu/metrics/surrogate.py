@@ -40,43 +40,11 @@ def slice_episode(df: pd.DataFrame, scenario) -> pd.DataFrame:
     0<|sv1_ax|<0.1 and sv1_yaw<-90 and sv1_x>15.
     """
     sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
-    key = sce.key
-    if key == "sce1":
-        m_start = (
-            (df["ego_y"] > 0)
-            & (df["sv2_vx"].astype(float) != 0)
-            & (df["sv2_vy"].astype(float) != 0)
-        )
-        end_fn = lambda sub: sub["ego_y"] >= 80
-    elif key == "sce2":
-        m_start = df["sv1_yaw"].astype(float) < -150
-        end_fn = lambda sub: sub["ego_x"].astype(float) < -186.8897
-    elif key == "sce3":
-        ey = df["ego_y"].astype(float)
-        m_start = (
-            (ey < 40)
-            & (ey != 0)
-            & (df["sv1_vx"].astype(float) != 0)
-            & (df["sv1_vy"].astype(float) != 0)
-        )
-        end_fn = lambda sub: sub["ego_y"].astype(float) < -78
-    else:  # sce4
-        dist = np.hypot(
-            df["ego_x"].astype(float) - df["sv1_x"].astype(float),
-            df["ego_y"].astype(float) - df["sv1_y"].astype(float),
-        )
-        m_start = (dist <= 30) & (df["sv1_ax"].astype(float).abs() >= 0.1)
-        end_fn = lambda sub: (
-            (sub["sv1_ax"].astype(float).abs() < 0.1)
-            & (sub["sv1_yaw"].astype(float) < -90)
-            & (sub["sv1_ax"].astype(float) != 0)
-            & (sub["sv1_x"].astype(float) > 15)
-        )
-    i0 = _first_index(np.asarray(m_start))
+    i0 = _first_index(np.asarray(sce.sut_episode_start(df)))
     if i0 is None:
         raise ValueError(f"{sce.town}: no episode start row found")
     sub = df.iloc[i0:].reset_index(drop=True)
-    i1 = _first_index(np.asarray(end_fn(sub)))
+    i1 = _first_index(np.asarray(sce.sut_episode_end(sub)))
     if i1 is None:
         return sub
     return sub.iloc[: i1 + 1].reset_index(drop=True)
@@ -91,15 +59,9 @@ def ttc_1d(df: pd.DataFrame, scenario) -> np.ndarray:
     sce1: (sv2_y − ego_y)/(ego_vy − sv2_vy); sce2 same along x with sv2;
     sce3/sce4: y axis with sv1."""
     sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
-    if sce.key == "sce1":
-        num = df["sv2_y"].astype(float) - df["ego_y"].astype(float)
-        den = df["ego_vy"].astype(float) - df["sv2_vy"].astype(float)
-    elif sce.key == "sce2":
-        num = df["sv2_x"].astype(float) - df["ego_x"].astype(float)
-        den = df["ego_vx"].astype(float) - df["sv2_vx"].astype(float)
-    else:
-        num = df["sv1_y"].astype(float) - df["ego_y"].astype(float)
-        den = df["ego_vy"].astype(float) - df["sv1_vy"].astype(float)
+    sv, ax = sce.sut_ttc_vehicle, sce.sut_ttc_axis
+    num = df[f"{sv}_{ax}"].astype(float) - df[f"ego_{ax}"].astype(float)
+    den = df[f"ego_v{ax}"].astype(float) - df[f"{sv}_v{ax}"].astype(float)
     out = np.asarray(num) / np.where(np.asarray(den) == 0, np.nan, np.asarray(den))
     out = np.where(np.abs(np.asarray(den)) > EPS_V, out, np.nan)
     return out

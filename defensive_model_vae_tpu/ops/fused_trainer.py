@@ -355,7 +355,6 @@ def _fused_multi_call(plists, x_flat, cond, mask, seed, cfg, weights, epochs, lr
     out_shape = tuple(jax.ShapeDtypeStruct(p.shape, p.dtype) for p in plists) + (
         jax.ShapeDtypeStruct((S, epochs, 8), jnp.float32),
     )
-    metrics_arr = jnp.zeros((S, epochs, 8), jnp.float32)
     out_specs = tuple(block(p) for p in plists) + (
         pl.BlockSpec((1, epochs, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     )
@@ -381,7 +380,10 @@ def fused_train_multi(
     The Pallas grid axis enumerates scenarios; each grid program runs the
     full training loop for its model on its own padded batch block (with a
     sample mask), so the whole four-corpus job is one compile and one
-    launch.  Equivalent to calling :func:`fused_train` per scenario.
+    launch.  Each scenario i trains with its own derived seeds
+    (init ``PRNGKey(seed + i)``, core PRNG stream ``seed + grid index``) so
+    the models are independent — NOT bit-identical to calling
+    :func:`fused_train` per scenario with the same base ``seed``.
     """
     keys = sorted(windows_by_scenario.keys())
     first = next(iter(windows_by_scenario.values()))

@@ -117,6 +117,22 @@ class Scenario:
     # provenance block (pipeline.provenance)
     provenance_notes: Tuple[str, ...] = ()
 
+    # --- SUT episode slicing (reference Metrics_Calculation.py:143-210) ---
+    sut_episode_start: Optional[Predicate] = None
+    sut_episode_end: Optional[Predicate] = None
+    # 1-D TTC configuration (reference ``:213-249``): lead-vehicle column
+    # prefix and the axis the scenario closes along
+    sut_ttc_vehicle: str = "sv1"
+    sut_ttc_axis: str = "y"
+
+    # --- display conventions ---
+    # first background vehicle's rendered footprint (sce3's is a bicycle,
+    # reference Tools.py:397-400)
+    bv1_plot_size: Tuple[float, float] = (4.0, 2.0)
+    # the reference inverts the STV coordinate axis for every scenario but
+    # sce1 (Spatial_Distribution.py display convention)
+    stv_invert_axis: bool = True
+
 
 # ---------------------------------------------------------------------------
 # DNDA straight-line baselines (reference DNDA_calculator.py:38-78)
@@ -208,6 +224,58 @@ def _sce4_human_start(df):
     )
 
 
+# SUT episode slicing predicates (reference Metrics_Calculation.py:143-210)
+def _sce1_sut_start(df):
+    return (
+        (df["ego_y"] > 0)
+        & (df["sv2_vx"].astype(float) != 0)
+        & (df["sv2_vy"].astype(float) != 0)
+    )
+
+
+def _sce1_sut_end(df):
+    return df["ego_y"] >= 80
+
+
+def _sce2_sut_start(df):
+    return df["sv1_yaw"].astype(float) < -150
+
+
+def _sce2_sut_end(df):
+    return df["ego_x"].astype(float) < -186.8897
+
+
+def _sce3_sut_start(df):
+    ey = df["ego_y"].astype(float)
+    return (
+        (ey < 40)
+        & (ey != 0)
+        & (df["sv1_vx"].astype(float) != 0)
+        & (df["sv1_vy"].astype(float) != 0)
+    )
+
+
+def _sce3_sut_end(df):
+    return df["ego_y"].astype(float) < -78
+
+
+def _sce4_sut_start(df):
+    dist = np.hypot(
+        df["ego_x"].astype(float) - df["sv1_x"].astype(float),
+        df["ego_y"].astype(float) - df["sv1_y"].astype(float),
+    )
+    return (dist <= 30) & (df["sv1_ax"].astype(float).abs() >= 0.1)
+
+
+def _sce4_sut_end(df):
+    return (
+        (df["sv1_ax"].astype(float).abs() < 0.1)
+        & (df["sv1_yaw"].astype(float) < -90)
+        & (df["sv1_ax"].astype(float) != 0)
+        & (df["sv1_x"].astype(float) > 15)
+    )
+
+
 def _sce1_human_end(df):
     return df["ego_y"] >= 95
 
@@ -254,6 +322,11 @@ REGISTRY: Dict[str, Scenario] = {
         sut_jerk_axis="ay",
         dnda=DndaConfig(lane_num=2, lane_egodirect=2, baseline_fn=_baseline_sce1),
         artifact_dataset_start=_sce1_generation_start,
+        sut_episode_start=_sce1_sut_start,
+        sut_episode_end=_sce1_sut_end,
+        sut_ttc_vehicle="sv2",
+        sut_ttc_axis="y",
+        stv_invert_axis=False,
     ),
     "sce2": Scenario(
         key="sce2",
@@ -283,6 +356,10 @@ REGISTRY: Dict[str, Scenario] = {
         thw_distance_by_suffix=None,
         sut_jerk_axis="ax",
         dnda=DndaConfig(lane_num=2, lane_egodirect=2, baseline_fn=_baseline_sce2),
+        sut_episode_start=_sce2_sut_start,
+        sut_episode_end=_sce2_sut_end,
+        sut_ttc_vehicle="sv2",
+        sut_ttc_axis="x",
     ),
     "sce3": Scenario(
         key="sce3",
@@ -312,6 +389,9 @@ REGISTRY: Dict[str, Scenario] = {
         thw_distance_by_suffix=None,
         sut_jerk_axis="ay",
         dnda=DndaConfig(lane_num=1, lane_egodirect=1, baseline_fn=_baseline_sce3),
+        sut_episode_start=_sce3_sut_start,
+        sut_episode_end=_sce3_sut_end,
+        bv1_plot_size=(2.5, 1.5),  # sce3's first background vehicle is a bicycle
     ),
     "sce4": Scenario(
         key="sce4",
@@ -343,6 +423,8 @@ REGISTRY: Dict[str, Scenario] = {
         thw_distance_by_suffix={"3": 40.0, "default": 30.0},
         sut_jerk_axis="ay",
         dnda=DndaConfig(lane_num=3, lane_egodirect=3, baseline_fn=_baseline_sce4),
+        sut_episode_start=_sce4_sut_start,
+        sut_episode_end=_sce4_sut_end,
         provenance_notes=(
             "sce4 corpus is n=134: the 135th shipped window is stale "
             "(not derivable from any raw CSV); see tests/test_data.py",

@@ -43,18 +43,26 @@ class TrainConfig:
 
 
 def make_train_step(model_cfg: CVAEConfig, train_cfg: TrainConfig, optimizer):
-    """Build one jittable epoch step: (params, opt_state, key, batch, mask)
-    → (params, opt_state, metrics)."""
+    """Build one jittable epoch step:
+    (params, opt_state, key, batch, mask[, extra]) →
+    (params, opt_state, metrics).  ``extra`` is an optional (N, k) block of
+    extra condition features appended to the start point (the conditioned
+    variant); ``mask`` excludes padded rows from every loss mean."""
 
-    def loss_fn(params, key, batch, mask):
+    def loss_fn(params, key, batch, mask, extra):
         batch_rel, start_points = to_relative(batch)
-        recon, mu, logvar, _ = forward(params, key, batch_rel, start_points, model_cfg)
+        cond = (
+            start_points
+            if extra is None
+            else jnp.concatenate([start_points, extra], axis=1)
+        )
+        recon, mu, logvar, _ = forward(params, key, batch_rel, cond, model_cfg)
         total, comps = cvae_loss(recon, batch_rel, mu, logvar, train_cfg.weights, mask)
         return total, comps
 
-    def step(params, opt_state, key, batch, mask=None):
+    def step(params, opt_state, key, batch, mask=None, extra=None):
         (_, comps), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, key, batch, mask
+            params, key, batch, mask, extra
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -69,11 +77,11 @@ _METRIC_KEYS = ("total", "recon", "kld", "start", "time")
 def _scan_trainer(step, epochs):
     """Compile the whole training run as one scan over epochs."""
 
-    def run(params, opt_state, key, batch, mask):
+    def run(params, opt_state, key, batch, mask, extra):
         def body(carry, epoch):
             params, opt_state = carry
             k = jax.random.fold_in(key, epoch)
-            params, opt_state, comps = step(params, opt_state, k, batch, mask)
+            params, opt_state, comps = step(params, opt_state, k, batch, mask, extra)
             return (params, opt_state), jnp.stack(
                 [comps[k_] for k_ in _METRIC_KEYS]
             )
@@ -117,12 +125,7 @@ def train(
             seq_len=windows.shape[1], dim=windows.shape[2], cond_dim=cond_dim
         )
     batch = jnp.asarray(windows, jnp.float32)
-    if extra_cond is not None:
-        # fold extra condition features in by augmenting to_relative's output:
-        # handled inside loss via closure below
-        raise NotImplementedError(
-            "use train_conditioned() for extra condition features"
-        )
+    extra = None if extra_cond is None else jnp.asarray(extra_cond, jnp.float32)
 
     key = jax.random.PRNGKey(train_cfg.seed)
     optimizer = optax.adam(train_cfg.lr)
@@ -136,15 +139,29 @@ def train(
     step = make_train_step(model_cfg, train_cfg, optimizer)
     run = _scan_trainer(step, train_cfg.epochs)
 
+    mask = None
     if mesh is not None:
         from ..parallel import shard_batch, replicate
 
+        n_real = batch.shape[0]
         batch = shard_batch(batch, mesh)
+        if batch.shape[0] != n_real:
+            # shard_batch pads with duplicates of row 0 — mask them out so
+            # the loss means (and hence the gradients) match the unpadded
+            # full-batch objective exactly
+            mask = shard_batch(
+                jnp.concatenate(
+                    [jnp.ones((n_real, 1)), jnp.zeros((batch.shape[0] - n_real, 1))]
+                ),
+                mesh,
+            )
+        if extra is not None:
+            extra = shard_batch(extra, mesh)
         params = replicate(params, mesh)
         opt_state = replicate(opt_state, mesh)
 
     run = jax.jit(run, static_argnames=())
-    params, opt_state, metrics = run(params, opt_state, key, batch, None)
+    params, opt_state, metrics = run(params, opt_state, key, batch, mask, extra)
     metrics = np.asarray(metrics)
     history = {k: metrics[:, i] for i, k in enumerate(_METRIC_KEYS)}
     if return_state:
@@ -161,58 +178,17 @@ def train_conditioned(
     """Train the scenario-class/THW-conditioned variant.
 
     The condition vector is [start_x, start_y, extra...] — the generalized
-    form of the reference's start-point conditioning.
-    """
-    extra = jnp.asarray(extra_cond, jnp.float32)
+    form of the reference's start-point conditioning.  Thin wrapper over
+    :func:`train` (one trainer implementation — masking, mesh sharding,
+    and metric plumbing live in one place)."""
     model_cfg = CVAEConfig(
         seq_len=windows.shape[1],
         dim=windows.shape[2],
-        cond_dim=2 + extra.shape[1],
+        cond_dim=2 + np.asarray(extra_cond).shape[1],
     )
-    batch = jnp.asarray(windows, jnp.float32)
-
-    key = jax.random.PRNGKey(train_cfg.seed)
-    params = init_params(key, model_cfg)
-    optimizer = optax.adam(train_cfg.lr)
-    opt_state = optimizer.init(params)
-
-    def loss_fn(params, k, batch, extra):
-        batch_rel, start_points = to_relative(batch)
-        cond = jnp.concatenate([start_points, extra], axis=1)
-        recon, mu, logvar, _ = forward(params, k, batch_rel, cond, model_cfg)
-        total, comps = cvae_loss(recon, batch_rel, mu, logvar, train_cfg.weights)
-        return total, comps
-
-    def step(params, opt_state, k, batch, extra):
-        (_, comps), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, k, batch, extra
-        )
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, comps
-
-    def run(params, opt_state, key, batch, extra):
-        def body(carry, epoch):
-            params, opt_state = carry
-            k = jax.random.fold_in(key, epoch)
-            params, opt_state, comps = step(params, opt_state, k, batch, extra)
-            return (params, opt_state), jnp.stack([comps[m] for m in _METRIC_KEYS])
-
-        (params, opt_state), metrics = jax.lax.scan(
-            body, (params, opt_state), jnp.arange(train_cfg.epochs)
-        )
-        return params, metrics
-
-    if mesh is not None:
-        from ..parallel import shard_batch, replicate
-
-        batch = shard_batch(batch, mesh)
-        extra = shard_batch(extra, mesh)
-        params = replicate(params, mesh)
-        opt_state = replicate(opt_state, mesh)
-
-    params, metrics = jax.jit(run)(params, opt_state, key, batch, extra)
-    metrics = np.asarray(metrics)
-    history = {k: metrics[:, i] for i, k in enumerate(_METRIC_KEYS)}
+    params, history = train(
+        windows, model_cfg, train_cfg, extra_cond=extra_cond, mesh=mesh
+    )
     return params, history, model_cfg
 
 
@@ -296,8 +272,17 @@ def train_conv(
 
     if model_cfg is None:
         model_cfg = ConvCVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
-    x = jnp.asarray(windows, jnp.float32)
-    cond = x[:, 0, : min(2, x.shape[2])]
+    x_abs = jnp.asarray(windows, jnp.float32)
+    # RELATIVE targets + absolute-start condition, mirroring the dense CVAE
+    # (and conv_sample, which decodes relative and shifts by start_xy):
+    # dim>=3 windows are [t, x, y] → shift columns 1:3; dim==2 are [x, y]
+    if x_abs.shape[2] >= 3:
+        start = x_abs[:, 0, 1:3]
+        x = x_abs.at[:, :, 1:3].add(-start[:, None, :])
+    else:
+        start = x_abs[:, 0, :2]
+        x = x_abs - start[:, None, :]
+    cond = start
     if cond.shape[1] < model_cfg.cond_dim:
         cond = jnp.pad(cond, ((0, 0), (0, model_cfg.cond_dim - cond.shape[1])))
 

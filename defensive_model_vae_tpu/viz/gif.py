@@ -110,21 +110,26 @@ def animate_human_vs_model(
         ax.add_patch(rect)
         tracks.append((np.asarray(traj), _heading_series(np.asarray(traj)[:, :2]), line, rect, size))
 
-    bv_size = (2.5, 1.5) if sce.key == "sce3" else (4.0, 2.0)
+    bv_size = sce.bv1_plot_size
     add_track(model_traj, MODEL_COLOR, "Model")
     add_track(human_traj, HUMAN_COLOR, "Human")
     add_track(bv1_traj, BV_COLOR, "BV", bv_size)
     add_track(bv2_traj, BV_COLOR, None)
     ax.legend(loc="upper right")
 
-    n_frames = max(len(t[0]) for t in tracks)
-    frames = range(0, n_frames, frame_stride)
+    # advance every track on the shared CLOCK, not by frame index: tracks
+    # differ in length, start time, and sampling rate, and the reference
+    # synchronizes them by nearest time (``Tools.py:443-485``)
+    t_max = max(float(t[0][-1, 2]) for t in tracks)
+    frame_dt = sce.dt * frame_stride
+    frames = np.arange(0.0, t_max + frame_dt, frame_dt)
 
-    def update(i):
+    def update(now):
         artists = []
         for traj, headings, line, rect, size in tracks:
-            j = min(i, len(traj) - 1)
-            line.set_data(traj[: j + 1, 0], traj[: j + 1, 1])
+            j = int(np.argmin(np.abs(traj[:, 2] - now)))
+            past = traj[:, 2] <= now
+            line.set_data(traj[past, 0], traj[past, 1])
             rect.set_xy(
                 vehicle_rectangle(traj[j, 0], traj[j, 1], headings[j], *size)
             )

@@ -381,7 +381,7 @@ def plot_space_time_velocity(
         return None
 
     sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
-    invert = sce is not None and sce.key != "sce1"
+    invert = sce is not None and sce.stv_invert_axis
     axis_label = "X" if axis == "x" else "Y"
     plt = _plt()
 

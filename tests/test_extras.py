@@ -183,3 +183,26 @@ def test_orbax_checkpoint_backend(tmp_path):
         np.testing.assert_array_equal(flat0[k], np.asarray(flat1[k]))
     # overwrite in place works (orbax refuses by default; we clear first)
     save_checkpoint(d, params, cfg, "sce2", backend="orbax")
+
+
+def test_conv_train_sample_consistency_nonorigin():
+    """conv_sample must return trajectories anchored at the conditioned
+    start for corpora that do NOT start at the origin (review finding:
+    training on absolute windows + sampling with a start shift
+    double-shifted such corpora)."""
+    import jax
+
+    from defensive_model_vae_tpu.models import ConvCVAEConfig, conv_sample
+    from defensive_model_vae_tpu.train import TrainConfig
+    from defensive_model_vae_tpu.train.train import train_conv
+
+    rng = np.random.default_rng(0)
+    # random-walk windows translated far from the origin
+    steps = rng.normal(0, 1, (40, 30, 2)).cumsum(axis=1)
+    w = (steps - steps[:, :1] + np.array([500.0, -300.0])).astype(np.float32)
+    params, hist, cfg = train_conv(w, train_cfg=TrainConfig(epochs=300, seed=0))
+    assert hist["total"][-1] < hist["total"][0]
+    start = np.array([[500.0, -300.0]], np.float32)
+    out = np.asarray(conv_sample(params, jax.random.PRNGKey(1), start, cfg))
+    # sampled trajectory must begin near the conditioned start point
+    assert np.linalg.norm(out[0, 0] - start[0]) < 3.0, out[0, 0]

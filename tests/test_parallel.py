@@ -151,3 +151,22 @@ def test_dnda_sweep_sharded_over_mesh():
     single = sweep_frames(preps, device=True)
     for h, s, d in zip(host, sharded, single):
         assert np.array_equal(h, s) and np.array_equal(h, d)
+
+
+def test_mesh_training_matches_unpadded_objective(windows_sce1):
+    """Mesh padding rows (duplicates of row 0) must be masked out of the
+    loss — a 6-row corpus on an 8-device mesh trains the SAME objective as
+    the unmeshed full-batch run (review finding: the pad rows previously
+    biased every loss mean toward sample 0)."""
+    import numpy as np
+
+    from defensive_model_vae_tpu.parallel import create_mesh
+    from defensive_model_vae_tpu.train import TrainConfig, train
+
+    w = np.asarray(windows_sce1[:6])  # 6 rows: pads by 2 on 8 devices
+    tc = TrainConfig(epochs=20, seed=0)
+    _, h_plain = train(w, train_cfg=tc)
+    _, h_mesh = train(w, train_cfg=tc, mesh=create_mesh())
+    np.testing.assert_allclose(
+        h_plain["total"], h_mesh["total"], rtol=1e-5, atol=1e-6
+    )
