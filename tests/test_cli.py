@@ -1,0 +1,173 @@
+"""CLI wiring smoke tests for the subcommands not covered elsewhere.
+
+Each reference workflow's CLI replacement (SURVEY §5 config/CLI directive)
+is exercised end-to-end on real inputs where cheap, and via argument-wiring
+checks where the underlying stage is already covered by its own e2e test
+(``pipeline`` → test_pipeline.py::test_full_pipeline_quality_band).
+"""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from defensive_model_vae_tpu.cli import main
+
+from conftest import REFERENCE_ROOT, requires_reference
+
+COLLECTED = REFERENCE_ROOT / "SUT_Testing" / "collected_data"
+
+
+@requires_reference
+def test_cli_dataset(tmp_path, capsys):
+    main([
+        "dataset", "--scenario", "sce2",
+        "--data-root", str(REFERENCE_ROOT / "DefensiveData"),
+        "--out", str(tmp_path / "w.npy"),
+    ])
+    w = np.load(tmp_path / "w.npy")
+    assert w.shape == (16, 10, 3)
+    assert "saved" in capsys.readouterr().out
+
+
+@requires_reference
+def test_cli_dnda_episode(tmp_path, capsys):
+    main([
+        "dnda", "--scenario", "sce1",
+        "--csv", str(COLLECTED / "DEF_StaticBlindTown05_1.csv"),
+        "--max-frames", "3",
+        "--out-csv", str(tmp_path / "frames.csv"),
+    ])
+    rep = json.loads(capsys.readouterr().out)
+    assert len(rep["frames"]) == 3 and len(rep["dnda"]) == 3
+    assert 0.0 <= rep["max_dnda"] <= 1.0
+    rows = (tmp_path / "frames.csv").read_text().strip().splitlines()
+    assert rows[0] == "frame,dnda" and len(rows) == 4
+
+
+@requires_reference
+def test_cli_dnda_sweep(tmp_path, capsys):
+    d = tmp_path / "episodes"
+    d.mkdir()
+    shutil.copy(COLLECTED / "DEF_StaticBlindTown05_1.csv", d)
+    main([
+        "dnda-sweep", "--dir", str(d),
+        "--out", str(tmp_path / "summary.csv"),
+    ])
+    rows = json.loads(capsys.readouterr().out)
+    assert len(rows) == 1
+    assert rows[0]["model"] == "DEF" and rows[0]["scenario"] == "StaticBlindTown05"
+    assert 0.0 <= rows[0]["max_dnda"] <= 1.0
+    # summary CSV mirrors the reference's max_dnda_summary.csv
+    assert (tmp_path / "summary.csv").exists()
+
+
+@requires_reference
+@pytest.mark.parametrize("metric", ["TTC", "JERK"])
+def test_cli_metrics(metric, capsys):
+    main([
+        "metrics", "--scenario", "sce1",
+        "--csv", str(COLLECTED / "DEF_StaticBlindTown05_1.csv"),
+        "--metric", metric,
+    ])
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["metric"] == metric
+    assert rep["rows"] > 0 and rep["valid"] > 0
+    assert rep["min"] <= rep["mean"] <= rep["max"]
+
+
+@requires_reference
+def test_cli_writeback(tmp_path, capsys):
+    main([
+        "writeback",
+        "--npy", str(REFERENCE_ROOT / "results/GeneratedData/tracked_trajectory_sce1_exp11_3.npy"),
+        "--data-root", str(REFERENCE_ROOT / "DefensiveData"),
+        "--out-dir", str(tmp_path),
+    ])
+    out = capsys.readouterr().out
+    assert "saved" in out
+    written = [f for f in os.listdir(tmp_path) if f.endswith("_def.csv")]
+    assert len(written) == 1
+
+
+@requires_reference
+def test_cli_thw(tmp_path, capsys):
+    main([
+        "thw", "--scenario", "sce1",
+        "--data-root", str(REFERENCE_ROOT / "DefensiveData"),
+        "--out-velocity", str(tmp_path / "v.png"),
+        "--out-thw", str(tmp_path / "t.png"),
+    ])
+    rep = json.loads(capsys.readouterr().out)
+    assert len(rep["start_speeds"]) == 38  # one per sce1 CSV
+    assert len(rep["thw"]) == 38 and all(t > 0 for t in rep["thw"])
+    assert (tmp_path / "v.png").exists() and (tmp_path / "t.png").exists()
+
+
+@requires_reference
+def test_cli_speed_plots(tmp_path, capsys):
+    main([
+        "speed-plots", "--scenario", "sce1",
+        "--dir", str(COLLECTED),
+        "--out", str(tmp_path / "speeds.png"),
+    ])
+    assert "SUT episodes" in capsys.readouterr().out
+    assert (tmp_path / "speeds.png").exists()
+
+
+def test_cli_mpc_sweep(tmp_path, capsys):
+    # gentle straight path north at ~10 m/s, [x, y, t] rows
+    t = np.arange(12) * 0.5
+    wps = np.column_stack([np.full_like(t, -190.0), 20.0 + 10.0 * t, t])
+    np.save(tmp_path / "wps.npy", wps)
+    main([
+        "mpc-sweep", "--waypoints", str(tmp_path / "wps.npy"),
+        "--initial-state", "[-190.0, 20.0, 1.5708, 0.0, 10.0]",
+        "--combos", "10:5,20:10",
+    ])
+    rows = json.loads(capsys.readouterr().out)
+    assert [(r["P"], r["M"]) for r in rows] == [(10, 5), (20, 10)]
+    for r in rows:
+        assert r["max_error_m"] < 5.0
+
+
+def test_cli_serve(tmp_path, all_windows, capsys):
+    np.save(tmp_path / "w.npy", all_windows["sce2"])
+    main([
+        "train", "--scenario", "sce2", "--windows", str(tmp_path / "w.npy"),
+        "--ckpt", str(tmp_path / "ckpt"), "--epochs", "30",
+    ])
+    main([
+        "serve", "--ckpt", str(tmp_path / "ckpt"),
+        "--start-x", "-150.0", "--start-y", "-0.7",
+        "--heading", "3.14", "--vx", "-8.0", "--vy", "0.0",
+        "--steps", "16", "--out", str(tmp_path / "states.npy"),
+    ])
+    assert "saved" in capsys.readouterr().out
+    states = np.load(tmp_path / "states.npy")
+    assert states.shape == (1, 17, 4)  # initial state + 16 steps
+    assert np.all(np.isfinite(states))
+
+
+def test_cli_pipeline_wiring(monkeypatch, capsys):
+    """`defvae pipeline` maps its flags onto run_scenario (the stage itself
+    is e2e-tested in test_pipeline.py)."""
+    import defensive_model_vae_tpu.pipeline as pl
+
+    seen = {}
+
+    def fake_run_scenario(ckpt, scenario, data_root, out, seed=0):
+        seen.update(ckpt=ckpt, scenario=scenario, data_root=data_root,
+                    out=out, seed=seed)
+        return {"ok": True}
+
+    monkeypatch.setattr(pl, "run_scenario", fake_run_scenario)
+    main([
+        "pipeline", "--ckpt", "CK", "--scenario", "sce3",
+        "--data-root", "DR", "--out", "OUT", "--seed", "7",
+    ])
+    assert seen == {"ckpt": "CK", "scenario": "sce3", "data_root": "DR",
+                    "out": "OUT", "seed": 7}
+    assert json.loads(capsys.readouterr().out) == {"ok": True}
