@@ -24,6 +24,19 @@ import os
 import numpy as np
 
 
+def _jsonsafe(obj):
+    """Replace non-finite floats with None recursively — bare NaN/Infinity
+    is not valid JSON and breaks non-Python consumers of the CLI output
+    (same policy as pipeline.run_scenario's artifact serialization)."""
+    if isinstance(obj, float):
+        return obj if np.isfinite(obj) else None
+    if isinstance(obj, dict):
+        return {k: _jsonsafe(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonsafe(v) for v in obj]
+    return obj
+
+
 def _cmd_dataset(args):
     from .data import build_dataset, save_windows
 
@@ -110,7 +123,13 @@ def _cmd_dnda(args):
             w = _csv.writer(f)
             w.writerow(["frame", "dnda"])
             w.writerows(zip(res.frames, res.dnda))
-    print(json.dumps({"frames": res.frames, "dnda": res.dnda, "max_dnda": res.max_dnda}))
+    print(
+        json.dumps(
+            _jsonsafe(
+                {"frames": res.frames, "dnda": res.dnda, "max_dnda": res.max_dnda}
+            )
+        )
+    )
 
 
 def _cmd_dnda_sweep(args):
@@ -181,7 +200,7 @@ def _cmd_thw(args):
         report["thw"] = [round(float(t), 3) for t in thws]
         if args.out_thw:
             plot_histogram(thws, args.out_thw, f"THW — {sce.town}", "THW (s)")
-    print(json.dumps(report, indent=2))
+    print(json.dumps(_jsonsafe(report), indent=2))
 
 
 def _cmd_speed_plots(args):
@@ -253,7 +272,10 @@ def _cmd_serve(args):
 
     params, cfg, manifest = load_checkpoint(args.ckpt)
     mpc = MPCConfig(prediction_horizon=30, control_horizon=20, dt=args.dt)
-    serve = make_serve_fn(params, cfg, mpc, num_steps=args.steps)
+    serve = make_serve_fn(
+        params, cfg, mpc, num_steps=args.steps,
+        offset_mode=manifest.get("offset_mode", True),
+    )
     starts = np.tile([[args.start_x, args.start_y]], (args.batch, 1)).astype(np.float32)
     inits = np.tile(
         [[args.start_x, args.start_y, args.heading, args.vx, args.vy]],

@@ -170,22 +170,72 @@ def build_reference_device(
     return jnp.stack([th_held.T, v_win], axis=-1)
 
 
-def make_serve_fn(params, model_cfg, mpc_cfg, num_steps: int):
+_N_DRAWS = 8  # z candidates per serve request (degenerate-sample redraw)
+
+
+def select_valid_trajectory(trajs: jax.Array) -> jax.Array:
+    """Pick the first of K candidate decodes whose time column is strictly
+    increasing after the t₀ := 0 zeroing; monotone-repair the first
+    candidate when none is.
+
+    Device twin of ``pipeline.generate_and_track``'s host redraw loop (the
+    reference skips failed CSVs, ``Distribution.py:109-111``): serving
+    cannot drop a request, and a non-monotone time column would make the
+    not-a-knot system singular and return NaN states with no error (the
+    host ``PathReference`` raises for the same input).  The repair path is
+    the identity for any valid draw, so parity is untouched.
+
+    Args:
+        trajs: (K, T, 3) candidate [t, x, y] decodes.
+
+    Returns:
+        (T, 3) selected trajectory with a strictly increasing, zero-based
+        time column.
+    """
+    trajs = jnp.asarray(trajs)
+    t0z = trajs[:, :, 0].at[:, 0].set(0.0)
+    ok = jnp.all(jnp.diff(t0z, axis=1) > 0, axis=1)
+    pick = jnp.argmax(ok)  # first True; 0 when none
+    traj = trajs[pick]
+    t = t0z[pick]
+    # last-resort repair: running max + 1 ms ramp (identity when `ok` hit)
+    repaired = jax.lax.cummax(t) + jnp.arange(t.shape[0]) * 1e-3
+    t = jnp.where(ok.any(), t, repaired)
+    return jnp.stack([t, traj[:, 1], traj[:, 2]], axis=1)
+
+
+def make_serve_fn(params, model_cfg, mpc_cfg, num_steps: int,
+                  offset_mode: bool = True):
     """One jitted program: condition → sample → reference → MPC track.
 
     Returns ``serve(key, start_xy, initial_state) → (states, controls)``
     where ``start_xy`` is (B, 2) and ``initial_state`` (B, 5); the whole
     request executes on-device with no host round-trips.
+
+    ``offset_mode=False`` serves legacy non-offset checkpoints, whose
+    decoder emits absolute [t, x, y] that must NOT be shifted by the start
+    point (mirrors ``generate.load_and_generate``'s manifest handling).
     """
     from ..models import sample
+    from ..models.cvae import decode, encode_condition
     from .mpc import _simulate
 
     P = mpc_cfg.prediction_horizon
 
+    def _decode_one(key, start_xy):
+        if offset_mode:
+            return sample(params, key, start_xy[None], model_cfg)[0]  # (T, 3)
+        z = jax.random.normal(
+            key, (1, model_cfg.latent_dim), jnp.float32
+        )
+        return decode(params, z, encode_condition(params, start_xy[None]),
+                      model_cfg)[0]
+
     def one(key, start_xy, init_state):
-        traj = sample(params, key, start_xy[None], model_cfg)[0]  # (T, 3)
+        keys = jax.random.split(key, _N_DRAWS)
+        trajs = jax.vmap(_decode_one, in_axes=(0, None))(keys, start_xy)
+        traj = select_valid_trajectory(trajs)
         wp = jnp.stack([traj[:, 1], traj[:, 2], traj[:, 0]], axis=1)
-        wp = wp.at[0, 2].set(0.0)
         refs = build_reference_device(wp, init_state, num_steps, P, mpc_cfg.dt)
         # [x, y, theta, |v|] with the −2.8 wrap (host helper's device twin)
         theta = init_state[2]

@@ -96,15 +96,15 @@ def _relative_theta_init_q(ego_x, ego_y, ego_yaw, baseline: np.ndarray):
     return rel, init_q
 
 
-def _sur_input(row: Dict[str, float], raw: pd.Series, max_sv: int, sce) -> np.ndarray:
+def _sur_input(row: Dict[str, float], max_sv: int, sce) -> np.ndarray:
     """Surrounding-vehicle rows [x, y, len, wid, vx, vy, ax, ay, yaw]
     (reference ``generate_surVhe_input``, ``:176-207``); bikes get 2.0×0.7
-    (sce1's sv2, sce3's sv1), cars 4.0×2.0."""
+    (``sce.dnda.bike_svs`` — sce1's sv2, sce3's sv1), cars 4.0×2.0."""
     rows = []
     for i in range(1, max_sv + 1):
         if f"sv{i}_x" not in row:
             continue
-        if (sce.key == "sce1" and i == 2) or (sce.key == "sce3" and i == 1):
+        if i in sce.dnda.bike_svs:
             L, W = 2.0, 0.7
         else:
             L, W = 4.0, 2.0
@@ -120,19 +120,9 @@ def _sur_input(row: Dict[str, float], raw: pd.Series, max_sv: int, sce) -> np.nd
 
 
 def _should_stop(sce, row: pd.Series) -> bool:
-    """Per-scenario episode stop conditions (reference ``:317-338``)."""
-    if sce.key == "sce1":
-        return row["ego_y"] >= 80
-    if sce.key == "sce2":
-        return row["ego_x"] <= -186.8897
-    if sce.key == "sce3":
-        return row["ego_y"] <= -78
-    sv1_x = row.get("sv1_x", np.nan)
-    sv1_yaw = row.get("sv1_yaw", np.nan)
-    if not (np.isnan(sv1_x) or np.isnan(sv1_yaw)):
-        if sv1_x > 14 and abs(sv1_yaw - (-90)) < 3:
-            return True
-    return row["ego_y"] <= -160
+    """Per-scenario episode stop conditions (reference ``:317-338``),
+    centralized in the registry (``scenarios._dnda_stop_*``)."""
+    return sce.dnda.stop_fn(row)
 
 
 @dataclasses.dataclass
@@ -240,8 +230,11 @@ def score_directory(
             }
         )
     if out_csv:
+        # fixed field order so an episode-less directory still writes a
+        # valid (header-only) summary instead of crashing on rows[0]
+        fields = ["model", "scenario", "trial", "max_dnda", "frames", "file_path"]
         with open(out_csv, "w", newline="") as f:
-            writer = _csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            writer = _csv.DictWriter(f, fieldnames=fields)
             writer.writeheader()
             writer.writerows(rows)
     return rows
@@ -303,7 +296,7 @@ def _iter_frame_preps(
             + math.sin(row["ego_yaw"]) * row["ego_ay"],
             init_q=init_q, lane_posi=1, relative_theta=rel_theta,
         )
-        sur = _sur_input(row, raw, max_sv, sce)
+        sur = _sur_input(row, max_sv, sce)
         try:
             prep = prepare_frame(
                 time_horizon, time_step, road, ego, baseline, sur, basepoint_num

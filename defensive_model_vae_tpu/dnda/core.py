@@ -93,9 +93,19 @@ def prepare_frame(
             )
         )
 
-    # curvature bound from lateral-acceleration budget and steering limit
-    max_lat = math.sqrt(max(road.max_absolute_acc**2 - ego.acc**2, 0.0))
-    k_lat = max_lat / ego.speed**2 if ego.speed != 0 else float("inf")
+    # curvature bound from lateral-acceleration budget and steering limit.
+    # Preserved quirk: when |ego.acc| >= max_absolute_acc the reference
+    # computes np.sqrt(negative) -> nan and Python's min(1/6, nan) returns
+    # its FIRST argument (dnda_functions.py:610-616), so over-budget frames
+    # fall back to the steering-limit curvature 1/6 rather than zero.  We
+    # reproduce that (and also route the measure-zero |acc| == a_max case
+    # through it — the reference's k_lat = 0 there would divide-by-zero at
+    # r_min = 1/k_max, a latent defect we fix rather than reproduce).
+    lat_sq = road.max_absolute_acc**2 - ego.acc**2
+    if lat_sq > 0 and ego.speed != 0:
+        k_lat = math.sqrt(lat_sq) / ego.speed**2
+    else:
+        k_lat = float("inf")
     k_max = min(1.0 / 6.0, k_lat)
 
     # two-pass Frenet: coarse to measure length, then ~1 m arc steps

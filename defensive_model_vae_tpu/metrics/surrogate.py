@@ -74,7 +74,7 @@ def pet_rays(df: pd.DataFrame, scenario) -> np.ndarray:
     intersection forward in time, else NaN.  Partner: sv2 for sce1/sce2,
     sv1 for sce3/sce4 (``add_pet_column``, ``:277-286``)."""
     sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
-    sv = "sv2" if sce.key in ("sce1", "sce2") else "sv1"
+    sv = sce.pet_partner
 
     px1 = np.asarray(df["ego_x"], float)
     py1 = np.asarray(df["ego_y"], float)

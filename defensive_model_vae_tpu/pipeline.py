@@ -150,8 +150,8 @@ def validate(
     reference's print-and-copy workflow)."""
     sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
     if stv_axis is None:
-        # space axis = the one the scenario drives along
-        stv_axis = "x" if sce.key == "sce2" else "y"
+        # space axis = the one the scenario drives along (registry field)
+        stv_axis = sce.stv_axis
 
     if len(tracked) == 0 or len(humans) == 0:
         # tolerate empty inputs (e.g. every z-draw degenerate, or no CSVs

@@ -52,6 +52,13 @@ class DndaConfig:
     max_absolute_acc: float = 9.8
     # Baseline generator: returns flat [x1,y1,x2,y2,...] array, 0.25 m spacing.
     baseline_fn: Callable[[], np.ndarray] = None  # type: ignore[assignment]
+    # Surrounding vehicles rendered as bicycles (2.0 m × 0.7 m instead of
+    # 4.0 m × 2.0 m) — reference ``generate_surVhe_input`` special-cases
+    # sce1's sv2 and sce3's sv1 (``DNDA_calculator.py:176-207``).
+    bike_svs: Tuple[int, ...] = ()
+    # Episode stop predicate over one CSV row mapping (reference
+    # ``process_file`` per-scenario stop conditions, ``:317-338``).
+    stop_fn: Callable[["pandas.Series"], bool] = None  # type: ignore[assignment]  # noqa: F821
 
 
 @dataclasses.dataclass(frozen=True)
@@ -124,6 +131,12 @@ class Scenario:
     # prefix and the axis the scenario closes along
     sut_ttc_vehicle: str = "sv1"
     sut_ttc_axis: str = "y"
+    # PET conflict partner (reference ``add_pet_column``, ``:277-286``:
+    # sv2 for sce1/sce2, sv1 for sce3/sce4)
+    pet_partner: str = "sv1"
+    # space axis of the space-time-velocity surface = the axis the
+    # scenario drives along (reference Spatial_Distribution.py STV plots)
+    stv_axis: str = "y"
 
     # --- display conventions ---
     # first background vehicle's rendered footprint (sce3's is a bicycle,
@@ -163,6 +176,35 @@ def _baseline_sce4() -> np.ndarray:
     intercept = 220 - slope * 7.77
     x_values = y_values / slope - intercept / slope
     return np.stack([x_values, y_values], axis=1).ravel()
+
+
+# ---------------------------------------------------------------------------
+# DNDA episode stop predicates (reference ``process_file``,
+# ``DNDA_calculator.py:317-338``) — evaluated per CSV row; True ends the
+# episode before scoring that frame.
+# ---------------------------------------------------------------------------
+
+def _dnda_stop_sce1(row) -> bool:
+    return row["ego_y"] >= 80
+
+
+def _dnda_stop_sce2(row) -> bool:
+    return row["ego_x"] <= -186.8897
+
+
+def _dnda_stop_sce3(row) -> bool:
+    return row["ego_y"] <= -78
+
+
+def _dnda_stop_sce4(row) -> bool:
+    # stop once sv1 has completed its turn (x > 14, yaw ≈ −90°) or the ego
+    # has left the corridor
+    sv1_x = row.get("sv1_x", np.nan)
+    sv1_yaw = row.get("sv1_yaw", np.nan)
+    if not (np.isnan(sv1_x) or np.isnan(sv1_yaw)):
+        if sv1_x > 14 and abs(sv1_yaw - (-90)) < 3:
+            return True
+    return row["ego_y"] <= -160
 
 
 # ---------------------------------------------------------------------------
@@ -320,12 +362,16 @@ REGISTRY: Dict[str, Scenario] = {
         thw_distance=60.0,
         thw_distance_by_suffix=None,
         sut_jerk_axis="ay",
-        dnda=DndaConfig(lane_num=2, lane_egodirect=2, baseline_fn=_baseline_sce1),
+        dnda=DndaConfig(
+            lane_num=2, lane_egodirect=2, baseline_fn=_baseline_sce1,
+            bike_svs=(2,), stop_fn=_dnda_stop_sce1,
+        ),
         artifact_dataset_start=_sce1_generation_start,
         sut_episode_start=_sce1_sut_start,
         sut_episode_end=_sce1_sut_end,
         sut_ttc_vehicle="sv2",
         sut_ttc_axis="y",
+        pet_partner="sv2",
         stv_invert_axis=False,
     ),
     "sce2": Scenario(
@@ -355,11 +401,16 @@ REGISTRY: Dict[str, Scenario] = {
         thw_distance=None,
         thw_distance_by_suffix=None,
         sut_jerk_axis="ax",
-        dnda=DndaConfig(lane_num=2, lane_egodirect=2, baseline_fn=_baseline_sce2),
+        dnda=DndaConfig(
+            lane_num=2, lane_egodirect=2, baseline_fn=_baseline_sce2,
+            stop_fn=_dnda_stop_sce2,
+        ),
         sut_episode_start=_sce2_sut_start,
         sut_episode_end=_sce2_sut_end,
         sut_ttc_vehicle="sv2",
         sut_ttc_axis="x",
+        pet_partner="sv2",
+        stv_axis="x",
     ),
     "sce3": Scenario(
         key="sce3",
@@ -388,7 +439,10 @@ REGISTRY: Dict[str, Scenario] = {
         thw_distance=80.0,
         thw_distance_by_suffix=None,
         sut_jerk_axis="ay",
-        dnda=DndaConfig(lane_num=1, lane_egodirect=1, baseline_fn=_baseline_sce3),
+        dnda=DndaConfig(
+            lane_num=1, lane_egodirect=1, baseline_fn=_baseline_sce3,
+            bike_svs=(1,), stop_fn=_dnda_stop_sce3,
+        ),
         sut_episode_start=_sce3_sut_start,
         sut_episode_end=_sce3_sut_end,
         bv1_plot_size=(2.5, 1.5),  # sce3's first background vehicle is a bicycle
@@ -422,7 +476,10 @@ REGISTRY: Dict[str, Scenario] = {
         thw_distance=None,
         thw_distance_by_suffix={"3": 40.0, "default": 30.0},
         sut_jerk_axis="ay",
-        dnda=DndaConfig(lane_num=3, lane_egodirect=3, baseline_fn=_baseline_sce4),
+        dnda=DndaConfig(
+            lane_num=3, lane_egodirect=3, baseline_fn=_baseline_sce4,
+            stop_fn=_dnda_stop_sce4,
+        ),
         sut_episode_start=_sce4_sut_start,
         sut_episode_end=_sce4_sut_end,
         provenance_notes=(

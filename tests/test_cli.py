@@ -151,6 +151,22 @@ def test_cli_serve(tmp_path, all_windows, capsys):
     assert np.all(np.isfinite(states))
 
 
+def test_jsonsafe():
+    """CLI JSON outputs must be strict JSON: non-finite floats → null
+    (e.g. max_dnda = -inf on an episode with no scorable frame, THW = NaN
+    at zero start speed)."""
+    from defensive_model_vae_tpu.cli import _jsonsafe
+
+    out = _jsonsafe({
+        "a": float("-inf"), "b": [1.0, float("nan")],
+        "c": {"d": float("inf"), "e": 2}, "f": "text",
+    })
+    assert out == {"a": None, "b": [1.0, None], "c": {"d": None, "e": 2},
+                   "f": "text"}
+    # round-trips through the strict parser
+    json.loads(json.dumps(out))
+
+
 def test_cli_pipeline_wiring(monkeypatch, capsys):
     """`defvae pipeline` maps its flags onto run_scenario (the stage itself
     is e2e-tested in test_pipeline.py)."""

@@ -320,6 +320,68 @@ def test_da_rl_differential_fuzz_vs_live_reference():
 
 
 @requires_reference
+@requires_reference
+def test_overbudget_acc_quirk_matches_live_reference():
+    """|ego.acc| > max_absolute_acc: the reference computes np.sqrt(neg) →
+    nan and min(1/6, nan) returns 1/6 (dnda_functions.py:610-616), scoring
+    the frame with the steering-limit curvature.  Our guarded branch must
+    reproduce that exactly instead of dividing by zero (round-1 behavior
+    crashed here and silently dropped the frame)."""
+    import contextlib
+    import io
+    import sys
+    import warnings
+
+    sys.path.insert(0, str(REFERENCE_ROOT / "SUT_Testing/tools"))
+    try:
+        from dnda_functions import DrivableArea_RiskLevel_Calculation as ref_calc
+        from DNDA import Road as RefRoad, Vehicle as RefVehicle
+    finally:
+        sys.path.pop(0)
+
+    n_base = 600
+    bx = np.arange(n_base) * 0.25 - 20.0
+    baseline = np.column_stack([bx, np.zeros(n_base)])
+    ego_kwargs = dict(
+        x=0.5, y=0.2, length=7.2, width=2.3,
+        speed=10.0, acc=12.0,  # hard-braking spike beyond the 9.8 budget
+        lane_posi=1, absolute_theta=0.0, relative_theta=0.02,
+    )
+    ego_kwargs["speed_x"] = ego_kwargs["speed"] * math.cos(0.02)
+    ego_kwargs["speed_y"] = ego_kwargs["speed"] * math.sin(0.02)
+    ego_kwargs["init_q"] = ego_kwargs["y"]
+    sv = [20.0, 0.5, 4.0, 2.0, -2.0, 0.0, 0.0, 0.0, 0.0]
+
+    with contextlib.redirect_stdout(io.StringIO()), warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # sqrt(neg) → nan
+        da_r, rl_r = ref_calc(
+            3.0, 0.1,
+            RefRoad(cross_centerline=False, lane_num=2, lane_egodirect=2,
+                    lane_width=3.5, maxAbsoluteAcc=9.8),
+            RefVehicle(**ego_kwargs),
+            baseline.ravel().tolist(), n_base, sv, 1,
+            1, False, False, 400, "", "",
+        )
+    da_m, rl_m = drivable_area_risk_level(
+        3.0, 0.1, Road(False, 2, 2, 3.5, 9.8), Vehicle(**ego_kwargs),
+        baseline, np.asarray(sv).reshape(1, 9), 400,
+    )
+    assert np.isclose(da_m, da_r, rtol=1e-6), (da_m, da_r)
+    assert np.isclose(rl_m, rl_r, rtol=1e-9, atol=1e-9), (rl_m, rl_r)
+
+
+def test_score_directory_empty_dir(tmp_path):
+    """A directory with no episode-pattern CSVs writes a header-only
+    summary instead of crashing on rows[0]."""
+    from defensive_model_vae_tpu.dnda import score_directory
+
+    (tmp_path / "exp_11_control_Town05_3.csv").write_text("frame,id\n1,0\n")
+    rows = score_directory(tmp_path, out_csv=str(tmp_path / "summary.csv"))
+    assert rows == []
+    lines = (tmp_path / "summary.csv").read_text().strip().splitlines()
+    assert lines == ["model,scenario,trial,max_dnda,frames,file_path"]
+
+
 def test_score_directory(tmp_path):
     import shutil
 

@@ -271,15 +271,79 @@ def test_serve_fn_end_to_end(windows_sce1):
     assert states.shape == (2, 81, 4)
     assert np.isfinite(states).all()
 
-    # request 0 tracks its own waypoints
+    # request 0 tracks its own waypoints (reproduce serve's candidate
+    # selection: K z-draws per request, first monotone-time decode wins)
+    from defensive_model_vae_tpu.control.device_reference import (
+        _N_DRAWS,
+        select_valid_trajectory,
+    )
+
     keys = jax.random.split(key, 2)
-    traj = np.asarray(sample(params, keys[0], starts[0][None], cfg)[0])
-    wp = traj[:, [1, 2, 0]].astype(float)
-    wp[0, 2] = 0.0
+    subkeys = jax.random.split(keys[0], _N_DRAWS)
+    cands = jnp.stack([sample(params, k, starts[0][None], cfg)[0] for k in subkeys])
+    traj = np.asarray(select_valid_trajectory(cands)).astype(float)
+    wp = traj[:, [1, 2, 0]]
     ref = PathReference(wp, inits[0].astype(float))
     n = min(81, int(wp[-1, 2] / mpc.dt) + 1)
     err = ref.position_error(np.arange(n) * mpc.dt, states[0, :n, :2])
     assert err.mean() < 2.0
+
+
+def test_select_valid_trajectory():
+    """Serve-path degenerate-sample handling: first monotone-time candidate
+    wins; all-degenerate falls back to a monotone repair of candidate 0."""
+    from defensive_model_vae_tpu.control.device_reference import (
+        select_valid_trajectory,
+    )
+
+    T = 6
+    good = np.column_stack([np.arange(T) * 0.5, np.arange(T), np.ones(T)])
+    bad = good.copy()
+    bad[:, 0] = [0.0, 0.4, 0.3, 0.9, 1.2, 1.5]  # non-monotone time
+    # candidate 0 bad, candidate 2 good → picks 2 verbatim (t0 zeroed)
+    out = np.asarray(select_valid_trajectory(jnp.stack([bad, bad, good, good])))
+    expect = good.copy()
+    expect[0, 0] = 0.0
+    assert np.allclose(out, expect)
+
+    # all bad → candidate 0, time repaired to strictly increasing
+    out = np.asarray(select_valid_trajectory(jnp.stack([bad, bad])))
+    assert np.all(np.diff(out[:, 0]) > 0)
+    assert np.allclose(out[:, 1:], bad[:, 1:])
+
+    # a valid single candidate passes through untouched
+    out = np.asarray(select_valid_trajectory(good[None]))
+    assert np.allclose(out, expect)
+
+
+def test_serve_offset_mode():
+    """offset_mode=False must skip the start shift (legacy non-offset
+    checkpoints decode absolute coordinates).  At start=(0,0) the shift is
+    a no-op so both modes agree bit-for-bit; at a nonzero start they must
+    diverge."""
+    from defensive_model_vae_tpu.control.device_reference import make_serve_fn
+    from defensive_model_vae_tpu.models import CVAEConfig, init_params
+
+    cfg = CVAEConfig()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    mpc = MPCConfig(prediction_horizon=8, control_horizon=5, dt=0.1)
+    serve_on = make_serve_fn(params, cfg, mpc, num_steps=12, offset_mode=True)
+    serve_off = make_serve_fn(params, cfg, mpc, num_steps=12, offset_mode=False)
+
+    key = jax.random.PRNGKey(3)
+    init = jnp.asarray([[0.0, 0.0, 1.57, 0.0, 5.0]], jnp.float32)
+    zero = jnp.zeros((1, 2), jnp.float32)
+    s_on, _ = serve_on(key, zero, init)
+    s_off, _ = serve_off(key, zero, init)
+    assert np.array_equal(np.asarray(s_on), np.asarray(s_off))
+
+    start = jnp.asarray([[-190.0, 40.0]], jnp.float32)
+    init2 = jnp.asarray([[-190.0, 40.0, 1.57, 0.0, 5.0]], jnp.float32)
+    s_on2, _ = serve_on(key, start, init2)
+    s_off2, _ = serve_off(key, start, init2)
+    assert not np.array_equal(np.asarray(s_on2), np.asarray(s_off2))
+    assert np.isfinite(np.asarray(s_on2)).all()
+    assert np.isfinite(np.asarray(s_off2)).all()
 
 
 def test_tracker_vs_slsqp_oracle_on_hard_paths(all_windows):
