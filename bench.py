@@ -30,6 +30,10 @@ try:
 except Exception:
     pass
 
+# Fallback torch-CPU training rate (windows/s) used when the live baseline
+# is skipped (--warm-only) or fails; recorded on this image's CPU, 2026-08.
+RECORDED_TORCH_CPU_RATE = 5600.0
+
 
 def _log(msg):
     print(msg, file=sys.stderr, flush=True)
@@ -72,6 +76,7 @@ def bench_jax(windows, epochs=3000):
         from defensive_model_vae_tpu.train import TrainConfig, train
 
         tc = TrainConfig(epochs=epochs)
+        t0 = time.time()  # time ONLY the scan trainer, not the failed fused run
         _, hist = train(windows, train_cfg=tc)
         cold = time.time() - t0
         t0 = time.time()
@@ -169,13 +174,15 @@ def bench_multi_kernel():
     """
     from defensive_model_vae_tpu.ops import fused_train_multi
 
+    from defensive_model_vae_tpu import scenarios
+
     here = os.path.dirname(os.path.abspath(__file__))
     corpora = {}
-    for key in ("sce1", "sce2", "sce3", "sce4"):
+    for key in scenarios.REGISTRY:
         fix = os.path.join(here, "fixtures", f"trajectory_{key}_cond.npy")
         if os.path.exists(fix):
             corpora[key] = np.load(fix)
-    if len(corpora) < 4:
+    if len(corpora) < len(scenarios.REGISTRY):
         _log("multi-kernel check skipped (fixtures missing)")
         return None
     t0 = time.time()
@@ -270,7 +277,7 @@ def main():
         # (generation bench, multi-kernel check, live torch re-baseline) —
         # for wall-clock-constrained driver rounds; the persistent
         # .jax_cache keeps even the 'cold' compile cheap on repeats
-        torch_rate = 5600.0  # recorded on this image's CPU, 2026-08
+        torch_rate = RECORDED_TORCH_CPU_RATE
     dnda_s = mpc_s = None
     if not warm_only:
         bench_generation(windows)
@@ -287,7 +294,7 @@ def main():
             torch_rate = bench_torch_baseline(windows)
         except Exception as e:  # torch missing/broken → recorded rate
             _log(f"torch baseline failed ({e}); using recorded CPU rate")
-            torch_rate = 5600.0  # measured on this image's CPU, 2026-08
+            torch_rate = RECORDED_TORCH_CPU_RATE
     result = {
         "metric": "vae_train_windows_per_sec_per_chip",
         "value": round(jax_rate, 1),

@@ -44,6 +44,11 @@ inline double parse_field(const char *begin, const char *end) {
     --end;
   if (begin == end)
     return std::nan("");
+  // from_chars rejects a leading '+' that pandas (the fallback parser)
+  // accepts — skip it so both paths parse '+1.5'-style fields identically
+  if (*begin == '+' && end - begin > 1 &&
+      ((begin[1] >= '0' && begin[1] <= '9') || begin[1] == '.'))
+    ++begin;
   double value;
   auto res = std::from_chars(begin, end, value);
   if (res.ec != std::errc() || res.ptr != end)

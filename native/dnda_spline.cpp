@@ -58,13 +58,15 @@ int dmv_fmm_spline(int64_t n, const double *x, const double *y,
     // third-difference end conditions (c3 = diff(slope))
     const double c3_0 = slope[1] - slope[0];
     const double c3_1 = slope[2] - slope[1];
-    rhs[0] = (c3_1 / (x[3] - x[1]) - c3_0 / (x[2] - x[0])) * h[0] * h[0] /
+    // h**2 is rounded FIRST, matching numpy's `expr * h[0] ** 2 / denom`
+    // association bit-for-bit (spline.py:212-217)
+    rhs[0] = (c3_1 / (x[3] - x[1]) - c3_0 / (x[2] - x[0])) * (h[0] * h[0]) /
              (x[3] - x[0]);
     const double c3_m1 = slope[n - 2] - slope[n - 3];
     const double c3_m2 = slope[n - 3] - slope[n - 4];
     rhs[n - 1] = -(c3_m1 / (x[n - 1] - x[n - 3]) -
                    c3_m2 / (x[n - 2] - x[n - 4])) *
-                 h[n - 2] * h[n - 2] / (x[n - 1] - x[n - 4]);
+                 (h[n - 2] * h[n - 2]) / (x[n - 1] - x[n - 4]);
   }
 
   // Thomas sweep (same order as the Python implementation)

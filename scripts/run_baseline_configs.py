@@ -33,6 +33,7 @@ def main():
     )
     args = ap.parse_args()
 
+    from defensive_model_vae_tpu import scenarios
     from defensive_model_vae_tpu.data import generate_random_trajectories
     from defensive_model_vae_tpu.data.features import build_conditioned_corpus
     from defensive_model_vae_tpu.generate import generate_trajectories
@@ -41,7 +42,7 @@ def main():
 
     windows = {
         k: np.load(os.path.join(FIXTURES, f"trajectory_{k}_cond.npy"))
-        for k in ("sce1", "sce2", "sce3", "sce4")
+        for k in scenarios.REGISTRY
     }
     report = {}
 

@@ -33,6 +33,19 @@ def test_native_parses_synthetic(tmp_path):
     assert list(df.columns) == list(ref.columns)
 
 
+def test_native_plus_sign_matches_pandas(tmp_path):
+    """from_chars rejects a leading '+' that pandas accepts — the loader
+    strips it so both parsers agree; '+-1.5'-style garbage stays NaN on
+    both paths."""
+    p = tmp_path / "plus.csv"
+    p.write_text("a,b,c\n+1.5,+.25,+3e2\n+-1.5,++2,+\n")
+    _, data = read_csv_native(str(p))
+    ref = pd.read_csv(str(p)).apply(pd.to_numeric, errors="coerce").to_numpy(float)
+    assert np.allclose(data, ref, equal_nan=True), (data, ref)
+    assert data[0].tolist() == [1.5, 0.25, 300.0]
+    assert np.isnan(data[1]).all()
+
+
 @requires_reference
 def test_native_parity_on_real_corpus_sample():
     csvs = sorted(glob.glob(str(REFERENCE_ROOT / "DefensiveData/*/*/*.csv")))
