@@ -218,7 +218,11 @@ def _sweep_batch(frames, *, n_time, time_step, time_horizon, sat_dtype, mesh=Non
     F = frames[0].shape[0]
     outs = []
     for k in range(0, F, _CHUNK):
-        chunk = tuple(a[k : k + _CHUNK] for a in frames)
+        # slice on the HOST (frames stay numpy): slicing jnp arrays here
+        # would eagerly compile one dynamic_slice executable per array per
+        # chunk offset (~0.4 s each, below the persistent-cache write
+        # threshold) — tens of seconds of uncacheable compile per process
+        chunk = tuple(np.ascontiguousarray(a[k : k + _CHUNK]) for a in frames)
         if sharding is not None:
             chunk = tuple(jax.device_put(a, sharding) for a in chunk)
         outs.append(
@@ -227,7 +231,7 @@ def _sweep_batch(frames, *, n_time, time_step, time_horizon, sat_dtype, mesh=Non
                 time_horizon=time_horizon, sat_dtype=sat_dtype,
             )
         )
-    return jnp.concatenate(outs, axis=0)
+    return np.concatenate([np.asarray(o) for o in outs], axis=0)
 
 
 def sweep_frames_device(
@@ -304,22 +308,16 @@ def sweep_frames_device(
     enable_persistent_cache()
     sdt = jnp.dtype(sat_dtype)
     with jax.enable_x64():
+        # host numpy in, per-chunk transfer inside _sweep_batch (see the
+        # host-slicing note there)
         ci = _sweep_batch(
-            (
-                jnp.asarray(ego),
-                jnp.asarray(arcs),
-                jnp.asarray(spd),
-                jnp.asarray(sur),
-                jnp.asarray(vmask),
-                jnp.asarray(npts),
-            ),
+            (ego, arcs, spd, sur, vmask, npts),
             n_time=n_time,
             time_step=time_step,
             time_horizon=time_horizon,
             sat_dtype=None if sdt == jnp.float64 else sdt,
             mesh=mesh,
         )
-    ci = np.asarray(ci)
     return [
         ci[f, : len(ego_rects_per_frame[f])].astype(int) for f in range(F0)
     ]

@@ -40,6 +40,40 @@ def _cubic_lateral_profile(ego: Vehicle, cdnt_arc, seg_end: int, qf: float):
     return a, b, c, d
 
 
+def _cubic_lateral_profiles(ego: Vehicle, cdnt_arc, seg_ends, qfs):
+    """Batched :func:`_cubic_lateral_profile`: one stacked LAPACK solve for
+    many paths (per-slice gesv — results identical to the scalar calls)."""
+    d = ego.init_q
+    c = math.tan(ego.relative_theta)
+    k = len(seg_ends)
+    A = np.empty((k, 2, 2))
+    B = np.empty((k, 2))
+    # entries built with the SAME scalar arithmetic as the per-path helper
+    # (vectorized `L**3` etc. round differently at ~1 ulp)
+    for j, (s, q) in enumerate(zip(seg_ends, qfs)):
+        L = cdnt_arc[s] - cdnt_arc[0]
+        A[j, 0, 0] = L**3
+        A[j, 0, 1] = L**2
+        A[j, 1, 0] = 3 * L**2
+        A[j, 1, 1] = 2 * L
+        B[j, 0] = q - d - c * L
+        B[j, 1] = -c
+    try:
+        # (k, 2, 1) rhs: numpy 2.x only vector-dispatches 1-D b
+        ab = np.linalg.solve(A, B[..., None])[..., 0]
+    except np.linalg.LinAlgError:
+        # singular slice — fall back to the scalar path (zeros there)
+        return [
+            _cubic_lateral_profile(ego, cdnt_arc, s, q)
+            for s, q in zip(seg_ends, qfs)
+        ]
+    out = []
+    for row in ab:
+        a, b = (0.0 if np.isnan(v) else float(v) for v in row)
+        out.append((a, b, c, d))
+    return out
+
+
 def _path_xy(way: Way, cdnt_arc, seg_end: int, a, b, c, d):
     """Evaluate one candidate path over grid indices 0..seg_end."""
     s = cdnt_arc[: seg_end + 1] - cdnt_arc[0]
@@ -133,26 +167,38 @@ def generate_ego_cluster(
         seg.append(min(max(s, 10), m_equal))
         qf.append(-deviation_right + unit_dev * i)
 
-    # iterative lengthening until every path satisfies the curvature bound
+    # iterative lengthening until every path satisfies the curvature bound.
+    # The reference recomputes EVERY path each sweep (``:1240-1300``), but
+    # a path whose seg is unchanged (done, or over-limit — the +2/−2 there
+    # nets to no change) recomputes to identical values, so only paths
+    # whose seg actually grew are recomputed — bit-identical output.
     done = [False] * traj_num
     over = [False] * traj_num
     k_maxes = [0.0] * traj_num
     profiles = [None] * traj_num
+    dirty = list(range(traj_num))
     while not all(done):
-        for i in range(traj_num):
-            a, b, c, d = _cubic_lateral_profile(ego, cdnt_arc, seg[i], qf[i])
-            profiles[i] = (a, b, c, d)
-            x, y = _path_xy(way, cdnt_arc, seg[i], a, b, c, d)
-            k_maxes[i] = _max_curvature(x, y)
+        if dirty:
+            # one batched LAPACK solve for all dirty paths (bit-identical
+            # to per-path np.linalg.solve — same gesv per slice)
+            for i, prof in zip(dirty, _cubic_lateral_profiles(
+                ego, cdnt_arc, [seg[i] for i in dirty], [qf[i] for i in dirty]
+            )):
+                profiles[i] = prof
+                x, y = _path_xy(way, cdnt_arc, seg[i], *prof)
+                k_maxes[i] = _max_curvature(x, y)
+        dirty = []
         for i in range(traj_num):
             if done[i]:
                 continue
             if k_maxes[i] > k_max:
                 seg[i] += 2
                 if seg[i] >= m_equal - 1:
-                    seg[i] -= 2
+                    seg[i] -= 2  # net seg unchanged — no recompute needed
                     over[i] = True
                     done[i] = True
+                else:
+                    dirty.append(i)
             else:
                 done[i] = True
 
