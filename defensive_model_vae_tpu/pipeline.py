@@ -54,6 +54,16 @@ def _csv_trace_name(scenario_key: str, csv_path: str) -> str:
     return f"tracked_trajectory_{scenario_key}_exp{parts[1]}_{parts[-1].split('.')[0]}.npy"
 
 
+def _valid_waypoint_times(gen: np.ndarray) -> np.ndarray:
+    """Per-sample mask: times remain strictly increasing after the first
+    timestamp is zeroed (the tracker sees ``[0, t1, t2, ...]``, mirroring
+    the reference's ``waypoints[0,2]=0`` — MPC_test1.py), so validity
+    requires ``t1 > 0`` as well as a strictly increasing tail.  A
+    negative-t0 sample with ``t1 <= 0`` passes a plain diff check yet
+    becomes non-increasing after the zeroing."""
+    return np.all(np.diff(gen[:, 1:, 0], axis=1) > 0, axis=1) & (gen[:, 1, 0] > 0)
+
+
 def generate_and_track(
     params,
     model_cfg: CVAEConfig,
@@ -84,8 +94,7 @@ def generate_and_track(
     # failed CSVs (``:109-111``), losing coverage
     gen = _draw(seed)
 
-    def _monotone(g):
-        return np.all(np.diff(g[:, :, 0], axis=1) > 0, axis=1)
+    _monotone = _valid_waypoint_times
 
     ok = _monotone(gen)
     for retry in range(1, 4):

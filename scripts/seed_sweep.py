@@ -43,7 +43,8 @@ METRICS = list(next(iter(PUBLISHED.values())).keys())
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenario", required=True)
-    ap.add_argument("--train-seeds", default="0:70", help="start:stop range")
+    ap.add_argument("--train-seeds", default="0:70",
+                    help="comma-separated start:stop ranges and/or single seeds, e.g. 0:70 or 59:110,29,13")
     ap.add_argument("--select-gen-seeds", default="5,6,8")
     ap.add_argument("--epochs", type=int, default=3000)
     ap.add_argument("--data-root", default="/root/reference/DefensiveData")
@@ -64,7 +65,13 @@ def main():
 
     sce = scenarios.get(args.scenario)
     pub = PUBLISHED[sce.key]
-    lo, hi = (int(v) for v in args.train_seeds.split(":"))
+    seeds: list[int] = []
+    for part in args.train_seeds.split(","):
+        if ":" in part:
+            lo, hi = (int(v) for v in part.split(":"))
+            seeds.extend(range(lo, hi))
+        else:
+            seeds.append(int(part))
     gens = [int(v) for v in args.select_gen_seeds.split(",")]
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     wpath = args.windows or os.path.join(here, "fixtures", f"trajectory_{sce.key}_cond.npy")
@@ -74,7 +81,7 @@ def main():
     cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
 
     results = []
-    for ts in range(lo, hi):
+    for ts in seeds:
         t0 = time.time()
         params, hist = train(windows, train_cfg=TrainConfig(epochs=args.epochs, seed=ts))
         per_gen = {}
@@ -104,7 +111,7 @@ def main():
         with open(args.out, "w") as f:
             json.dump({
                 "scenario": sce.key,
-                "train_seeds": [lo, hi],
+                "train_seeds": seeds,
                 "select_gen_seeds": gens,
                 "epochs": args.epochs,
                 "published_best": pub,

@@ -211,3 +211,19 @@ def test_cli_import_and_validate(tmp_path):
         "--tracked-dir", str(tmp_path / "traces"),
         "--data-root", str(REFERENCE_ROOT / "DefensiveData"),
     ])
+
+
+def test_valid_waypoint_times_accounts_for_zeroed_first_timestamp():
+    """Regression: a sample with negative t0 and t1 <= 0 has strictly
+    increasing raw times but becomes non-increasing once the tracker
+    zeroes t0 — it must be rejected (it crashed an sce1 seed sweep)."""
+    import numpy as np
+
+    from defensive_model_vae_tpu.pipeline import _valid_waypoint_times
+
+    good = np.array([[[0.01, 0, 0], [0.2, 1, 1], [0.4, 2, 2]]])
+    neg_t0_ok = np.array([[[-0.1, 0, 0], [0.2, 1, 1], [0.4, 2, 2]]])
+    neg_t0_bad = np.array([[[-0.3, 0, 0], [-0.1, 1, 1], [0.4, 2, 2]]])
+    tail_bad = np.array([[[0.0, 0, 0], [0.4, 1, 1], [0.2, 2, 2]]])
+    batch = np.concatenate([good, neg_t0_ok, neg_t0_bad, tail_bad])
+    assert _valid_waypoint_times(batch).tolist() == [True, True, False, False]
