@@ -46,7 +46,8 @@ def main():
     ap.add_argument("--train-seeds", default="0:70",
                     help="comma-separated start:stop ranges and/or single seeds, e.g. 0:70 or 59:110,29,13")
     ap.add_argument("--select-gen-seeds", default="5,6,8")
-    ap.add_argument("--epochs", type=int, default=3000)
+    ap.add_argument("--epochs", default="3000",
+                    help="comma-separated epoch counts; each (epochs, seed) pair is a candidate")
     ap.add_argument("--data-root", default="/root/reference/DefensiveData")
     ap.add_argument("--windows", default=None,
                     help="windows npy (default fixtures/trajectory_<sce>_cond.npy)")
@@ -80,10 +81,11 @@ def main():
     humans = load_humans(sce, csvs)
     cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
 
+    epoch_counts = [int(v) for v in str(args.epochs).split(",")]
     results = []
-    for ts in seeds:
+    for ts, n_epochs in ((s, e) for e in epoch_counts for s in seeds):
         t0 = time.time()
-        params, hist = train(windows, train_cfg=TrainConfig(epochs=args.epochs, seed=ts))
+        params, hist = train(windows, train_cfg=TrainConfig(epochs=n_epochs, seed=ts))
         per_gen = {}
         for g in gens:
             traces, _ = generate_and_track(params, cfg, sce, csvs, seed=g)
@@ -97,12 +99,13 @@ def main():
         # the unselected reporting band far better than any single metric
         worst_margin = min((pub[m] - means[m]) / pub[m] for m in METRICS)
         results.append({
-            "train_seed": ts, "final_loss": float(hist["total"][-1]),
+            "train_seed": ts, "epochs": n_epochs,
+            "final_loss": float(hist["total"][-1]),
             "means": means, "per_gen": per_gen, "beats_published": beaten,
             "worst_margin": worst_margin,
         })
         print(
-            f"seed {ts:3d}: beats {beaten}/4  "
+            f"seed {ts:3d} ep{n_epochs}: beats {beaten}/4  "
             + "  ".join(f"{m.split('_')[-1]}={means[m]:.4f}" for m in METRICS)
             + f"  ({time.time() - t0:.1f}s)",
             flush=True,
@@ -119,7 +122,7 @@ def main():
                 "scenario": sce.key,
                 "train_seeds": seeds,
                 "select_gen_seeds": gens,
-                "epochs": args.epochs,
+                "epochs": epoch_counts,
                 "published_best": pub,
                 "ranked": results,
             }, f, indent=2)
