@@ -98,6 +98,10 @@ def main():
         # to a thin margin, so maximizing the worst margin transfers to
         # the unselected reporting band far better than any single metric
         worst_margin = min((pub[m] - means[m]) / pub[m] for m in METRICS)
+        if not np.isfinite(worst_margin):
+            worst_margin = float("-inf")  # NaN means (e.g. every z-draw
+            # degenerate on some gen seed) must rank LAST, not wherever a
+            # NaN sort key happens to land
         results.append({
             "train_seed": ts, "epochs": n_epochs,
             "final_loss": float(hist["total"][-1]),
