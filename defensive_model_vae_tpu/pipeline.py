@@ -277,10 +277,8 @@ def run_scenario(
     os.makedirs(out_dir, exist_ok=True)
     # non-finite metric values (the empty-input NaN report) serialize to
     # null — bare NaN is not valid JSON and breaks non-Python consumers
-    jsonable = {
-        k: (None if isinstance(v, float) and not np.isfinite(v) else v)
-        for k, v in report.items()
-    }
+    from .utils.reporting import jsonable
+
     with open(os.path.join(out_dir, f"validation_{sce.key}.json"), "w") as f:
-        json.dump(jsonable, f, indent=2)
+        json.dump(jsonable(report), f, indent=2)
     return report

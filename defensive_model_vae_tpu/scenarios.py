@@ -124,6 +124,12 @@ class Scenario:
     # provenance block (pipeline.provenance)
     provenance_notes: Tuple[str, ...] = ()
 
+    # Best published end-to-end validation values for this scenario
+    # (reference results/ModelValidation/JS_divergence.txt; sce3 JS at
+    # n=66, sce4 surface = the curated-best "0211" run).  The selection
+    # sweeps and parity scoreboards compare against these.
+    published_best: Optional[Dict[str, float]] = None
+
     # --- SUT episode slicing (reference Metrics_Calculation.py:143-210) ---
     sut_episode_start: Optional[Predicate] = None
     sut_episode_end: Optional[Predicate] = None
@@ -373,6 +379,12 @@ REGISTRY: Dict[str, Scenario] = {
         sut_ttc_axis="y",
         pet_partner="sv2",
         stv_invert_axis=False,
+        published_best={
+            "velocity_js_divergence": 0.131582,
+            "rmse_frequency_trajcount": 2.440675,
+            "surface_rmse_with_zeros": 2.22687781,
+            "surface_rmse_no_zeros": 2.36965596,
+        },
     ),
     "sce2": Scenario(
         key="sce2",
@@ -411,6 +423,12 @@ REGISTRY: Dict[str, Scenario] = {
         sut_ttc_axis="x",
         pet_partner="sv2",
         stv_axis="x",
+        published_best={
+            "velocity_js_divergence": 0.112286,
+            "rmse_frequency_trajcount": 1.685821,
+            "surface_rmse_with_zeros": 1.41293849,
+            "surface_rmse_no_zeros": 1.55854868,
+        },
     ),
     "sce3": Scenario(
         key="sce3",
@@ -446,6 +464,12 @@ REGISTRY: Dict[str, Scenario] = {
         sut_episode_start=_sce3_sut_start,
         sut_episode_end=_sce3_sut_end,
         bv1_plot_size=(2.5, 1.5),  # sce3's first background vehicle is a bicycle
+        published_best={
+            "velocity_js_divergence": 0.127377,
+            "rmse_frequency_trajcount": 6.838131,
+            "surface_rmse_with_zeros": 2.89808723,
+            "surface_rmse_no_zeros": 3.28143761,
+        },
     ),
     "sce4": Scenario(
         key="sce4",
@@ -486,6 +510,12 @@ REGISTRY: Dict[str, Scenario] = {
             "sce4 corpus is n=134: the 135th shipped window is stale "
             "(not derivable from any raw CSV); see tests/test_data.py",
         ),
+        published_best={
+            "velocity_js_divergence": 0.041909,
+            "rmse_frequency_trajcount": 9.168905,
+            "surface_rmse_with_zeros": 3.89329095,
+            "surface_rmse_no_zeros": 4.17855121,
+        },
     ),
 }
 

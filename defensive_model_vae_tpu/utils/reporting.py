@@ -33,3 +33,19 @@ class MetricWriter:
             return []
         with open(self.path) as f:
             return [json.loads(line) for line in f if line.strip()]
+
+
+def jsonable(obj: Any) -> Any:
+    """Recursively convert non-finite floats to ``None``.
+
+    Bare ``NaN``/``Infinity`` tokens are not valid JSON (RFC 8259) and
+    break non-Python consumers; every artifact writer in the repo routes
+    its payload through this before ``json.dump``.
+    """
+    if isinstance(obj, float) and not (obj == obj and abs(obj) != float("inf")):
+        return None
+    if isinstance(obj, dict):
+        return {k: jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [jsonable(v) for v in obj]
+    return obj

@@ -40,6 +40,7 @@ def main():
     args = ap.parse_args()
 
     from defensive_model_vae_tpu.utils.cache import enable_persistent_cache
+    from defensive_model_vae_tpu.utils.reporting import jsonable
 
     enable_persistent_cache()
 
@@ -93,7 +94,7 @@ def main():
 
     doc["provenance"] = prov
     with open(args.out, "w") as f:
-        json.dump(doc, f, indent=2)
+        json.dump(jsonable(doc), f, indent=2)
     print(f"wrote {args.out}")
 
 

@@ -25,19 +25,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# published best values per scenario (results/ModelValidation/JS_divergence.txt;
-# sce3 JS at n=66, sce4 surface = the curated-best "0211" run)
-PUBLISHED = {
-    "sce1": {"velocity_js_divergence": 0.131582, "rmse_frequency_trajcount": 2.440675,
-             "surface_rmse_with_zeros": 2.22687781, "surface_rmse_no_zeros": 2.36965596},
-    "sce2": {"velocity_js_divergence": 0.112286, "rmse_frequency_trajcount": 1.685821,
-             "surface_rmse_with_zeros": 1.41293849, "surface_rmse_no_zeros": 1.55854868},
-    "sce3": {"velocity_js_divergence": 0.127377, "rmse_frequency_trajcount": 6.838131,
-             "surface_rmse_with_zeros": 2.89808723, "surface_rmse_no_zeros": 3.28143761},
-    "sce4": {"velocity_js_divergence": 0.041909, "rmse_frequency_trajcount": 9.168905,
-             "surface_rmse_with_zeros": 3.89329095, "surface_rmse_no_zeros": 4.17855121},
-}
-METRICS = list(next(iter(PUBLISHED.values())).keys())
+# the published-best values per scenario live in the scenario registry
+# (Scenario.published_best, cited to results/ModelValidation/JS_divergence.txt)
+METRICS = [
+    "velocity_js_divergence", "rmse_frequency_trajcount",
+    "surface_rmse_with_zeros", "surface_rmse_no_zeros",
+]
+
+
 
 
 def main():
@@ -55,6 +50,7 @@ def main():
     args = ap.parse_args()
 
     from defensive_model_vae_tpu.utils.cache import enable_persistent_cache
+    from defensive_model_vae_tpu.utils.reporting import jsonable
 
     enable_persistent_cache()
 
@@ -65,7 +61,7 @@ def main():
     from defensive_model_vae_tpu.train import TrainConfig, train
 
     sce = scenarios.get(args.scenario)
-    pub = PUBLISHED[sce.key]
+    pub = sce.published_best
     seeds: list[int] = []
     for part in args.train_seeds.split(","):
         if ":" in part:
@@ -97,11 +93,12 @@ def main():
         # margin) metric decides — selection-seed noise is large relative
         # to a thin margin, so maximizing the worst margin transfers to
         # the unselected reporting band far better than any single metric
-        worst_margin = min((pub[m] - means[m]) / pub[m] for m in METRICS)
-        if not np.isfinite(worst_margin):
-            worst_margin = float("-inf")  # NaN means (e.g. every z-draw
-            # degenerate on some gen seed) must rank LAST, not wherever a
-            # NaN sort key happens to land
+        margins = [(pub[m] - means[m]) / pub[m] for m in METRICS]
+        # builtin min() silently skips non-first NaNs, so check every
+        # margin: any NaN mean (e.g. every z-draw degenerate on some gen
+        # seed) must rank LAST, not by an optimistic partial margin
+        worst_margin = (min(margins) if all(np.isfinite(v) for v in margins)
+                        else float("-inf"))
         results.append({
             "train_seed": ts, "epochs": n_epochs,
             "final_loss": float(hist["total"][-1]),
@@ -122,14 +119,14 @@ def main():
           f"{best['worst_margin']:+.3f}, means {best['means']}")
     if args.out:
         with open(args.out, "w") as f:
-            json.dump({
+            json.dump(jsonable({
                 "scenario": sce.key,
                 "train_seeds": seeds,
                 "select_gen_seeds": gens,
                 "epochs": epoch_counts,
                 "published_best": pub,
                 "ranked": results,
-            }, f, indent=2)
+            }), f, indent=2)
         print(f"wrote {args.out}")
 
 

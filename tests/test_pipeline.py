@@ -227,3 +227,22 @@ def test_valid_waypoint_times_accounts_for_zeroed_first_timestamp():
     tail_bad = np.array([[[0.0, 0, 0], [0.4, 1, 1], [0.2, 2, 2]]])
     batch = np.concatenate([good, neg_t0_ok, neg_t0_bad, tail_bad])
     assert _valid_waypoint_times(batch).tolist() == [True, True, False, False]
+
+
+def test_registry_published_best_and_jsonable():
+    """Every scenario carries its published-best oracle values (the
+    selection sweeps and scoreboards read them from the registry, not
+    hardcoded copies), and the shared JSON sanitizer strips non-finite
+    floats recursively."""
+    import math
+
+    from defensive_model_vae_tpu import scenarios
+    from defensive_model_vae_tpu.utils.reporting import jsonable
+
+    keys = {"velocity_js_divergence", "rmse_frequency_trajcount",
+            "surface_rmse_with_zeros", "surface_rmse_no_zeros"}
+    for k in ("sce1", "sce2", "sce3", "sce4"):
+        pb = scenarios.get(k).published_best
+        assert set(pb) == keys and all(v > 0 for v in pb.values())
+    out = jsonable({"a": math.nan, "b": [math.inf, 1.0], "c": (2.0,), "d": "x"})
+    assert out == {"a": None, "b": [None, 1.0], "c": [2.0], "d": "x"}
