@@ -70,6 +70,48 @@ def bench_jax(windows, epochs=3000):
             t0 = time.time()
             _, hist = fused_train(windows, epochs=epochs, seed=s)
             warm = min(warm, time.time() - t0)
+        # Chip THROUGHPUT: K independent runs dispatched back-to-back with
+        # ONE final sync.  Each fused_train call above syncs internally, so
+        # its timing charges a full tunnel round-trip (tens of ms on a bad
+        # day) to a ~70 ms kernel; pipelined dispatch amortizes the RTT the
+        # way any real multi-run workload would.  Runs are independent and
+        # the chip executes them serially, so rate = K·epochs·N / Δt.
+        import jax as _jax
+        import jax.numpy as jnp
+
+        from defensive_model_vae_tpu.models import CVAEConfig, init_params
+        from defensive_model_vae_tpu.models.losses import LossWeights
+        from defensive_model_vae_tpu.ops.fused_trainer import (
+            _flatten_params, _fused_call,
+        )
+
+        cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
+        batch = jnp.asarray(windows, jnp.float32)
+        start = batch[:, 0, 1:3]
+        rel = batch.at[:, :, 1:3].add(-start[:, None, :])
+        x_flat = rel.reshape(batch.shape[0], -1)
+        K = 5
+        plists = [
+            tuple(_flatten_params(init_params(_jax.random.PRNGKey(s), cfg)))
+            for s in range(1, K + 1)
+        ]
+        seeds = [jnp.array([[s]], jnp.int32) for s in range(1, K + 1)]
+
+        def _k_runs():
+            outs = [
+                _fused_call(plists[i], x_flat, start, seeds[i], cfg,
+                            LossWeights(), epochs, 1e-3)
+                for i in range(K)
+            ]
+            # execution is serial on the chip, so the last run's metrics
+            # being ready implies all K runs finished; blocking on the
+            # whole pytree instead costs ~100 per-buffer tunnel RPCs
+            _jax.block_until_ready(outs[-1][1])
+
+        _k_runs()  # untimed: absorbs the direct-call path's one-time trace
+        t0 = time.time()
+        _k_runs()
+        warm_pipelined = (time.time() - t0) / K
         label = "pallas-fused"
     except Exception as e:
         _log(f"fused kernel unavailable ({type(e).__name__}); scan trainer")
@@ -82,14 +124,16 @@ def bench_jax(windows, epochs=3000):
         t0 = time.time()
         _, hist = train(windows, train_cfg=tc)
         warm = time.time() - t0
+        warm_pipelined = warm
         label = "xla-scan"
     _log(
-        f"jax[{label}]: cold {cold:.1f}s, warm {warm:.3f}s, "
+        f"jax[{label}]: cold {cold:.1f}s, warm {warm:.3f}s "
+        f"(pipelined {warm_pipelined:.3f}s/run), "
         f"final loss {hist['total'][-1]:.4f}"
     )
     if not np.isfinite(hist["total"][-1]) or hist["total"][-1] > hist["total"][0]:
         raise RuntimeError("training diverged — refusing to report a rate")
-    return epochs * len(windows) / warm, float(hist["total"][-1])
+    return epochs * len(windows) / warm_pipelined, float(hist["total"][-1])
 
 
 def bench_torch_baseline(windows, epochs=200):
