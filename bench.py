@@ -70,48 +70,6 @@ def bench_jax(windows, epochs=3000):
             t0 = time.time()
             _, hist = fused_train(windows, epochs=epochs, seed=s)
             warm = min(warm, time.time() - t0)
-        # Chip THROUGHPUT: K independent runs dispatched back-to-back with
-        # ONE final sync.  Each fused_train call above syncs internally, so
-        # its timing charges a full tunnel round-trip (tens of ms on a bad
-        # day) to a ~70 ms kernel; pipelined dispatch amortizes the RTT the
-        # way any real multi-run workload would.  Runs are independent and
-        # the chip executes them serially, so rate = K·epochs·N / Δt.
-        import jax as _jax
-        import jax.numpy as jnp
-
-        from defensive_model_vae_tpu.models import CVAEConfig, init_params
-        from defensive_model_vae_tpu.models.losses import LossWeights
-        from defensive_model_vae_tpu.ops.fused_trainer import (
-            _flatten_params, _fused_call,
-        )
-
-        cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
-        batch = jnp.asarray(windows, jnp.float32)
-        start = batch[:, 0, 1:3]
-        rel = batch.at[:, :, 1:3].add(-start[:, None, :])
-        x_flat = rel.reshape(batch.shape[0], -1)
-        K = 5
-        plists = [
-            tuple(_flatten_params(init_params(_jax.random.PRNGKey(s), cfg)))
-            for s in range(1, K + 1)
-        ]
-        seeds = [jnp.array([[s]], jnp.int32) for s in range(1, K + 1)]
-
-        def _k_runs():
-            outs = [
-                _fused_call(plists[i], x_flat, start, seeds[i], cfg,
-                            LossWeights(), epochs, 1e-3)
-                for i in range(K)
-            ]
-            # execution is serial on the chip, so the last run's metrics
-            # being ready implies all K runs finished; blocking on the
-            # whole pytree instead costs ~100 per-buffer tunnel RPCs
-            _jax.block_until_ready(outs[-1][1])
-
-        _k_runs()  # untimed: absorbs the direct-call path's one-time trace
-        t0 = time.time()
-        _k_runs()
-        warm_pipelined = (time.time() - t0) / K
         label = "pallas-fused"
     except Exception as e:
         _log(f"fused kernel unavailable ({type(e).__name__}); scan trainer")
@@ -124,16 +82,70 @@ def bench_jax(windows, epochs=3000):
         t0 = time.time()
         _, hist = train(windows, train_cfg=tc)
         warm = time.time() - t0
-        warm_pipelined = warm
         label = "xla-scan"
+
+    # Chip THROUGHPUT: K independent runs dispatched back-to-back with ONE
+    # final sync.  Each fused_train call above syncs internally, so its
+    # timing charges a full tunnel round-trip (tens of ms on a bad day) to
+    # a ~19 ms kernel; pipelined dispatch amortizes the RTT the way any
+    # real multi-run workload would.  Runs are independent and the chip
+    # executes them serially, so rate = K·epochs·N / Δt.  Measured in its
+    # OWN try: a failure here must fall back to the synchronous per-call
+    # number, not be misreported as "fused kernel unavailable".
+    warm_pipelined = timing = None
+    if label == "pallas-fused":
+        try:
+            import jax as _jax
+            import jax.numpy as jnp
+
+            from defensive_model_vae_tpu.models import CVAEConfig, init_params
+            from defensive_model_vae_tpu.models.losses import LossWeights
+            from defensive_model_vae_tpu.ops.fused_trainer import (
+                _flatten_params, _fused_call, fused_inputs,
+            )
+
+            cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
+            # same prep as fused_train (single shared source — can't drift)
+            x_flat, start = fused_inputs(windows)
+            K = 5
+            plists = [
+                tuple(_flatten_params(init_params(_jax.random.PRNGKey(s), cfg)))
+                for s in range(1, K + 1)
+            ]
+            seeds = [jnp.array([[s]], jnp.int32) for s in range(1, K + 1)]
+
+            def _k_runs():
+                outs = [
+                    _fused_call(plists[i], x_flat, start, seeds[i], cfg,
+                                LossWeights(), epochs, 1e-3)
+                    for i in range(K)
+                ]
+                # execution is serial on the chip, so the last run's metrics
+                # being ready implies all K runs finished; blocking on the
+                # whole pytree instead costs ~100 per-buffer tunnel RPCs
+                _jax.block_until_ready(outs[-1][1])
+
+            _k_runs()  # untimed: absorbs the direct-call path's one-time trace
+            best = float("inf")
+            for _ in range(3):  # best-of-3 to damp tunnel/host jitter
+                t0 = time.time()
+                _k_runs()
+                best = min(best, (time.time() - t0) / K)
+            warm_pipelined, timing = best, "pipelined"
+        except Exception as e:
+            _log(f"PIPELINED MEASUREMENT FAILED ({type(e).__name__}: {e}); "
+                 f"headline falls back to the synchronous per-call time")
+
+    if timing is None:
+        warm_pipelined, timing = warm, "sync"
     _log(
-        f"jax[{label}]: cold {cold:.1f}s, warm {warm:.3f}s "
-        f"(pipelined {warm_pipelined:.3f}s/run), "
+        f"jax[{label}]: cold {cold:.1f}s, warm {warm:.3f}s, "
+        f"headline {warm_pipelined:.3f}s/run ({timing}), "
         f"final loss {hist['total'][-1]:.4f}"
     )
     if not np.isfinite(hist["total"][-1]) or hist["total"][-1] > hist["total"][0]:
         raise RuntimeError("training diverged — refusing to report a rate")
-    return epochs * len(windows) / warm_pipelined, float(hist["total"][-1])
+    return epochs * len(windows) / warm_pipelined, float(hist["total"][-1]), timing
 
 
 def bench_torch_baseline(windows, epochs=200):
@@ -305,23 +317,26 @@ def bench_generation(windows, n=4096):
         # this timing already awaits execution through the axon tunnel
         generate_trajectories(params, cfg, starts, seed=1)
         dt = time.time() - t0
-        # sustained device throughput: pipeline K batches via the inner
-        # jitted sampler, sync once on the last (RTT + the ~0.5 MB host
+        # sustained device throughput: pipeline K batches with
+        # materialize=False, sync once on the last (RTT + the ~0.5 MB host
         # fetch dominate the single-call number; a device-resident
         # consumer — e.g. the MPC tracker — never pays either)
-        import jax.numpy as jnp
-
-        from defensive_model_vae_tpu.generate import _sample_jit
-
-        tiled = jnp.asarray(starts)
         K = 8
-        keys = [jax.random.PRNGKey(s) for s in range(2, 2 + K)]
-        outs = [_sample_jit(params, k, tiled, cfg, True) for k in keys]
-        jax.block_until_ready(outs[-1])
-        t0 = time.time()
-        outs = [_sample_jit(params, k, tiled, cfg, True) for k in keys]
-        jax.block_until_ready(outs[-1])
-        dt_pipe = (time.time() - t0) / K
+
+        def _k_batches():
+            outs = [
+                generate_trajectories(params, cfg, starts, seed=s,
+                                      materialize=False)
+                for s in range(2, 2 + K)
+            ]
+            jax.block_until_ready(outs[-1])
+
+        _k_batches()  # untimed warm rep
+        dt_pipe = float("inf")
+        for _ in range(3):  # best-of-3 to damp tunnel/host jitter
+            t0 = time.time()
+            _k_batches()
+            dt_pipe = min(dt_pipe, (time.time() - t0) / K)
         _log(f"generation: {n} trajectories in {dt*1e3:.0f} ms → {n/dt:,.0f} traj/s "
              f"(sustained {n/dt_pipe:,.0f} traj/s device-resident)")
     except Exception as e:
@@ -332,7 +347,7 @@ def main():
     warm_only = "--warm-only" in sys.argv
     windows = _load_windows()
     _log(f"corpus: {windows.shape}")
-    jax_rate, final_loss = bench_jax(windows)
+    jax_rate, final_loss, timing = bench_jax(windows)
     multi_ok = None
     if warm_only:
         # --warm-only: headline warm throughput without the slow extras
@@ -362,6 +377,10 @@ def main():
         "value": round(jax_rate, 1),
         "unit": "windows/s",
         "vs_baseline": round(jax_rate / torch_rate, 1),
+        # "pipelined" = RTT-amortized sustained chip throughput;
+        # "sync" = per-call wall time incl. one tunnel round-trip —
+        # cross-round comparisons must not mix the two
+        "timing": timing,
     }
     if multi_ok is not None:
         result["multi_kernel_converged"] = bool(multi_ok)

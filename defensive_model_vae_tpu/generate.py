@@ -40,12 +40,17 @@ def generate_trajectories(
     n_samples: int = 1,
     seed: Union[int, jax.Array] = 0,
     shift_start: bool = True,
+    materialize: bool = True,
 ) -> np.ndarray:
     """Generate ``n_samples`` global [t, x, y] trajectories per start point.
 
     Args:
         start_xy: (B, 2) or (2,) start coordinates.
         n_samples: samples per start point (z draws).
+        materialize: when False, return the un-awaited ``(B·n, T, D)``
+            device array instead of host numpy — for device-resident
+            consumers (pipelined sampling, feeding the on-device MPC)
+            that must not pay a host round-trip per batch.
 
     Returns:
         (B, n_samples, T, D) array (squeezed to (T, D) for B=1, n=1 to match
@@ -56,6 +61,8 @@ def generate_trajectories(
     B = start_xy.shape[0]
     tiled = jnp.asarray(np.repeat(start_xy, n_samples, axis=0))
     out = _sample_jit(params, key, tiled, cfg, shift_start)
+    if not materialize:
+        return out
     out = np.asarray(out).reshape(B, n_samples, cfg.seq_len, cfg.dim)
     if B == 1 and n_samples == 1:
         return out[0, 0]

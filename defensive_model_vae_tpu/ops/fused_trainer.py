@@ -261,10 +261,7 @@ def fused_train(
     """
     cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
     _check_vmem_budget(cfg)
-    batch = jnp.asarray(windows, jnp.float32)
-    start = batch[:, 0, 1:3]
-    rel = batch.at[:, :, 1:3].add(-start[:, None, :])
-    x_flat = rel.reshape(batch.shape[0], -1)
+    x_flat, start = fused_inputs(windows)
 
     params = init_params(jax.random.PRNGKey(seed), cfg)
     plist = _flatten_params(params)
@@ -277,6 +274,19 @@ def fused_train(
     metrics = np.asarray(metrics)[:, :5]
     history = {k: metrics[:, i] for i, k in enumerate(FUSED_METRIC_KEYS)}
     return _unflatten_params(list(out_plist)), history
+
+
+def fused_inputs(windows: np.ndarray) -> Tuple[jax.Array, jax.Array]:
+    """Host→device input prep for the fused kernel: ``(x_flat, start)``.
+
+    The single source of the abs→rel transform the kernel consumes
+    (reference ``Training_VAE.py:343-348``); bench.py reuses it for
+    pipelined throughput measurement so the benched program can never
+    drift from what :func:`fused_train` actually runs."""
+    batch = jnp.asarray(windows, jnp.float32)
+    start = batch[:, 0, 1:3]
+    rel = batch.at[:, :, 1:3].add(-start[:, None, :])
+    return rel.reshape(batch.shape[0], -1), start
 
 
 def _make_multi_kernel(cfg: CVAEConfig, weights: LossWeights, epochs: int,
