@@ -279,13 +279,14 @@ def fused_train(
 def fused_inputs(windows: np.ndarray) -> Tuple[jax.Array, jax.Array]:
     """Host→device input prep for the fused kernel: ``(x_flat, start)``.
 
-    The single source of the abs→rel transform the kernel consumes
-    (reference ``Training_VAE.py:343-348``); bench.py reuses it for
-    pipelined throughput measurement so the benched program can never
-    drift from what :func:`fused_train` actually runs."""
+    Delegates the abs→rel transform to the same :func:`to_relative` the
+    scan trainer uses (reference ``Training_VAE.py:343-348``), so the two
+    trainer tiers — and bench.py's pipelined throughput measurement —
+    consume byte-identical inputs by construction."""
+    from ..models import to_relative
+
     batch = jnp.asarray(windows, jnp.float32)
-    start = batch[:, 0, 1:3]
-    rel = batch.at[:, :, 1:3].add(-start[:, None, :])
+    rel, start = to_relative(batch)
     return rel.reshape(batch.shape[0], -1), start
 
 
