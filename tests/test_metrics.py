@@ -12,6 +12,7 @@ from defensive_model_vae_tpu.data import (
 )
 from defensive_model_vae_tpu.metrics import (
     build_stv_surface,
+    extract_coordinates,
     extract_velocities,
     human_stv_data,
     human_velocities,
@@ -185,19 +186,253 @@ def test_surface_rmse_published_exact(key, axis, pub_inc, pub_exc):
 
 @requires_reference
 def test_rmse_frequency_published():
-    # The published values were computed at grid_size=0.5 (the reference
-    # main's setting, ``Distribution.py:511``): sce2 reproduces EXACTLY;
-    # the others land within small bands (their runs predate the shipped
-    # csv/human sets — e.g. sce4's corpus has one stale window).
+    # sce2 reproduces the published value EXACTLY at the reference main's
+    # grid_size=0.5 (``Distribution.py:511``).  The sce1/sce3/sce4 published
+    # cells are NOT reproducible from the shipped tree — not even by the
+    # reference's own code (see the live differentials below and the
+    # published-cell disposition table in PARITY.md); those cells are pinned
+    # against the LIVE reference instead in
+    # test_rmse_frequency_trajcount_live_differential.
     trajs, humans = _load_shipped("sce2")
     assert np.isclose(
         rmse_frequency_trajcount(trajs, humans, "sce2", 0.5), 1.685821, atol=1e-6
     )
-    for key, pub, tol in [("sce1", 2.440675, 0.15), ("sce3", 6.838131, 0.7),
-                          ("sce4", 9.168905, 0.15)]:
-        trajs, humans = _load_shipped(key)
-        val = rmse_frequency_trajcount(trajs, humans, key, 0.5)
-        assert abs(val - pub) <= tol, (key, val)
+
+
+# ---------------------------------------------------------------------------
+# published-cell disposition: live differentials for the non-reproducible cells
+#
+# Every number in results/ModelValidation/JS_divergence.txt is either
+# reproduced EXACTLY from the shipped artifacts (tests above) or proven
+# non-reproducible FROM THE SHIPPED TREE — the reference's own code, run live
+# on its own shipped GeneratedData + DefensiveData, yields different values.
+# For those cells the live reference IS the oracle, and this framework is
+# pinned against it to 1e-9.  Full disposition table: PARITY.md
+# "Published-cell disposition".  Mechanism evidence for the drift:
+#   * sce1 — the shipped GeneratedData was regenerated with the ego_y>=40
+#     start mask AFTER the published metric runs (the stale-artifact fork
+#     pinned in test_data.py::test_sce1_start_conditions_match_published_artifacts);
+#     none of the six published sce1 cells reproduce, and the two published
+#     sce1 JS lines are even mutually inconsistent across log bases
+#     (0.092139/ln2 = 0.132929 != 0.131582), i.e. they come from two
+#     different pre-shipped runs.  By contrast sce3's base-e/base-2 pair IS
+#     one run (0.134692 * ln2 = 0.093362 ~= 0.093361).
+#   * sce4 — the human corpus today has 134 CSVs for 135 shipped traces
+#     (orphan pinned below); the published run predates the CSV loss.
+#   * sce3 — the published RMSE_frequency cells predate the n=66
+#     regeneration (only the "sample number=66" JS line was recomputed,
+#     and it reproduces exactly — test_js_divergence_published_exact).
+# ---------------------------------------------------------------------------
+
+
+def _ref_modules():
+    import contextlib
+    import io
+    import sys
+
+    sys.path.insert(0, str(REFERENCE_ROOT))
+    try:
+        with contextlib.redirect_stdout(io.StringIO()):
+            import Distribution as RD
+            import Spatial_Distribution as RS
+    finally:
+        sys.path.pop(0)
+    return RD, RS
+
+
+def _ref_humans(RD, key):
+    import contextlib
+    import io
+
+    csvs = collect_csv_files(str(REFERENCE_ROOT / "DefensiveData" / TOWN[key]))
+    model_name = f"vae_offset_{key}_cond_ld8_epoch3000.pth"
+    with contextlib.redirect_stdout(io.StringIO()):
+        return RD.load_human_trajectories(csvs, model_name)
+
+
+@requires_reference
+@pytest.mark.parametrize("key,published", [("sce1", 0.131582), ("sce4", 0.041909)])
+def test_js_divergence_live_differential_open_cells(key, published):
+    """The sce1/sce4 published JS cells (JS_divergence.txt:2,31) do not
+    reproduce from the shipped tree; this pins our whole JS pipeline
+    (velocity extraction + base-2 JS, ``Distribution.py:195-296,299-333``)
+    against the reference run live on the shipped artifacts."""
+    from scipy.stats import entropy
+
+    RD, _ = _ref_modules()
+    trajs, humans = _load_shipped(key)
+    ref_humans = _ref_humans(RD, key)
+
+    # velocity arrays are elementwise identical to the reference's
+    ref_gen_v = RD.extract_velocities_from_trajectories(trajs)
+    ref_hum_v = RD.calculate_human_velocities(ref_humans)
+    np.testing.assert_allclose(extract_velocities(trajs), ref_gen_v, atol=1e-12)
+    np.testing.assert_allclose(human_velocities(humans), ref_hum_v, atol=1e-12)
+
+    # live-reference JS (transcribing Distribution.py:311-333 on the arrays)
+    v_min = min(ref_gen_v.min(), ref_hum_v.min())
+    v_max = max(ref_gen_v.max(), ref_hum_v.max())
+    bins = np.linspace(v_min, v_max, 50)
+    hg, _ = np.histogram(ref_gen_v, bins=bins)
+    hh, _ = np.histogram(ref_hum_v, bins=bins)
+    hg = hg / (hg.sum() + 1e-10)
+    hh = hh / (hh.sum() + 1e-10)
+    M = 0.5 * (hg + hh)
+    eps = 1e-10
+    ref_js = 0.5 * (
+        entropy(hg + eps, M + eps, base=2) + entropy(hh + eps, M + eps, base=2)
+    )
+
+    ours = velocity_js_divergence(extract_velocities(trajs), human_velocities(humans))
+    assert np.isclose(ours, ref_js, atol=1e-9), (key, ours, ref_js)
+    # …and the live value is NOT the published one: the published cell
+    # predates the shipped artifacts (sce1: ~0.12727, sce4: ~0.041545).
+    assert abs(ref_js - published) > 2e-4, (key, ref_js, published)
+
+
+@requires_reference
+@pytest.mark.parametrize(
+    "key,published",
+    [("sce1", 2.440675), ("sce3", 6.838131), ("sce4", 9.168905)],
+)
+def test_rmse_frequency_trajcount_live_differential(key, published):
+    """Trajectory-count RMSE_frequency pinned against the reference's
+    ``calculate_rmse_frequency_new`` (``Spatial_Distribution.py:433-492``)
+    run live on the shipped artifacts, for the cells whose published values
+    predate the shipped tree (live: sce1 ~2.3179, sce3 ~6.1713, sce4 ~9.0400)."""
+    import contextlib
+    import io
+
+    RD, RS = _ref_modules()
+    trajs, humans = _load_shipped(key)
+    model_name = f"vae_offset_{key}_cond_ld8_epoch3000.pth"
+    with contextlib.redirect_stdout(io.StringIO()):
+        ref_val = RS.calculate_rmse_frequency_new(
+            trajs, _ref_humans(RD, key), model_name, grid_size=0.5
+        )
+    ours = rmse_frequency_trajcount(trajs, humans, key, 0.5)
+    assert np.isclose(ours, ref_val, atol=1e-9), (key, ours, ref_val)
+    assert abs(ref_val - published) > 0.05, (key, ref_val, published)
+
+
+@requires_reference
+@pytest.mark.parametrize("key,published", [("sce1", 14.45), ("sce3", 6.012807)])
+def test_rmse_frequency_point_count_live_differential(key, published):
+    """Point-count ('old method') RMSE_frequency (``Spatial_Distribution.py:94-161``
+    with the <=150-point subsampler ``:18-91``) pinned against the reference
+    run live at both grid sizes.  The published cells (JS_divergence.txt:4,25)
+    match NEITHER grid size on the shipped artifacts (live @0.5: sce1
+    ~14.7079, sce3 ~5.5094) — they predate the shipped tree like the other
+    open cells.  The subsampler is deterministic here: its random top-up only
+    fires when linspace indices collide, which needs n<2*150 points and every
+    track in these corpora avoids the colliding range."""
+    import contextlib
+    import io
+
+    RD, RS = _ref_modules()
+    trajs, humans = _load_shipped(key)
+    model_name = f"vae_offset_{key}_cond_ld8_epoch3000.pth"
+    ref_humans = _ref_humans(RD, key)
+    with contextlib.redirect_stdout(io.StringIO()):
+        ref_gc = RS.extract_coordinates_from_trajectories(trajs)
+        ref_hc = RS.extract_human_coordinates(ref_humans)
+    ours_gc = extract_coordinates(trajs)
+    ours_hc = extract_coordinates(humans)
+    np.testing.assert_allclose(ours_gc, ref_gc, atol=1e-12)
+    np.testing.assert_allclose(ours_hc, ref_hc, atol=1e-12)
+    for grid in (0.5, 1.0):
+        with contextlib.redirect_stdout(io.StringIO()):
+            ref_val = RS.calculate_rmse_frequency(ref_gc, ref_hc, model_name, grid_size=grid)
+        ours = rmse_frequency(ours_gc, ours_hc, key, grid)
+        assert np.isclose(ours, ref_val, atol=1e-9), (key, grid, ours, ref_val)
+        assert abs(ref_val - published) > 0.2, (key, grid, ref_val, published)
+
+
+@requires_reference
+def test_surface_rmse_sce1_live_differential():
+    """Neither published sce1 surface-RMSE pair (first run 2.96752272/
+    3.45551705, '0211' 2.22687781/2.36965596 — JS_divergence.txt:5-9)
+    reproduces from the shipped GeneratedData: the reference's own surface
+    pipeline (``Spatial_Distribution.py:708-932,1540-1583``) run live yields
+    ~1.1606/1.6114 (axis='y', the travel axis, per the last-edited main at
+    ``Distribution.py:615``).  The shipped sce1 traces were regenerated
+    (y>=40 mask) after the published runs and never re-measured — they score
+    BETTER than both published runs.  Our pipeline matches the live
+    reference to 1e-9 (sce2/3/4 additionally match the published 0211 cells
+    exactly — test_surface_rmse_published_exact)."""
+    RD, RS = _ref_modules()
+    key, axis = "sce1", "y"
+    trajs, humans = _load_shipped(key)
+    model_name = f"vae_offset_{key}_cond_ld8_epoch3000.pth"
+    ref_humans = _ref_humans(RD, key)
+
+    rmc, rmt, rmv = RS._prepare_model_stv_data(trajs, model_name, axis=axis)
+    rhc, rht, rhv = RS._prepare_human_stv_data(ref_humans, axis=axis)
+    coord_range, time_range = RS._calculate_unified_axes_ranges(rmc, rmt, rhc, rht)
+    _, _, ref_ms = RS._build_surface_from_stv(
+        rmc, rmt, rmv, coord_range=coord_range, time_range=time_range
+    )
+    _, _, ref_hs = RS._build_surface_from_stv(
+        rhc, rht, rhv, coord_range=coord_range, time_range=time_range
+    )
+    ref_inc, _ = RS.calculate_surface_rmse(ref_ms, ref_hs, True)
+    ref_exc, _ = RS.calculate_surface_rmse(ref_ms, ref_hs, False)
+
+    mc, mt, mv = model_stv_data(trajs, key, axis=axis)
+    hc, ht, hv = human_stv_data(humans, axis=axis)
+    allc = np.concatenate(mc + hc)
+    allt = np.concatenate(mt + ht)
+    cr, tr = (allc.min(), allc.max()), (allt.min(), allt.max())
+    _, _, ms = build_stv_surface(mc, mt, mv, coord_range=cr, time_range=tr)
+    _, _, hs = build_stv_surface(hc, ht, hv, coord_range=cr, time_range=tr)
+    r_inc, _ = surface_rmse(ms, hs, True)
+    r_exc, _ = surface_rmse(ms, hs, False)
+
+    assert np.isclose(r_inc, ref_inc, atol=1e-9), (r_inc, ref_inc)
+    assert np.isclose(r_exc, ref_exc, atol=1e-9), (r_exc, ref_exc)
+    # the live values sit far from BOTH published pairs
+    for pub_inc, pub_exc in [(2.96752272, 3.45551705), (2.22687781, 2.36965596)]:
+        assert abs(ref_inc - pub_inc) > 0.5
+        assert abs(ref_exc - pub_exc) > 0.5
+
+
+@requires_reference
+def test_sce4_orphan_trace_pinned():
+    """Exactly one shipped sce4 trace has no source CSV in the shipped tree
+    — tracked_trajectory_sce4_exp69_2.npy (its exp_69_*_2.csv is absent from
+    all three maneuver folders).  This is the same stale-135th-entry story
+    pinned for the sce4 training windows in test_data.py, and the mechanism
+    behind the sce4 JS/trajcount published-cell drift: the published run had
+    135 human CSVs.  Dropping the orphan does NOT recover the published
+    values either (JS ~0.0411 vs published 0.041909; trajcount ~9.078 vs
+    9.168905) — the lost CSV's human track is unrecoverable."""
+    import os
+    import re
+
+    csvs = collect_csv_files(str(REFERENCE_ROOT / "DefensiveData" / TOWN["sce4"]))
+    csv_keys = set()
+    for c in csvs:
+        m = re.match(r"exp_(\d+)_control_.*_(\d+)\.csv", os.path.basename(c))
+        csv_keys.add((m.group(1), m.group(2)))
+    trace_files = sorted(
+        glob.glob(
+            str(REFERENCE_ROOT / "results/GeneratedData/tracked_trajectory_sce4_*.npy")
+        )
+    )
+    orphans = []
+    for f in trace_files:
+        m = re.match(r"tracked_trajectory_sce4_exp(\d+)_(\d+)\.npy", os.path.basename(f))
+        if (m.group(1), m.group(2)) not in csv_keys:
+            orphans.append(os.path.basename(f))
+    assert orphans == ["tracked_trajectory_sce4_exp69_2.npy"]
+
+    matched = [np.load(f) for f in trace_files
+               if os.path.basename(f) not in orphans]
+    _, humans = _load_shipped("sce4")
+    js = velocity_js_divergence(extract_velocities(matched), human_velocities(humans))
+    assert abs(js - 0.041909) > 2e-4
+    tc = rmse_frequency_trajcount(matched, humans, "sce4", 0.5)
+    assert abs(tc - 9.168905) > 0.05
 
 
 @requires_reference
