@@ -291,9 +291,15 @@ def fused_inputs(windows: np.ndarray) -> Tuple[jax.Array, jax.Array]:
 
 
 def _make_multi_kernel(cfg: CVAEConfig, weights: LossWeights, epochs: int,
-                       lr: float, n_params: int):
+                       lr: float, n_params: int, eps_input: bool):
     """Grid kernel: grid index = scenario; each program trains its own
-    model on its own (padded, masked) batch block."""
+    model on its own (padded, masked) batch block.
+
+    ``eps_input`` swaps the on-core PRNG for an explicit per-scenario noise
+    block (held constant across epochs), the same escape hatch the
+    single-scenario kernel has — it is what lets interpret mode (whose
+    ``prng_random_bits`` stub yields zeros that inf the Box–Muller
+    transform) cover this kernel in the CPU suite."""
     from jax.experimental.pallas import tpu as pltpu
 
     b1, b2, adam_eps = 0.9, 0.999, 1e-8
@@ -301,14 +307,20 @@ def _make_multi_kernel(cfg: CVAEConfig, weights: LossWeights, epochs: int,
     def kernel(*refs):
         seed_ref = refs[0]
         x_ref, cond_ref, mask_ref = refs[1], refs[2], refs[3]
-        p_refs = refs[4 : 4 + n_params]
-        out_refs = refs[4 + n_params : 4 + 2 * n_params]
-        metrics_ref = refs[4 + 2 * n_params]
+        off = 4
+        eps_ref = None
+        if eps_input:
+            eps_ref = refs[4]
+            off = 5
+        p_refs = refs[off : off + n_params]
+        out_refs = refs[off + n_params : off + 2 * n_params]
+        metrics_ref = refs[off + 2 * n_params]
 
         import jax.experimental.pallas as pl
 
         s = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0, 0] + s)
+        if not eps_input:
+            pltpu.prng_seed(seed_ref[0, 0] + s)
         x = x_ref[0]
         cond = cond_ref[0]
         mask = mask_ref[0]  # (B, 1), kept 2-D for Mosaic-friendly reductions
@@ -319,7 +331,10 @@ def _make_multi_kernel(cfg: CVAEConfig, weights: LossWeights, epochs: int,
 
         def body(t, carry):
             params, m, v = carry
-            eps = _normal_noise((B, cfg.latent_dim))
+            if eps_input:
+                eps = eps_ref[0]
+            else:
+                eps = _normal_noise((B, cfg.latent_dim))
             (_, comps), grads = jax.value_and_grad(
                 lambda pl_: _forward_loss(pl_, x, cond, eps, cfg, weights, mask),
                 has_aux=True,
@@ -345,15 +360,19 @@ def _make_multi_kernel(cfg: CVAEConfig, weights: LossWeights, epochs: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "weights", "epochs", "lr"))
-def _fused_multi_call(plists, x_flat, cond, mask, seed, cfg, weights, epochs, lr):
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "weights", "epochs", "lr", "interpret")
+)
+def _fused_multi_call(plists, x_flat, cond, mask, seed, cfg, weights, epochs, lr,
+                      eps=None, interpret=False):
     """plists: per-param stacked arrays with leading scenario axis (S, …)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     S = x_flat.shape[0]
     n = len(plists)
-    kernel = _make_multi_kernel(cfg, weights, epochs, lr, n)
+    eps_input = eps is not None
+    kernel = _make_multi_kernel(cfg, weights, epochs, lr, n, eps_input)
 
     def block(arr):  # per-scenario block: slice leading axis by grid index
         shape = (1,) + arr.shape[1:]
@@ -362,7 +381,12 @@ def _fused_multi_call(plists, x_flat, cond, mask, seed, cfg, weights, epochs, lr
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     in_specs += [block(x_flat), block(cond), block(mask)]
+    args = [seed, x_flat, cond, mask]
+    if eps_input:
+        in_specs.append(block(eps))
+        args.append(eps)
     in_specs += [block(p) for p in plists]
+    args += list(plists)
     out_shape = tuple(jax.ShapeDtypeStruct(p.shape, p.dtype) for p in plists) + (
         jax.ShapeDtypeStruct((S, epochs, 8), jnp.float32),
     )
@@ -375,7 +399,8 @@ def _fused_multi_call(plists, x_flat, cond, mask, seed, cfg, weights, epochs, lr
         out_shape=out_shape,
         in_specs=in_specs,
         out_specs=out_specs,
-    )(seed, x_flat, cond, mask, *plists)
+        interpret=interpret,
+    )(*args)
     return outs[:n], outs[n]
 
 
@@ -385,6 +410,8 @@ def fused_train_multi(
     lr: float = 1e-3,
     weights: LossWeights = LossWeights(),
     seed: int = 0,
+    eps_by_scenario: Dict[str, np.ndarray] = None,
+    interpret: bool = False,
 ) -> Tuple[Dict[str, Params], Dict[str, Dict[str, np.ndarray]]]:
     """Train every scenario model inside ONE Pallas kernel launch.
 
@@ -395,6 +422,11 @@ def fused_train_multi(
     (init ``PRNGKey(seed + i)``, core PRNG stream ``seed + grid index``) so
     the models are independent — NOT bit-identical to calling
     :func:`fused_train` per scenario with the same base ``seed``.
+
+    ``eps_by_scenario`` (per-scenario ``(B_i, latent_dim)`` noise, held
+    constant across epochs) replaces the on-core PRNG — the deterministic
+    mode the CPU-suite equivalence test runs in interpret mode
+    (``test_fused.py::test_fused_train_multi_matches_single_kernel``).
     """
     keys = sorted(windows_by_scenario.keys())
     first = next(iter(windows_by_scenario.values()))
@@ -427,8 +459,19 @@ def fused_train_multi(
     )
     seed_arr = jnp.array([[seed]], jnp.int32)
 
+    eps = None
+    if eps_by_scenario is not None:
+        eps_blocks = []
+        for k in keys:
+            e = jnp.asarray(eps_by_scenario[k], jnp.float32)
+            eps_blocks.append(
+                jnp.concatenate([e, jnp.zeros((n_max - e.shape[0], e.shape[1]))])
+            )
+        eps = jnp.stack(eps_blocks)
+
     out_p, metrics = _fused_multi_call(
-        plists, x_flat, cond, mask, seed_arr, cfg, weights, epochs, lr
+        plists, x_flat, cond, mask, seed_arr, cfg, weights, epochs, lr,
+        eps=eps, interpret=interpret,
     )
     metrics = np.asarray(metrics)[:, :, :5]
     params_by, hist_by = {}, {}
