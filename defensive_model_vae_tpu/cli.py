@@ -23,18 +23,10 @@ import os
 
 import numpy as np
 
-
-def _jsonsafe(obj):
-    """Replace non-finite floats with None recursively — bare NaN/Infinity
-    is not valid JSON and breaks non-Python consumers of the CLI output
-    (same policy as pipeline.run_scenario's artifact serialization)."""
-    if isinstance(obj, float):
-        return obj if np.isfinite(obj) else None
-    if isinstance(obj, dict):
-        return {k: _jsonsafe(v) for k, v in obj.items()}
-    if isinstance(obj, (list, tuple)):
-        return [_jsonsafe(v) for v in obj]
-    return obj
+# bare NaN/Infinity is not valid JSON and breaks non-Python consumers of
+# the CLI output — route through the same helper as every artifact writer
+# (np.float64 subclasses float, so numpy scalars are covered too)
+from .utils.reporting import jsonable as _jsonsafe
 
 
 def _cmd_dataset(args):

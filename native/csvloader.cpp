@@ -45,9 +45,12 @@ inline double parse_field(const char *begin, const char *end) {
   if (begin == end)
     return std::nan("");
   // from_chars rejects a leading '+' that pandas (the fallback parser)
-  // accepts — skip it so both paths parse '+1.5'-style fields identically
+  // accepts — skip it so both paths parse '+1.5'-style fields identically,
+  // including '+inf'/'+nan' (from_chars accepts the bare words)
   if (*begin == '+' && end - begin > 1 &&
-      ((begin[1] >= '0' && begin[1] <= '9') || begin[1] == '.'))
+      ((begin[1] >= '0' && begin[1] <= '9') || begin[1] == '.' ||
+       begin[1] == 'i' || begin[1] == 'I' || begin[1] == 'n' ||
+       begin[1] == 'N'))
     ++begin;
   double value;
   auto res = std::from_chars(begin, end, value);

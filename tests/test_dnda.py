@@ -320,7 +320,6 @@ def test_da_rl_differential_fuzz_vs_live_reference():
 
 
 @requires_reference
-@requires_reference
 def test_overbudget_acc_quirk_matches_live_reference():
     """|ego.acc| > max_absolute_acc: the reference computes np.sqrt(neg) →
     nan and min(1/6, nan) returns 1/6 (dnda_functions.py:610-616), scoring

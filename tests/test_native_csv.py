@@ -38,12 +38,15 @@ def test_native_plus_sign_matches_pandas(tmp_path):
     strips it so both parsers agree; '+-1.5'-style garbage stays NaN on
     both paths."""
     p = tmp_path / "plus.csv"
-    p.write_text("a,b,c\n+1.5,+.25,+3e2\n+-1.5,++2,+\n")
+    p.write_text("a,b,c\n+1.5,+.25,+3e2\n+-1.5,++2,+\n+inf,+nan,-inf\n")
     _, data = read_csv_native(str(p))
     ref = pd.read_csv(str(p)).apply(pd.to_numeric, errors="coerce").to_numpy(float)
     assert np.allclose(data, ref, equal_nan=True), (data, ref)
     assert data[0].tolist() == [1.5, 0.25, 300.0]
     assert np.isnan(data[1]).all()
+    # '+inf'/'+nan' parse like pandas does (the '+' strip also covers the
+    # word forms, not just digits)
+    assert data[2, 0] == np.inf and np.isnan(data[2, 1]) and data[2, 2] == -np.inf
 
 
 @requires_reference
