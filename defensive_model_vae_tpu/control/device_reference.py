@@ -205,7 +205,7 @@ def select_valid_trajectory(trajs: jax.Array) -> jax.Array:
 
 
 def make_serve_fn(params, model_cfg, mpc_cfg, num_steps: int,
-                  offset_mode: bool = True):
+                  offset_mode: bool = True, mesh=None):
     """One jitted program: condition → sample → reference → MPC track.
 
     Returns ``serve(key, start_xy, initial_state) → (states, controls)``
@@ -215,6 +215,14 @@ def make_serve_fn(params, model_cfg, mpc_cfg, num_steps: int,
     ``offset_mode=False`` serves legacy non-offset checkpoints, whose
     decoder emits absolute [t, x, y] that must NOT be shifted by the start
     point (mirrors ``generate.load_and_generate``'s manifest handling).
+
+    ``mesh`` shards the request batch over the mesh ``data`` axis (params
+    and the request key replicated, per-request keys derived inside the
+    program) — the batch-512 throughput path IS the data-parallel width
+    argument, so the serving program must scale across chips exactly like
+    training/MPC/DNDA do.  Requests are independent; sharding cannot change
+    the math (asserted in ``__graft_entry__.dryrun_multichip``).  B must be
+    a multiple of the data-axis size.
     """
     from ..models import sample
     from ..models.cvae import decode, encode_condition
@@ -246,9 +254,19 @@ def make_serve_fn(params, model_cfg, mpc_cfg, num_steps: int,
         )
         return _simulate(mpc_cfg, state0, refs, jnp.zeros(2))
 
-    @jax.jit
-    def serve(key, start_xy, initial_states):
+    def _serve(key, start_xy, initial_states):
         keys = jax.random.split(key, start_xy.shape[0])
         return jax.vmap(one)(keys, start_xy, initial_states)
 
-    return serve
+    if mesh is None:
+        return jax.jit(_serve)
+
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    data = NamedSharding(mesh, PartitionSpec("data"))
+    repl = NamedSharding(mesh, PartitionSpec())
+    return jax.jit(
+        _serve,
+        in_shardings=(repl, data, data),
+        out_shardings=(data, data),
+    )

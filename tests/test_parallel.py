@@ -170,3 +170,37 @@ def test_mesh_training_matches_unpadded_objective(windows_sce1):
     np.testing.assert_allclose(
         h_plain["total"], h_mesh["total"], rtol=1e-5, atol=1e-6
     )
+
+
+def test_serve_fn_sharded_over_mesh_matches():
+    """Serving sharded over the mesh 'data' axis (make_serve_fn(mesh=…))
+    must reproduce the single-device program exactly — requests are
+    independent, so the NamedSharding only changes placement, not math.
+    Mirrors the serving section of __graft_entry__.dryrun_multichip."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from defensive_model_vae_tpu.control import MPCConfig, make_serve_fn
+    from defensive_model_vae_tpu.models import CVAEConfig, init_params
+    from defensive_model_vae_tpu.parallel import create_mesh
+
+    cfg = CVAEConfig()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    mcfg = MPCConfig(prediction_horizon=5, control_horizon=3, dt=0.1)
+    mesh = create_mesh()
+    B = 2 * mesh.devices.size
+    rng = np.random.default_rng(3)
+    starts = jnp.asarray(rng.normal(0, 1, (B, 2)), jnp.float32)
+    inits = jnp.asarray(np.concatenate(
+        [rng.normal(0, 1, (B, 3)), np.full((B, 1), 5.0), np.zeros((B, 1))],
+        axis=1), jnp.float32)
+    key = jax.random.PRNGKey(9)
+
+    st_sh, ct_sh = make_serve_fn(params, cfg, mcfg, num_steps=6, mesh=mesh)(
+        key, starts, inits)
+    st_si, ct_si = make_serve_fn(params, cfg, mcfg, num_steps=6)(
+        key, starts, inits)
+    assert np.all(np.isfinite(np.asarray(st_sh)))
+    np.testing.assert_allclose(np.asarray(st_sh), np.asarray(st_si), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ct_sh), np.asarray(ct_si), atol=1e-5)
