@@ -88,6 +88,36 @@ def _cmd_pipeline(args):
     print(json.dumps(report, indent=2))
 
 
+def _cmd_reproduce(args):
+    from .utils.cache import enable_persistent_cache
+
+    try:
+        enable_persistent_cache()
+    except Exception:
+        pass
+    from .pipeline import reproduce_scoreboard
+
+    seeds = None
+    if args.seeds:
+        seeds = {
+            k: int(v)
+            for k, v in (pair.split("=") for pair in args.seeds.split(","))
+        }
+    keys = args.scenarios.split(",") if args.scenarios else None
+    out = reproduce_scoreboard(
+        args.ckpt_root, args.data_root, args.out, scenario_keys=keys,
+        seeds=seeds,
+    )
+    rows = ["scenario  metric                      ours        published  beats"]
+    for key, entry in out.items():
+        for m, (ours, pub) in entry["vs_published"].items():
+            rows.append(
+                f"{key:<9} {m:<26} {ours:<11.6f} {pub:<10.6f} "
+                f"{'YES' if ours < pub else 'no'}"
+            )
+    print("\n".join(rows))
+
+
 def _cmd_validate(args):
     from .data import collect_csv_files
     from . import scenarios
@@ -372,6 +402,20 @@ def main(argv=None):
     pl.add_argument("--out", required=True)
     pl.add_argument("--seed", type=int, default=0)
     pl.set_defaults(fn=_cmd_pipeline)
+
+    rp = sub.add_parser(
+        "reproduce",
+        help="regenerate all validation JSONs + scoreboard from checkpoints "
+        "(one process, seeds from the committed artifacts)",
+    )
+    rp.add_argument("--ckpt-root", default="results/checkpoints")
+    rp.add_argument("--data-root", default="/root/reference/DefensiveData")
+    rp.add_argument("--out", default="results")
+    rp.add_argument("--scenarios", default=None,
+                    help="comma-separated subset (default: all)")
+    rp.add_argument("--seeds", default=None,
+                    help="sce1=1,sce2=0,... overrides (default: recorded)")
+    rp.set_defaults(fn=_cmd_reproduce)
 
     v = sub.add_parser("validate", help="metric sweep over tracked traces")
     v.add_argument("--scenario", required=True)

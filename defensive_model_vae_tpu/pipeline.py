@@ -225,6 +225,23 @@ def _git_sha() -> Optional[str]:
         return None
 
 
+# Metric-specific caveats carried INSIDE every validation artifact, so the
+# JSONs are self-contained (no reader should need PARITY.md to interpret a
+# number that looks like a defect but is metric-inherent).
+METRIC_CAVEATS = {
+    "plane_centroid_rmse": (
+        "plane_centroid_rmse is inherently large when a scenario's "
+        "human-extraction and generation start masks offset the two point "
+        "clouds (reference metric, Spatial_Distribution.py:1357-1429): the "
+        "reference's own shipped sce4 GeneratedData scores 73.9 on it "
+        "(live differential, tests/test_metrics.py::"
+        "test_plane_rmse_differential_vs_live_reference).  Values in the "
+        "tens here are metric-inherent, not a tracking defect; no "
+        "published oracle exists for this metric."
+    ),
+}
+
+
 def provenance(
     scenario, seed: int, mpc_cfg: Optional[MPCConfig] = None,
     n_csvs: Optional[int] = None, notes: Optional[List[str]] = None,
@@ -251,7 +268,69 @@ def provenance(
     if n_csvs is not None:
         p["n_csvs"] = n_csvs
     p["notes"].extend(sce.provenance_notes)
+    p["notes"].extend(METRIC_CAVEATS.values())
     return p
+
+
+def reproduce_scoreboard(
+    checkpoint_root: str,
+    data_root: str,
+    out_dir: str,
+    scenario_keys: Optional[Sequence[str]] = None,
+    seeds: Optional[Dict[str, int]] = None,
+) -> Dict[str, Dict]:
+    """Regenerate every ``validation_<sce>.json`` (and the scoreboard vs the
+    published-best values) from the committed checkpoints in ONE process —
+    the one-command falsifier for the headline claim.
+
+    Generation seeds default to the ones recorded in each existing
+    artifact's provenance block, so a plain rerun reproduces the committed
+    numbers; pass ``seeds`` to override.  One process matters: each fresh
+    process pays the multi-minute tunnel warm-up once (CLAUDE.md), so the
+    whole four-scenario sweep shares it.
+
+    Returns ``{sce: {"report": …, "vs_published": {metric: (ours, pub)}}}``
+    and writes ``<out_dir>/scoreboard.json``.
+    """
+    keys = list(scenario_keys or scenarios.REGISTRY)
+    out: Dict[str, Dict] = {}
+    for key in keys:
+        seed = (seeds or {}).get(key)
+        if seed is None:
+            prev = os.path.join(out_dir, f"validation_{key}.json")
+            seed = 0
+            if os.path.exists(prev):
+                try:
+                    with open(prev) as f:
+                        seed = int(json.load(f)["provenance"]["seed"])
+                except Exception:
+                    pass
+        report = run_scenario(
+            os.path.join(checkpoint_root, key), key, data_root, out_dir,
+            seed=seed,
+        )
+        # best published value per metric — single source of truth in the
+        # scenario registry (Scenario.published_best, cited to
+        # JS_divergence.txt; which cells reproduce from the shipped
+        # artifacts is pinned in PARITY.md "Published-cell disposition")
+        vs = {
+            m: (float(report[m]), pub)
+            for m, pub in scenarios.get(key).published_best.items()
+        }
+        out[key] = {"report": {k: v for k, v in report.items()}, "vs_published": vs}
+
+    from .utils.reporting import jsonable
+
+    board = {
+        key: {
+            m: {"ours": ours, "published_best": pub, "beats": bool(ours < pub)}
+            for m, (ours, pub) in entry["vs_published"].items()
+        }
+        for key, entry in out.items()
+    }
+    with open(os.path.join(out_dir, "scoreboard.json"), "w") as f:
+        json.dump(jsonable(board), f, indent=2)
+    return out
 
 
 def run_scenario(

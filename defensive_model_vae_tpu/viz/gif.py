@@ -64,6 +64,22 @@ def _heading_series(xy: np.ndarray) -> np.ndarray:
     return np.append(th, th[-1] if len(th) else 0.0)
 
 
+def constant_speed_trajectory(
+    waypoints: np.ndarray, speed: float = 3.0, dt: float = 0.05
+) -> np.ndarray:
+    """(N, 2) positions of a vehicle moving through ``waypoints`` at
+    constant ``speed`` — the moving-background-vehicle path of the MPC
+    tracking gifs (reference
+    ``Drawing_Tools.calculate_moving_bg_vehicle_trajectory``, ``:116-160``),
+    vectorized: per-segment times from arc length, one interp per axis."""
+    wp = np.asarray(waypoints, float)[:, :2]
+    seg = np.hypot(*np.diff(wp, axis=0).T)
+    t_wp = np.concatenate([[0.0], np.cumsum(seg / speed)])
+    t = np.arange(0.0, t_wp[-1] + dt, dt)
+    return np.column_stack([np.interp(t, t_wp, wp[:, 0]),
+                            np.interp(t, t_wp, wp[:, 1])])
+
+
 def animate_human_vs_model(
     human_traj: Optional[np.ndarray],
     bv1_traj: Optional[np.ndarray],
@@ -116,6 +132,9 @@ def animate_human_vs_model(
     add_track(bv1_traj, BV_COLOR, "BV", bv_size)
     add_track(bv2_traj, BV_COLOR, None)
     ax.legend(loc="upper right")
+    # live clock HUD (reference ``Tools.py:421,610``)
+    time_text = ax.text(0.02, 0.98, "", transform=ax.transAxes, fontsize=12,
+                        verticalalignment="top")
 
     # advance every track on the shared CLOCK, not by frame index: tracks
     # differ in length, start time, and sampling rate, and the reference
@@ -134,6 +153,8 @@ def animate_human_vs_model(
                 vehicle_rectangle(traj[j, 0], traj[j, 1], headings[j], *size)
             )
             artists += [line, rect]
+        time_text.set_text(f"Time: {now:.2f}s")
+        artists.append(time_text)
         return artists
 
     anim = FuncAnimation(fig, update, frames=frames, blit=True)
@@ -150,9 +171,28 @@ def animate_tracking(
     save_path: str,
     fps: int = 25,
     frame_stride: int = 8,
+    draw_lanes: bool = False,
+    static_bv_xy: Optional[np.ndarray] = None,
+    moving_bv_waypoints: Optional[np.ndarray] = None,
+    moving_bv_speed: float = 3.0,
 ):
-    """MPC tracking GIF: reference path + moving tracked vehicle
-    (reference ``Drawing_Tools.create_path_tracking_gif``)."""
+    """MPC tracking GIF: reference path + moving tracked vehicle, with the
+    full scene dressing of the reference's two Drawing_Tools variants
+    (``create_path_tracking_gif`` ``:208-349`` — lane lines, static +
+    constant-speed moving background vehicles — and
+    ``create_path_tracking_gif_with_reference`` ``:352-458`` — the static
+    reference path, which is the always-drawn waypoint line here).
+
+    The HUD additionally shows live time AND speed from the tracked state's
+    v column (the reference variants have no telemetry readout).
+
+    - ``draw_lanes``: scenario lane geometry from the registry
+      (``Drawing_Tools.draw_lane_lines`` used hardcoded demo lanes).
+    - ``static_bv_xy``: (2,) parked background vehicle position
+      (``draw_background_vehicle``, ``:79-113``).
+    - ``moving_bv_waypoints``: (M, 2) path for a constant-speed background
+      vehicle (``calculate_moving_bg_vehicle_trajectory``, ``:116-160``).
+    """
     import matplotlib
 
     matplotlib.use("Agg")
@@ -167,20 +207,57 @@ def animate_tracking(
     ax.set_ylim(states[:, 1].min() - pad, states[:, 1].max() + pad)
     ax.set_aspect("equal")
     ax.grid(alpha=0.2)
+    if draw_lanes:
+        draw_lane_lines(ax, sce)
+    if static_bv_xy is not None:
+        ax.add_patch(patches.Polygon(
+            vehicle_rectangle(static_bv_xy[0], static_bv_xy[1], 0.0).tolist(),
+            facecolor=BV_COLOR, edgecolor="none",
+        ))
     ax.plot(waypoints[:, 0], waypoints[:, 1], "ro--", markersize=4, label="Waypoints")
     trail, = ax.plot([], [], color=MODEL_COLOR, linewidth=2, label="Tracked")
     rect = patches.Polygon(
         vehicle_rectangle(1e3, 1e3, 0).tolist(), facecolor=MODEL_COLOR, edgecolor="none"
     )
     ax.add_patch(rect)
+
+    bv_path = bv_head = bv_rect = bv_trail = None
+    if moving_bv_waypoints is not None:
+        dt = sce.dt * frame_stride
+        bv_path = constant_speed_trajectory(moving_bv_waypoints, moving_bv_speed, dt)
+        bv_head = _heading_series(bv_path)
+        bv_trail, = ax.plot([], [], color=BV_COLOR, linewidth=2, alpha=0.8,
+                            label="BV")
+        bv_rect = patches.Polygon(
+            vehicle_rectangle(1e3, 1e3, 0, 2.0, 1.0).tolist(),
+            facecolor=BV_COLOR, edgecolor="none",
+        )
+        ax.add_patch(bv_rect)
     ax.legend()
+    hud = ax.text(0.02, 0.98, "", transform=ax.transAxes, fontsize=12,
+                  verticalalignment="top")
 
     frames = range(0, len(states), frame_stride)
 
     def update(i):
         trail.set_data(states[: i + 1, 0], states[: i + 1, 1])
         rect.set_xy(vehicle_rectangle(states[i, 0], states[i, 1], states[i, 2]))
-        return trail, rect
+        artists = [trail, rect]
+        if bv_path is not None:
+            j = min(i // frame_stride, len(bv_path) - 1)
+            bv_trail.set_data(bv_path[: j + 1, 0], bv_path[: j + 1, 1])
+            bv_rect.set_xy(
+                vehicle_rectangle(bv_path[j, 0], bv_path[j, 1], bv_head[j],
+                                  2.0, 1.0)
+            )
+            artists += [bv_trail, bv_rect]
+        t_now = i * sce.dt
+        if states.shape[1] >= 4:
+            hud.set_text(f"Time: {t_now:.2f}s   Speed: {states[i, 3]:.1f} m/s")
+        else:
+            hud.set_text(f"Time: {t_now:.2f}s")
+        artists.append(hud)
+        return artists
 
     anim = FuncAnimation(fig, update, frames=frames, blit=True)
     os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)

@@ -126,7 +126,41 @@ def test_provenance_block():
     assert p["tracker"]["prediction_horizon"] == 30
     assert p["tracker"]["dt"] == 0.02
     assert any("134" in n for n in p["notes"])  # sce4 stale-window note
+    # metric caveats ride in every artifact so the JSONs are self-contained
+    assert any("plane_centroid_rmse" in n for n in p["notes"])
     assert p["git_sha"] is None or len(p["git_sha"]) == 40
+
+
+def test_reproduce_scoreboard_wiring(tmp_path, monkeypatch):
+    """`defvae reproduce` plumbing: seeds recovered from the committed
+    artifacts' provenance, one run_scenario per scenario, scoreboard JSON
+    written with beats flags vs the registry's published_best."""
+    import json as _json
+
+    from defensive_model_vae_tpu import pipeline, scenarios
+
+    # existing artifact with a recorded seed for sce2; none for sce1
+    (tmp_path / "validation_sce2.json").write_text(
+        _json.dumps({"provenance": {"seed": 42}})
+    )
+
+    calls = []
+
+    def fake_run_scenario(ckpt, key, data_root, out, seed=0):
+        calls.append((ckpt, key, seed))
+        pb = scenarios.get(key).published_best
+        return {m: v * (0.5 if key == "sce1" else 2.0) for m, v in pb.items()}
+
+    monkeypatch.setattr(pipeline, "run_scenario", fake_run_scenario)
+    out = pipeline.reproduce_scoreboard(
+        "ckpts", "data", str(tmp_path), scenario_keys=["sce1", "sce2"]
+    )
+    assert [(c[1], c[2]) for c in calls] == [("sce1", 0), ("sce2", 42)]
+    assert calls[0][0] == os.path.join("ckpts", "sce1")
+    board = _json.loads((tmp_path / "scoreboard.json").read_text())
+    assert all(cell["beats"] for cell in board["sce1"].values())
+    assert not any(cell["beats"] for cell in board["sce2"].values())
+    assert set(out) == {"sce1", "sce2"}
 
 
 @requires_reference

@@ -119,6 +119,27 @@ def test_animations(tmp_path):
     animate_tracking(wp, states, "sce1", str(tmp_path / "track.gif"), frame_stride=8)
     assert (tmp_path / "track.gif").exists()
 
+    # full scene dressing (the Drawing_Tools variants): static + moving
+    # background vehicles, lane lines, time+speed HUD
+    animate_tracking(
+        wp, states, "sce1", str(tmp_path / "track_full.gif"), frame_stride=8,
+        draw_lanes=True, static_bv_xy=np.array([3.0, 2.0]),
+        moving_bv_waypoints=np.array([[0.0, -2.0], [4.0, -2.0], [6.0, -1.0]]),
+    )
+    assert (tmp_path / "track_full.gif").exists()
+
+
+def test_constant_speed_trajectory():
+    """Arc-length parameterization: uniform speed along the polyline
+    (reference Drawing_Tools.calculate_moving_bg_vehicle_trajectory)."""
+    from defensive_model_vae_tpu.viz.gif import constant_speed_trajectory
+
+    wp = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 5.0]])
+    path = constant_speed_trajectory(wp, speed=2.0, dt=0.5)
+    steps = np.hypot(*np.diff(path, axis=0).T)
+    assert np.allclose(steps, 1.0, atol=1e-9)  # 2 m/s * 0.5 s
+    assert np.allclose(path[0], [0, 0]) and np.allclose(path[-1], [10, 5], atol=1.0)
+
 
 def test_generated_vs_training_and_offset_curves(tmp_path, windows_sce1):
     from defensive_model_vae_tpu.viz.plots import (
