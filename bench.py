@@ -277,6 +277,29 @@ def bench_multi_kernel():
     return True
 
 
+def bench_seed_grid(windows, n_seeds=32, epochs=3000):
+    """Seed-grid kernel: n_seeds full trainings of one corpus in ONE kernel
+    launch (``ops.fused_train_seeds``) — the train-seed selection sweep's
+    workload.  Asserts every seed converges; returns warm seconds."""
+    from defensive_model_vae_tpu.ops import fused_train_seeds
+
+    seeds = list(range(n_seeds))
+    _, hist_by = fused_train_seeds(windows, seeds, epochs=epochs)  # compile
+    t0 = time.time()
+    _, hist_by = fused_train_seeds(windows, seeds, epochs=epochs)
+    dt = time.time() - t0
+    for s, h in hist_by.items():
+        first, last = float(h["total"][0]), float(h["total"][-1])
+        if not np.isfinite(last) or last >= first / 5:
+            raise RuntimeError(
+                f"seed-grid kernel regressed: seed {s} loss {first:.3f} → {last:.3f}"
+            )
+    rate = n_seeds * epochs * len(windows) / dt
+    _log(f"seed-grid: {n_seeds} trainings x {epochs} epochs in ONE launch, "
+         f"{dt:.2f}s warm ({rate/1e6:.2f}M windows/s aggregate)")
+    return dt
+
+
 def bench_dnda_sweep():
     """Full 21-episode SUT DNDA sweep (host prep + ONE batched device SAT
     program); returns warm seconds or None when the corpus is absent."""
@@ -376,10 +399,14 @@ def main():
         # for wall-clock-constrained driver rounds; the persistent
         # .jax_cache keeps even the 'cold' compile cheap on repeats
         torch_rate = RECORDED_TORCH_CPU_RATE
-    dnda_s = mpc_s = None
+    dnda_s = mpc_s = grid_s = None
     if not warm_only:
         bench_generation(windows)
         multi_ok = bench_multi_kernel()
+        try:
+            grid_s = bench_seed_grid(windows)
+        except Exception as e:
+            _log(f"seed-grid bench failed ({e})")
         try:
             dnda_s = bench_dnda_sweep()
         except Exception as e:
@@ -424,6 +451,8 @@ def main():
     }
     if multi_ok is not None:
         result["multi_kernel_converged"] = bool(multi_ok)
+    if grid_s is not None:
+        result["seed_grid_32x3000_s"] = round(grid_s, 2)
     if dnda_s is not None:
         result["dnda_sweep_21ep_s"] = round(dnda_s, 1)
     if mpc_s is not None:

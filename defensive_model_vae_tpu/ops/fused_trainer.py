@@ -320,7 +320,10 @@ def _make_multi_kernel(cfg: CVAEConfig, weights: LossWeights, epochs: int,
 
         s = pl.program_id(0)
         if not eps_input:
-            pltpu.prng_seed(seed_ref[0, 0] + s)
+            # per-program stream seed from the (1, S) SMEM row — lets the
+            # grid axis carry arbitrary seed lists (fused_train_seeds), not
+            # just base+index (fused_train_multi passes base+i rows)
+            pltpu.prng_seed(seed_ref[0, s])
         x = x_ref[0]
         cond = cond_ref[0]
         mask = mask_ref[0]  # (B, 1), kept 2-D for Mosaic-friendly reductions
@@ -457,7 +460,7 @@ def fused_train_multi(
         jnp.stack([p[j] for p in per_scenario_params])
         for j in range(len(per_scenario_params[0]))
     )
-    seed_arr = jnp.array([[seed]], jnp.int32)
+    seed_arr = jnp.array([[seed + i for i in range(len(keys))]], jnp.int32)
 
     eps = None
     if eps_by_scenario is not None:
@@ -480,6 +483,67 @@ def fused_train_multi(
         hist_by[k] = {
             m: metrics[i, :, j] for j, m in enumerate(FUSED_METRIC_KEYS)
         }
+    return params_by, hist_by
+
+
+def fused_train_seeds(
+    windows: np.ndarray,
+    seeds,
+    epochs: int = 3000,
+    lr: float = 1e-3,
+    weights: LossWeights = LossWeights(),
+    eps_by_seed=None,
+    interpret: bool = False,
+) -> Tuple[Dict[int, Params], Dict[int, Dict[str, np.ndarray]]]:
+    """Train the SAME corpus under many train seeds in ONE kernel launch.
+
+    The Pallas grid axis enumerates seeds (init ``PRNGKey(seed)``, core
+    PRNG stream ``seed`` — identical semantics to calling
+    :func:`fused_train` per seed, which is asserted in tests via the
+    explicit-eps mode).  This is the train-seed selection sweep's workload
+    (``scripts/seed_sweep.py``): a 110-candidate sweep collapses from 110
+    kernel launches (plus per-launch dispatch/tunnel overhead) to one.
+
+    The batch block is shared: XLA broadcasts one copy of the (B, T·D)
+    corpus to every grid program, so HBM cost is per-seed params + metrics
+    only (~0.5 MB/seed at hidden=128).
+
+    ``eps_by_seed`` (optional ``{seed: (B, latent)}``) swaps the on-core
+    PRNG for explicit noise, the interpret-mode escape hatch shared with
+    the other kernels.
+    """
+    seeds = [int(s) for s in seeds]
+    cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
+    _check_vmem_budget(cfg)
+    x_flat, start = fused_inputs(windows)
+    S, B = len(seeds), x_flat.shape[0]
+
+    x = jnp.broadcast_to(x_flat, (S,) + x_flat.shape)
+    cond = jnp.broadcast_to(start, (S,) + start.shape)
+    mask = jnp.ones((S, B, 1), jnp.float32)
+
+    per_seed_params = [
+        _flatten_params(init_params(jax.random.PRNGKey(s), cfg)) for s in seeds
+    ]
+    plists = tuple(
+        jnp.stack([p[j] for p in per_seed_params])
+        for j in range(len(per_seed_params[0]))
+    )
+    seed_arr = jnp.array([seeds], jnp.int32)
+
+    eps = None
+    if eps_by_seed is not None:
+        eps = jnp.stack([jnp.asarray(eps_by_seed[s], jnp.float32) for s in seeds])
+
+    out_p, metrics = _fused_multi_call(
+        plists, x, cond, mask, seed_arr, cfg, weights, epochs, lr,
+        eps=eps, interpret=interpret,
+    )
+    metrics = np.asarray(metrics)[:, :, :5]
+    params_by, hist_by = {}, {}
+    for i, s in enumerate(seeds):
+        params_by[s] = _unflatten_params([np.asarray(p[i]) for p in out_p])
+        hist_by[s] = {m: metrics[i, :, j] for j, m in enumerate(FUSED_METRIC_KEYS)}
     return params_by, hist_by
 
 

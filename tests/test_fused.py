@@ -159,6 +159,43 @@ def test_fused_train_multi_matches_single_kernel(all_windows):
             assert np.allclose(hist_by[k][key], m[:, j], rtol=1e-5), (k, key)
 
 
+def test_fused_train_seeds_matches_single_kernel(all_windows):
+    """Seed-grid kernel (one launch trains K seeds of one corpus) vs the
+    single-scenario kernel, per seed, in interpret mode with explicit eps.
+    The grid block shares one corpus copy and an all-ones mask, which must
+    be arithmetically identical to the unmasked single-kernel loss."""
+    from defensive_model_vae_tpu.ops import fused_train_seeds
+
+    w = all_windows["sce2"]
+    seeds = [3, 17]
+    epochs = 4
+    eps_by = {
+        s: np.asarray(jax.random.normal(jax.random.PRNGKey(100 + s),
+                                        (len(w), CFG.latent_dim)))
+        for s in seeds
+    }
+    params_by, hist_by = fused_train_seeds(
+        w, seeds, epochs=epochs, eps_by_seed=eps_by, interpret=True
+    )
+    assert set(params_by) == set(seeds)
+
+    x_flat, cond = _prep(w)
+    for s in seeds:
+        plist = tuple(_flatten_params(init_params(jax.random.PRNGKey(s), CFG)))
+        out_p, metrics = _fused_call(
+            plist, x_flat, cond, jnp.array([[s]], jnp.int32),
+            CFG, LossWeights(), epochs, 1e-3,
+            eps=jnp.asarray(eps_by[s]), interpret=True,
+        )
+        single = _unflatten_params(list(out_p))
+        for name, lp in params_by[s].items():
+            assert np.allclose(lp["w"], np.asarray(single[name]["w"]), atol=1e-6), (s, name)
+            assert np.allclose(lp["b"], np.asarray(single[name]["b"]), atol=1e-6), (s, name)
+        assert np.allclose(
+            hist_by[s]["total"], np.asarray(metrics)[:, 0], rtol=1e-5
+        )
+
+
 def test_fused_vmem_budget_check():
     """Oversized configs get a clear error pointing at the scan trainer
     (measured envelope: hidden=256 fits, hidden=512 exceeds VMEM)."""
