@@ -110,10 +110,11 @@ def _cmd_reproduce(args):
     )
     rows = ["scenario  metric                      ours        published  beats"]
     for key, entry in out.items():
-        for m, (ours, pub) in entry["vs_published"].items():
+        for m, cell in entry["board"].items():
             rows.append(
-                f"{key:<9} {m:<26} {ours:<11.6f} {pub:<10.6f} "
-                f"{'YES' if ours < pub else 'no'}"
+                f"{key:<9} {m:<26} {cell['ours']:<11.6f} "
+                f"{cell['published_best']:<10.6f} "
+                f"{'YES' if cell['beats'] else 'no'}"
             )
     print("\n".join(rows))
 

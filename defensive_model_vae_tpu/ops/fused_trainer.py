@@ -120,6 +120,21 @@ def _forward_loss(plist, x_flat, cond, eps, cfg: CVAEConfig, w: LossWeights,
     return total, jnp.stack([total, recon_loss, kld, start_loss, time_loss])
 
 
+def _check_grid_epoch_budget(epochs: int, limit: int = 12000):
+    """The grid kernels' per-program metrics block ((1, epochs, 8) in VMEM,
+    lane-padded to 128 and DOUBLE-buffered by the grid pipeline) caps
+    epochs: measured on v5e, 3000 compiles (~3 MB) and 30000 fails the
+    16 MB scoped-vmem limit at 31 MB.  Refuse early with a pointer to
+    chunked resume instead of a compiler stack-OOM."""
+    if epochs > limit:
+        raise ValueError(
+            f"grid kernel metrics buffer needs ~{epochs * 128 * 4 * 2 / 1e6:.0f}"
+            f" MB VMEM at {epochs} epochs (> ~16 MB scoped limit); run in "
+            f"chunks of <= {limit} epochs (or use fused_train/train.train "
+            f"per scenario)"
+        )
+
+
 def _check_vmem_budget(cfg: CVAEConfig, limit_mb: float = 12.0):
     """The whole-run kernel holds params + Adam m/v in VMEM; refuse configs
     that cannot fit (measured envelope on v5e: hidden=256 works at ~6 MB,
@@ -434,6 +449,7 @@ def fused_train_multi(
     keys = sorted(windows_by_scenario.keys())
     first = next(iter(windows_by_scenario.values()))
     cfg = CVAEConfig(seq_len=first.shape[1], dim=first.shape[2])
+    _check_grid_epoch_budget(epochs)
     n_max = max(w.shape[0] for w in windows_by_scenario.values())
 
     xs, conds, masks = [], [], []
@@ -476,10 +492,14 @@ def fused_train_multi(
         plists, x_flat, cond, mask, seed_arr, cfg, weights, epochs, lr,
         eps=eps, interpret=interpret,
     )
+    # fetch each STACKED array once, slice on host: per-buffer RPCs through
+    # the remote tunnel cost ~30 ms each, so fetching S×24 param slices
+    # would multiply host time by S (measured: 32-seed grid 29 s → ~2 s)
+    out_host = [np.asarray(p) for p in out_p]
     metrics = np.asarray(metrics)[:, :, :5]
     params_by, hist_by = {}, {}
     for i, k in enumerate(keys):
-        params_by[k] = _unflatten_params([np.asarray(p[i]) for p in out_p])
+        params_by[k] = _unflatten_params([p[i] for p in out_host])
         hist_by[k] = {
             m: metrics[i, :, j] for j, m in enumerate(FUSED_METRIC_KEYS)
         }
@@ -504,9 +524,10 @@ def fused_train_seeds(
     (``scripts/seed_sweep.py``): a 110-candidate sweep collapses from 110
     kernel launches (plus per-launch dispatch/tunnel overhead) to one.
 
-    The batch block is shared: XLA broadcasts one copy of the (B, T·D)
-    corpus to every grid program, so HBM cost is per-seed params + metrics
-    only (~0.5 MB/seed at hidden=128).
+    The corpus operand is materialized per seed (pallas_call inputs are
+    dense, so ``broadcast_to`` becomes S copies — ~4.6 KB each for sce1);
+    the dominant per-seed HBM cost is params + metrics (~0.5 MB/seed at
+    hidden=128, 3000 epochs).
 
     ``eps_by_seed`` (optional ``{seed: (B, latent)}``) swaps the on-core
     PRNG for explicit noise, the interpret-mode escape hatch shared with
@@ -515,6 +536,7 @@ def fused_train_seeds(
     seeds = [int(s) for s in seeds]
     cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
     _check_vmem_budget(cfg)
+    _check_grid_epoch_budget(epochs)
     x_flat, start = fused_inputs(windows)
     S, B = len(seeds), x_flat.shape[0]
 
@@ -539,10 +561,12 @@ def fused_train_seeds(
         plists, x, cond, mask, seed_arr, cfg, weights, epochs, lr,
         eps=eps, interpret=interpret,
     )
+    # one fetch per stacked array, host-side slicing (see fused_train_multi)
+    out_host = [np.asarray(p) for p in out_p]
     metrics = np.asarray(metrics)[:, :, :5]
     params_by, hist_by = {}, {}
     for i, s in enumerate(seeds):
-        params_by[s] = _unflatten_params([np.asarray(p[i]) for p in out_p])
+        params_by[s] = _unflatten_params([p[i] for p in out_host])
         hist_by[s] = {m: metrics[i, :, j] for j, m in enumerate(FUSED_METRIC_KEYS)}
     return params_by, hist_by
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -303,8 +304,16 @@ def reproduce_scoreboard(
                 try:
                     with open(prev) as f:
                         seed = int(json.load(f)["provenance"]["seed"])
-                except Exception:
-                    pass
+                except Exception as e:
+                    # the "plain rerun reproduces the committed numbers"
+                    # contract depends on seed recovery — never fall back
+                    # silently
+                    print(
+                        f"WARNING: could not read recorded seed from {prev} "
+                        f"({e}); using seed 0 — results will NOT match the "
+                        f"committed artifact",
+                        file=sys.stderr,
+                    )
         report = run_scenario(
             os.path.join(checkpoint_root, key), key, data_root, out_dir,
             seed=seed,
@@ -313,21 +322,23 @@ def reproduce_scoreboard(
         # scenario registry (Scenario.published_best, cited to
         # JS_divergence.txt; which cells reproduce from the shipped
         # artifacts is pinned in PARITY.md "Published-cell disposition")
-        vs = {
-            m: (float(report[m]), pub)
-            for m, pub in scenarios.get(key).published_best.items()
+        # single verdict construction — the CLI table and the committed
+        # scoreboard.json read the SAME cells, so they cannot disagree
+        out[key] = {
+            "report": dict(report),
+            "board": {
+                m: {
+                    "ours": float(report[m]),
+                    "published_best": pub,
+                    "beats": bool(report[m] < pub),
+                }
+                for m, pub in scenarios.get(key).published_best.items()
+            },
         }
-        out[key] = {"report": {k: v for k, v in report.items()}, "vs_published": vs}
 
     from .utils.reporting import jsonable
 
-    board = {
-        key: {
-            m: {"ours": ours, "published_best": pub, "beats": bool(ours < pub)}
-            for m, (ours, pub) in entry["vs_published"].items()
-        }
-        for key, entry in out.items()
-    }
+    board = {key: entry["board"] for key, entry in out.items()}
     with open(os.path.join(out_dir, "scoreboard.json"), "w") as f:
         json.dump(jsonable(board), f, indent=2)
     return out

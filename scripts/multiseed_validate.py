@@ -86,16 +86,18 @@ def main():
         def _cell(m):
             vals = np.array([r[m] for r in per_seed], float)
             n = len(vals)
+            # sample std (ddof=1) throughout, so ci95_halfwidth is exactly
+            # t_{.975,n-1} * std / sqrt(n) reconstructed from this cell
             cell = {
                 "mean": float(vals.mean()),
-                "std": float(vals.std()),
+                "std": float(vals.std(ddof=1)) if n >= 2 else 0.0,
                 "values": [float(v) for v in vals],
             }
             if n >= 2:
                 from scipy.stats import t as student_t
 
                 half = float(
-                    student_t.ppf(0.975, n - 1) * vals.std(ddof=1) / np.sqrt(n)
+                    student_t.ppf(0.975, n - 1) * cell["std"] / np.sqrt(n)
                 )
                 cell["ci95"] = [cell["mean"] - half, cell["mean"] + half]
                 cell["ci95_halfwidth"] = half

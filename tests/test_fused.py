@@ -204,3 +204,21 @@ def test_fused_vmem_budget_check():
     _check_vmem_budget(CVAEConfig(hidden_dim=256))  # fits
     with pytest.raises(ValueError, match="train.train"):
         _check_vmem_budget(CVAEConfig(hidden_dim=512))
+
+
+def test_grid_epoch_budget_check():
+    """Grid kernels refuse epoch counts whose double-buffered VMEM metrics
+    block exceeds the scoped limit (measured on v5e: 3000 ok, 30000 OOMs
+    at 31 MB vs the 16 MB limit), with a chunked-resume pointer."""
+    import numpy as np
+    import pytest as _pytest
+
+    from defensive_model_vae_tpu.ops import fused_train_multi, fused_train_seeds
+    from defensive_model_vae_tpu.ops.fused_trainer import _check_grid_epoch_budget
+
+    _check_grid_epoch_budget(3000)  # the reference config fits
+    w = np.zeros((4, 10, 3), np.float32)
+    with _pytest.raises(ValueError, match="chunks"):
+        fused_train_seeds(w, [0, 1], epochs=30000)
+    with _pytest.raises(ValueError, match="chunks"):
+        fused_train_multi({"sce2": w}, epochs=30000)

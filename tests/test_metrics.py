@@ -253,7 +253,7 @@ def _ref_humans(RD, key):
 @requires_reference
 @pytest.mark.parametrize("key,published", [("sce1", 0.131582), ("sce4", 0.041909)])
 def test_js_divergence_live_differential_open_cells(key, published):
-    """The sce1/sce4 published JS cells (JS_divergence.txt:2,31) do not
+    """The sce1/sce4 published JS cells (JS_divergence.txt:3,34) do not
     reproduce from the shipped tree; this pins our whole JS pipeline
     (velocity extraction + base-2 JS, ``Distribution.py:195-296,299-333``)
     against the reference run live on the shipped artifacts."""
@@ -351,7 +351,7 @@ def test_rmse_frequency_point_count_live_differential(key, published):
 @requires_reference
 def test_surface_rmse_sce1_live_differential():
     """Neither published sce1 surface-RMSE pair (first run 2.96752272/
-    3.45551705, '0211' 2.22687781/2.36965596 — JS_divergence.txt:5-9)
+    3.45551705, '0211' 2.22687781/2.36965596 — JS_divergence.txt:6-10)
     reproduces from the shipped GeneratedData: the reference's own surface
     pipeline (``Spatial_Distribution.py:708-932,1540-1583``) run live yields
     ~1.1606/1.6114 (axis='y', the travel axis, per the last-edited main at
