@@ -115,9 +115,15 @@ def generate_and_track(
     idx = np.flatnonzero(ok)
     if len(idx):
         _, states, _, steps = track_batch(wps[idx], inits[idx], mpc_cfg)
+        # ONE fetch per stacked array, then host-side slicing: per-buffer
+        # device→host RPCs through the remote tunnel cost ~30 ms each, so
+        # fetching 134 row slices + 134 step scalars per sce4 call would
+        # dominate the whole generate+track wall time (CLAUDE.md hazards)
+        states = np.asarray(states)
+        steps = np.asarray(steps)
         for row, b in enumerate(idx):
-            n = steps[row]
-            traces.append(np.asarray(states[row, : n + 1]))
+            n = int(steps[row])
+            traces.append(states[row, : n + 1])
             names.append(_csv_trace_name(sce.key, csv_files[b]))
     return traces, names
 
