@@ -112,11 +112,14 @@ def bench_jax(windows, epochs=3000):
                 tuple(_flatten_params(init_params(_jax.random.PRNGKey(s), cfg)))
                 for s in range(1, K + 1)
             ]
-            seeds = [jnp.array([[s]], jnp.int32) for s in range(1, K + 1)]
 
-            def _k_runs():
+            def _k_runs(base):
+                # fresh seed VALUES per timed iteration: repeating an
+                # identical (inputs, executable) call through the tunnel
+                # can read ~0 ms (CLAUDE.md measurement hazards)
                 outs = [
-                    _fused_call(plists[i], x_flat, start, seeds[i], cfg,
+                    _fused_call(plists[i], x_flat, start,
+                                jnp.array([[base + i]], jnp.int32), cfg,
                                 LossWeights(), epochs, 1e-3)
                     for i in range(K)
                 ]
@@ -125,11 +128,11 @@ def bench_jax(windows, epochs=3000):
                 # whole pytree instead costs ~100 per-buffer tunnel RPCs
                 _jax.block_until_ready(outs[-1][1])
 
-            _k_runs()  # untimed: absorbs the direct-call path's one-time trace
+            _k_runs(0)  # untimed: absorbs the direct-call path's one-time trace
             best = float("inf")
-            for _ in range(3):  # best-of-3 to damp tunnel/host jitter
+            for rep in range(1, 4):  # best-of-3 to damp tunnel/host jitter
                 t0 = time.time()
-                _k_runs()
+                _k_runs(100 * rep)
                 best = min(best, (time.time() - t0) / K)
             warm_pipelined, timing = best, "pipelined"
         except Exception as e:
@@ -287,10 +290,12 @@ def bench_seed_grid(windows, n_seeds=32, epochs=3000):
     workload.  Asserts every seed converges; returns warm seconds."""
     from defensive_model_vae_tpu.ops import fused_train_seeds
 
-    seeds = list(range(n_seeds))
-    _, hist_by = fused_train_seeds(windows, seeds, epochs=epochs)  # compile
+    fused_train_seeds(windows, list(range(n_seeds)), epochs=epochs)  # compile
+    # fresh seed values for the timed run (identical-repeat hazard, CLAUDE.md)
     t0 = time.time()
-    _, hist_by = fused_train_seeds(windows, seeds, epochs=epochs)
+    _, hist_by = fused_train_seeds(
+        windows, list(range(1000, 1000 + n_seeds)), epochs=epochs
+    )
     dt = time.time() - t0
     for s, h in hist_by.items():
         first, last = float(h["total"][0]), float(h["total"][-1])
@@ -339,8 +344,10 @@ def bench_mpc_corpus():
     )
     cfg = MPCConfig(prediction_horizon=30, control_horizon=20, dt=0.02)
     track_batch(wps, inits, cfg)  # compile
+    # perturb the timed call's inputs (identical-repeat hazard, CLAUDE.md)
+    inits2 = inits + rng.normal(0, 1e-3, inits.shape)
     t0 = time.time()
-    _, states, _, steps = track_batch(wps, inits, cfg)
+    _, states, _, steps = track_batch(wps, inits2, cfg)
     dt = time.time() - t0
     n_solves = int(steps.sum())
     _log(f"mpc corpus: {B} paths, {n_solves} control steps in {dt:.2f}s "
@@ -371,19 +378,20 @@ def bench_generation(windows, n=4096):
         # consumer — e.g. the MPC tracker — never pays either)
         K = 8
 
-        def _k_batches():
+        def _k_batches(base):
+            # fresh seeds per timed rep (identical-repeat hazard, CLAUDE.md)
             outs = [
-                generate_trajectories(params, cfg, starts, seed=s,
+                generate_trajectories(params, cfg, starts, seed=base + s,
                                       materialize=False)
-                for s in range(2, 2 + K)
+                for s in range(K)
             ]
             jax.block_until_ready(outs[-1])
 
-        _k_batches()  # untimed warm rep
+        _k_batches(2)  # untimed warm rep
         dt_pipe = float("inf")
-        for _ in range(3):  # best-of-3 to damp tunnel/host jitter
+        for rep in range(1, 4):  # best-of-3 to damp tunnel/host jitter
             t0 = time.time()
-            _k_batches()
+            _k_batches(100 * rep)
             dt_pipe = min(dt_pipe, (time.time() - t0) / K)
         _log(f"generation: {n} trajectories in {dt*1e3:.0f} ms → {n/dt:,.0f} traj/s "
              f"(sustained {n/dt_pipe:,.0f} traj/s device-resident)")
