@@ -2,8 +2,16 @@
 
 For each candidate train seed: train the scenario CVAE, then evaluate the
 full generate → vmapped-MPC-track → validate pipeline on SELECTION
-generation seeds (kept disjoint from the 0–4 reporting seeds used by
+generation seeds (kept disjoint from the reporting seeds used by
 ``results/validation_multiseed.json`` so reported bands stay unselected).
+
+Trainer choice: candidates train with ``train.train`` (the scan trainer)
+because the committed checkpoints do — a selected seed only transfers if
+the final checkpoint reuses the candidate's exact PRNG stream.  For
+throughput-oriented sweeps where the sweep's own params ARE the product,
+``ops.fused_train_seeds`` trains every candidate in one kernel launch
+(32×3000 epochs ≈ 3 s wall); the evaluate stage (generate+track per
+candidate) dominates either way.
 Scoring: number of published best metrics (JS, RMSE_frequency trajcount,
 surface RMSE with/without zeros — ``JS_divergence.txt``) beaten by the
 selection-seed MEAN, tie-broken by mean surface-with-zeros.
