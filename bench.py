@@ -113,14 +113,20 @@ def bench_jax(windows, epochs=3000):
                 for s in range(1, K + 1)
             ]
 
-            def _k_runs(base):
-                # fresh seed VALUES per timed iteration: repeating an
-                # identical (inputs, executable) call through the tunnel
-                # can read ~0 ms (CLAUDE.md measurement hazards)
+            # fresh seed VALUES per timed rep (repeating an identical
+            # (inputs, executable) call through the tunnel can read ~0 ms —
+            # CLAUDE.md measurement hazards), pre-transferred OUTSIDE the
+            # timed window so seed device_puts aren't charged to the kernel
+            seed_arrays = {
+                rep: [jnp.array([[100 * rep + i]], jnp.int32) for i in range(K)]
+                for rep in range(4)
+            }
+            _jax.block_until_ready(seed_arrays[3][-1])
+
+            def _k_runs(rep):
                 outs = [
-                    _fused_call(plists[i], x_flat, start,
-                                jnp.array([[base + i]], jnp.int32), cfg,
-                                LossWeights(), epochs, 1e-3)
+                    _fused_call(plists[i], x_flat, start, seed_arrays[rep][i],
+                                cfg, LossWeights(), epochs, 1e-3)
                     for i in range(K)
                 ]
                 # execution is serial on the chip, so the last run's metrics
@@ -132,7 +138,7 @@ def bench_jax(windows, epochs=3000):
             best = float("inf")
             for rep in range(1, 4):  # best-of-3 to damp tunnel/host jitter
                 t0 = time.time()
-                _k_runs(100 * rep)
+                _k_runs(rep)
                 best = min(best, (time.time() - t0) / K)
             warm_pipelined, timing = best, "pipelined"
         except Exception as e:

@@ -114,16 +114,13 @@ def generate_and_track(
     names: List[str] = []
     idx = np.flatnonzero(ok)
     if len(idx):
+        # track_batch materializes to host numpy internally (one stacked
+        # fetch — control/mpc.py:305), so the per-row slicing below is pure
+        # numpy with no further device round-trips
         _, states, _, steps = track_batch(wps[idx], inits[idx], mpc_cfg)
-        # ONE fetch per stacked array, then host-side slicing: per-buffer
-        # device→host RPCs through the remote tunnel cost ~30 ms each, so
-        # fetching 134 row slices + 134 step scalars per sce4 call would
-        # dominate the whole generate+track wall time (CLAUDE.md hazards)
-        states = np.asarray(states)
-        steps = np.asarray(steps)
         for row, b in enumerate(idx):
             n = int(steps[row])
-            traces.append(states[row, : n + 1])
+            traces.append(states[row, : n + 1].copy())
             names.append(_csv_trace_name(sce.key, csv_files[b]))
     return traces, names
 
