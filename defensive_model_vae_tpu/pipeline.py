@@ -341,8 +341,17 @@ def reproduce_scoreboard(
 
     from .utils.reporting import jsonable
 
-    board = {key: entry["board"] for key, entry in out.items()}
-    with open(os.path.join(out_dir, "scoreboard.json"), "w") as f:
+    # subset runs refresh only their scenarios' blocks, preserving the rest
+    board_path = os.path.join(out_dir, "scoreboard.json")
+    board = {}
+    if os.path.exists(board_path):
+        try:
+            with open(board_path) as f:
+                board = json.load(f)
+        except Exception:
+            board = {}
+    board.update({key: entry["board"] for key, entry in out.items()})
+    with open(board_path, "w") as f:
         json.dump(jsonable(board), f, indent=2)
     return out
 

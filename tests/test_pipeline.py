@@ -162,6 +162,15 @@ def test_reproduce_scoreboard_wiring(tmp_path, monkeypatch):
     assert not any(cell["beats"] for cell in board["sce2"].values())
     assert set(out) == {"sce1", "sce2"}
 
+    # a subset rerun refreshes only its scenario, preserving the rest
+    pipeline.reproduce_scoreboard(
+        "ckpts", "data", str(tmp_path), scenario_keys=["sce2"],
+        seeds={"sce2": 7},
+    )
+    board2 = _json.loads((tmp_path / "scoreboard.json").read_text())
+    assert set(board2) == {"sce1", "sce2"}
+    assert board2["sce1"] == board["sce1"]
+
 
 @requires_reference
 def test_reference_torch_checkpoint_through_our_pipeline(tmp_path):
