@@ -1,0 +1,88 @@
+"""Regenerate ``results/stage_timings.json`` (the PARITY perf-table evidence
+for the warm full-production loop).
+
+Times, in ONE warm process (per the tunnel warm-up note in CLAUDE.md):
+  - ``pipeline_<sce>``: the full generate → vmapped-MPC-track → validate
+    loop per scenario, from the committed checkpoints (the
+    ``pipeline.run_scenario`` path minus artifact writes);
+  - ``multi_kernel_train_4x300``: all four scenario models trained in one
+    grid-kernel launch;
+  - ``dnda_sweep_21_episodes``: the whole SUT corpus sweep.
+
+Each stage runs once untimed (compile/cache warm) and once timed.
+
+Usage:
+    python scripts/stage_timings.py [--out results/stage_timings.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="results/stage_timings.json")
+    ap.add_argument("--data-root", default="/root/reference/DefensiveData")
+    ap.add_argument("--sut-dir", default="/root/reference/SUT_Testing/collected_data")
+    ap.add_argument("--ckpt-root", default="results/checkpoints")
+    args = ap.parse_args()
+
+    from defensive_model_vae_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from defensive_model_vae_tpu import scenarios
+    from defensive_model_vae_tpu.data import collect_csv_files
+    from defensive_model_vae_tpu.pipeline import (
+        generate_and_track, load_humans, validate,
+    )
+    from defensive_model_vae_tpu.train.checkpoint import load_checkpoint
+    from defensive_model_vae_tpu.utils.profiling import StageTimer
+
+    timer = StageTimer()
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    for key in scenarios.REGISTRY:
+        sce = scenarios.get(key)
+        params, cfg, _ = load_checkpoint(os.path.join(args.ckpt_root, key))
+        csvs = collect_csv_files(os.path.join(args.data_root, sce.town))
+        humans = load_humans(sce, csvs)
+        # warm rep (compile + tunnel), then the timed rep with a different
+        # generation seed (identical-repeat hazard, CLAUDE.md)
+        generate_and_track(params, cfg, sce, csvs, seed=1)
+        with timer.stage(f"pipeline_{key}"):
+            traces, _ = generate_and_track(params, cfg, sce, csvs, seed=0)
+            validate(traces, humans, sce)
+
+    corpora = {
+        k: np.load(os.path.join(here, "fixtures", f"trajectory_{k}_cond.npy"))
+        for k in scenarios.REGISTRY
+    }
+    from defensive_model_vae_tpu.ops import fused_train_multi
+
+    fused_train_multi(corpora, epochs=300, seed=3)
+    with timer.stage("multi_kernel_train_4x300"):
+        fused_train_multi(corpora, epochs=300, seed=4)
+
+    if os.path.isdir(args.sut_dir):
+        from defensive_model_vae_tpu.dnda import score_directory
+
+        score_directory(args.sut_dir)
+        with timer.stage("dnda_sweep_21_episodes"):
+            score_directory(args.sut_dir)
+
+    timer.dump(args.out)
+    for name, row in timer.report().items():
+        print(f"{name}: {row['seconds']:.2f}s")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
