@@ -295,9 +295,19 @@ def _cmd_serve(args):
 
     params, cfg, manifest = load_checkpoint(args.ckpt)
     mpc = MPCConfig(prediction_horizon=30, control_horizon=20, dt=args.dt)
+    mesh = None
+    if args.data_parallel:
+        from .parallel import create_mesh
+
+        mesh = create_mesh()  # all devices on the data axis
+        if args.batch % mesh.devices.size:
+            raise SystemExit(
+                f"--batch {args.batch} must be a multiple of the "
+                f"{mesh.devices.size}-device data axis"
+            )
     serve = make_serve_fn(
         params, cfg, mpc, num_steps=args.steps,
-        offset_mode=manifest.get("offset_mode", True),
+        offset_mode=manifest.get("offset_mode", True), mesh=mesh,
     )
     starts = np.tile([[args.start_x, args.start_y]], (args.batch, 1)).astype(np.float32)
     inits = np.tile(
@@ -489,6 +499,9 @@ def main(argv=None):
     ms_.set_defaults(fn=_cmd_mpc_sweep)
 
     sv = sub.add_parser("serve", help="sample→reference→MPC, one device program")
+    sv.add_argument("--data-parallel", action="store_true",
+                    help="shard the request batch over all devices "
+                    "(mesh 'data' axis; batch must divide evenly)")
     sv.add_argument("--ckpt", required=True)
     sv.add_argument("--start-x", type=float, required=True)
     sv.add_argument("--start-y", type=float, required=True)

@@ -150,6 +150,17 @@ def test_cli_serve(tmp_path, all_windows, capsys):
     assert states.shape == (1, 17, 4)  # initial state + 16 steps
     assert np.all(np.isfinite(states))
 
+    # --data-parallel shards the request batch over the 8-device CPU mesh
+    main([
+        "serve", "--data-parallel", "--batch", "16",
+        "--ckpt", str(tmp_path / "ckpt"),
+        "--start-x", "-150.0", "--start-y", "-0.7",
+        "--heading", "3.14", "--vx", "-8.0", "--vy", "0.0",
+        "--steps", "16", "--out", str(tmp_path / "states_dp.npy"),
+    ])
+    dp = np.load(tmp_path / "states_dp.npy")
+    assert dp.shape == (16, 17, 4) and np.all(np.isfinite(dp))
+
 
 def test_jsonsafe():
     """CLI JSON outputs must be strict JSON: non-finite floats → null
