@@ -106,7 +106,7 @@ def _cmd_reproduce(args):
     keys = args.scenarios.split(",") if args.scenarios else None
     out = reproduce_scoreboard(
         args.ckpt_root, args.data_root, args.out, scenario_keys=keys,
-        seeds=seeds,
+        seeds=seeds, check=args.check,
     )
     rows = ["scenario  metric                      ours        published  beats"]
     for key, entry in out.items():
@@ -117,6 +117,16 @@ def _cmd_reproduce(args):
                 f"{'YES' if cell['beats'] else 'no'}"
             )
     print("\n".join(rows))
+    if args.check:
+        bad = {k: e["check_failures"] for k, e in out.items()
+               if e.get("check_failures")}
+        if bad:
+            print("CHECK FAILED — regenerated values drifted from the "
+                  "committed artifacts:")
+            print(json.dumps(bad, indent=2))
+            raise SystemExit(1)
+        print("CHECK OK: every regenerated metric matches its committed "
+              "artifact to 1e-6")
 
 
 def _cmd_validate(args):
@@ -426,6 +436,9 @@ def main(argv=None):
                     help="comma-separated subset (default: all)")
     rp.add_argument("--seeds", default=None,
                     help="sce1=1,sce2=0,... overrides (default: recorded)")
+    rp.add_argument("--check", action="store_true",
+                    help="falsifier mode: exit 1 if any regenerated metric "
+                    "deviates >1e-6 from its committed artifact")
     rp.set_defaults(fn=_cmd_reproduce)
 
     v = sub.add_parser("validate", help="metric sweep over tracked traces")

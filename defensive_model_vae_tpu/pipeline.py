@@ -282,6 +282,7 @@ def reproduce_scoreboard(
     out_dir: str,
     scenario_keys: Optional[Sequence[str]] = None,
     seeds: Optional[Dict[str, int]] = None,
+    check: bool = False,
 ) -> Dict[str, Dict]:
     """Regenerate every ``validation_<sce>.json`` (and the scoreboard vs the
     published-best values) from the committed checkpoints in ONE process —
@@ -293,15 +294,29 @@ def reproduce_scoreboard(
     process pays the multi-minute tunnel warm-up once (CLAUDE.md), so the
     whole four-scenario sweep shares it.
 
-    Returns ``{sce: {"report": …, "vs_published": {metric: (ours, pub)}}}``
-    and writes ``<out_dir>/scoreboard.json``.
+    Returns ``{sce: {"report": …, "board": {metric: cells}}}`` and writes
+    ``<out_dir>/scoreboard.json``.
+
+    ``check=True`` turns the run into a falsifier: each regenerated metric
+    is compared against the value in the pre-existing committed artifact
+    (snapshotted before the overwrite); any relative deviation > 1e-6 is
+    collected under the scenario's ``"check_failures"`` key (the run is
+    deterministic given the recorded seed, so drift means code or
+    checkpoint changed since the artifact was committed).
     """
     keys = list(scenario_keys or scenarios.REGISTRY)
     out: Dict[str, Dict] = {}
     for key in keys:
+        committed = None
+        prev = os.path.join(out_dir, f"validation_{key}.json")
+        if check and os.path.exists(prev):
+            try:
+                with open(prev) as f:
+                    committed = json.load(f)
+            except Exception:
+                committed = None
         seed = (seeds or {}).get(key)
         if seed is None:
-            prev = os.path.join(out_dir, f"validation_{key}.json")
             seed = 0
             if os.path.exists(prev):
                 try:
@@ -338,6 +353,16 @@ def reproduce_scoreboard(
                 for m, pub in scenarios.get(key).published_best.items()
             },
         }
+        if committed is not None:
+            failures = {}
+            for m in scenarios.get(key).published_best:
+                old = committed.get(m)
+                new = float(report[m])
+                if old is None:
+                    failures[m] = {"committed": None, "regenerated": new}
+                elif abs(new - old) > 1e-6 * max(1.0, abs(old)):
+                    failures[m] = {"committed": float(old), "regenerated": new}
+            out[key]["check_failures"] = failures
 
     from .utils.reporting import jsonable
 

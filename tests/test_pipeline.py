@@ -171,6 +171,26 @@ def test_reproduce_scoreboard_wiring(tmp_path, monkeypatch):
     assert set(board2) == {"sce1", "sce2"}
     assert board2["sce1"] == board["sce1"]
 
+    # check mode: a committed artifact matching the deterministic rerun
+    # passes; one perturbed metric is caught (the monkeypatched
+    # run_scenario doesn't write artifacts, so write them here)
+    expected = {m: v * 2.0 for m, v in scenarios.get("sce2").published_best.items()}
+    art = dict(expected, provenance={"seed": 7})
+    (tmp_path / "validation_sce2.json").write_text(_json.dumps(art))
+    out3 = pipeline.reproduce_scoreboard(
+        "ckpts", "data", str(tmp_path), scenario_keys=["sce2"],
+        seeds={"sce2": 7}, check=True,
+    )
+    assert out3["sce2"]["check_failures"] == {}
+    m0 = next(iter(expected))
+    art[m0] = expected[m0] + 0.5
+    (tmp_path / "validation_sce2.json").write_text(_json.dumps(art))
+    out4 = pipeline.reproduce_scoreboard(
+        "ckpts", "data", str(tmp_path), scenario_keys=["sce2"],
+        seeds={"sce2": 7}, check=True,
+    )
+    assert list(out4["sce2"]["check_failures"]) == [m0]
+
 
 @requires_reference
 def test_reference_torch_checkpoint_through_our_pipeline(tmp_path):
