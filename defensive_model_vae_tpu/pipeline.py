@@ -297,41 +297,45 @@ def reproduce_scoreboard(
     Returns ``{sce: {"report": …, "board": {metric: cells}}}`` and writes
     ``<out_dir>/scoreboard.json``.
 
-    ``check=True`` turns the run into a falsifier: each regenerated metric
-    is compared against the value in the pre-existing committed artifact
-    (snapshotted before the overwrite); any relative deviation > 1e-6 is
-    collected under the scenario's ``"check_failures"`` key (the run is
+    ``check=True`` turns the run into a falsifier: every numeric metric in
+    the pre-existing committed artifact (snapshotted before the overwrite;
+    everything except the provenance block) is compared against its
+    regenerated value; any relative deviation > 1e-6, any non-finite
+    regenerated value, and a missing or unreadable committed artifact all
+    land under the scenario's ``"check_failures"`` key (the run is
     deterministic given the recorded seed, so drift means code or
-    checkpoint changed since the artifact was committed).
+    checkpoint changed since the artifact was committed).  A check can
+    never pass vacuously: no baseline IS a failure.
     """
     keys = list(scenario_keys or scenarios.REGISTRY)
     out: Dict[str, Dict] = {}
     for key in keys:
+        # load the committed artifact ONCE; it is both the check baseline
+        # and the source of the recorded generation seed
         committed = None
+        committed_err = None
         prev = os.path.join(out_dir, f"validation_{key}.json")
-        if check and os.path.exists(prev):
-            try:
-                with open(prev) as f:
-                    committed = json.load(f)
-            except Exception:
-                committed = None
+        try:
+            with open(prev) as f:
+                committed = json.load(f)
+        except Exception as e:
+            committed_err = f"{type(e).__name__}: {e}"
+
         seed = (seeds or {}).get(key)
         if seed is None:
             seed = 0
-            if os.path.exists(prev):
-                try:
-                    with open(prev) as f:
-                        seed = int(json.load(f)["provenance"]["seed"])
-                except Exception as e:
-                    # the "plain rerun reproduces the committed numbers"
-                    # contract depends on seed recovery — never fall back
-                    # silently
-                    print(
-                        f"WARNING: could not read recorded seed from {prev} "
-                        f"({e}); using seed 0 — results will NOT match the "
-                        f"committed artifact",
-                        file=sys.stderr,
-                    )
+            try:
+                seed = int(committed["provenance"]["seed"])
+            except Exception:
+                # the "plain rerun reproduces the committed numbers"
+                # contract depends on seed recovery — never fall back
+                # silently
+                print(
+                    f"WARNING: could not read recorded seed from {prev} "
+                    f"({committed_err or 'no provenance.seed'}); using seed 0 "
+                    f"— results will NOT match the committed artifact",
+                    file=sys.stderr,
+                )
         report = run_scenario(
             os.path.join(checkpoint_root, key), key, data_root, out_dir,
             seed=seed,
@@ -339,9 +343,9 @@ def reproduce_scoreboard(
         # best published value per metric — single source of truth in the
         # scenario registry (Scenario.published_best, cited to
         # JS_divergence.txt; which cells reproduce from the shipped
-        # artifacts is pinned in PARITY.md "Published-cell disposition")
-        # single verdict construction — the CLI table and the committed
-        # scoreboard.json read the SAME cells, so they cannot disagree
+        # artifacts is pinned in PARITY.md "Published-cell disposition").
+        # Single verdict construction — the CLI table and the committed
+        # scoreboard.json read the SAME cells, so they cannot disagree.
         out[key] = {
             "report": dict(report),
             "board": {
@@ -353,15 +357,28 @@ def reproduce_scoreboard(
                 for m, pub in scenarios.get(key).published_best.items()
             },
         }
-        if committed is not None:
+        if check:
             failures = {}
-            for m in scenarios.get(key).published_best:
-                old = committed.get(m)
-                new = float(report[m])
-                if old is None:
-                    failures[m] = {"committed": None, "regenerated": new}
-                elif abs(new - old) > 1e-6 * max(1.0, abs(old)):
-                    failures[m] = {"committed": float(old), "regenerated": new}
+            if committed is None:
+                failures["__artifact__"] = {
+                    "committed": None,
+                    "error": committed_err
+                    or "no committed artifact to check against",
+                }
+            else:
+                metric_keys = [
+                    m for m, v in committed.items()
+                    if m != "provenance" and isinstance(v, (int, float))
+                    and not isinstance(v, bool)
+                ]
+                for m in metric_keys:
+                    old = float(committed[m])
+                    new = report.get(m)
+                    new = float(new) if new is not None else float("nan")
+                    if not np.isfinite(new):
+                        failures[m] = {"committed": old, "regenerated": new}
+                    elif abs(new - old) > 1e-6 * max(1.0, abs(old)):
+                        failures[m] = {"committed": old, "regenerated": new}
             out[key]["check_failures"] = failures
 
     from .utils.reporting import jsonable

@@ -191,6 +191,31 @@ def test_reproduce_scoreboard_wiring(tmp_path, monkeypatch):
     )
     assert list(out4["sce2"]["check_failures"]) == [m0]
 
+    # a missing baseline is a FAILURE, never a vacuous pass
+    (tmp_path / "validation_sce2.json").unlink()
+    out5 = pipeline.reproduce_scoreboard(
+        "ckpts", "data", str(tmp_path), scenario_keys=["sce2"],
+        seeds={"sce2": 7}, check=True,
+    )
+    assert "__artifact__" in out5["sce2"]["check_failures"]
+
+    # a NaN regenerated metric is caught (NaN comparisons are never True)
+    nan_report = {m: v * 2.0 for m, v in scenarios.get("sce2").published_best.items()}
+    (tmp_path / "validation_sce2.json").write_text(
+        _json.dumps(dict(nan_report, provenance={"seed": 7}))
+    )
+    m1 = next(iter(nan_report))
+
+    def nan_run_scenario(ckpt, key, data_root, out, seed=0):
+        return dict(nan_report, **{m1: float("nan")})
+
+    monkeypatch.setattr(pipeline, "run_scenario", nan_run_scenario)
+    out6 = pipeline.reproduce_scoreboard(
+        "ckpts", "data", str(tmp_path), scenario_keys=["sce2"],
+        seeds={"sce2": 7}, check=True,
+    )
+    assert list(out6["sce2"]["check_failures"]) == [m1]
+
 
 @requires_reference
 def test_reference_torch_checkpoint_through_our_pipeline(tmp_path):
