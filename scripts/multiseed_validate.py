@@ -2,7 +2,7 @@
 
 For each scenario: load the shipped checkpoint, run the full
 generate → vmapped-MPC-track → validate pipeline once per reporting
-generation seed (20 seeds by default, 0–4 and 10–24 — kept UNSELECTED:
+generation seed (50 seeds by default, 0–4 and 10–54 — kept UNSELECTED:
 train-seed selection used gen seeds in the 5–9 range, which are excluded,
 see ``scripts/seed_sweep.py``), and record mean/std/95% CI/values per
 metric plus a provenance block per scenario.  The scoreboard headline in
@@ -37,11 +37,11 @@ METRICS = [
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenarios", default="sce1,sce2,sce3,sce4")
-    # 20 unselected seeds: 0-4 plus 10-24 (5-9 were used for train-seed
+    # 50 unselected seeds: 0-4 plus 10-54 (5-9 were used for train-seed
     # selection and stay out of the reporting band)
     ap.add_argument(
         "--gen-seeds",
-        default=",".join(map(str, list(range(5)) + list(range(10, 25)))),
+        default=",".join(map(str, list(range(5)) + list(range(10, 55)))),
     )
     ap.add_argument("--data-root", default="/root/reference/DefensiveData")
     ap.add_argument("--ckpt-root", default="results/checkpoints")
