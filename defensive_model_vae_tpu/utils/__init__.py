@@ -1,4 +1,4 @@
 from .profiling import StageTimer, trace_to
-from .reporting import MetricWriter
+from .reporting import MetricWriter, band_stats, jsonable
 
-__all__ = ["StageTimer", "trace_to", "MetricWriter"]
+__all__ = ["StageTimer", "trace_to", "MetricWriter", "band_stats", "jsonable"]

@@ -35,6 +35,32 @@ class MetricWriter:
             return [json.loads(line) for line in f if line.strip()]
 
 
+def band_stats(values) -> Dict[str, Any]:
+    """Mean / sample-std / 95% t-CI summary of a metric band.
+
+    This is the statistic behind every scoreboard cell in PARITY.md
+    (``results/validation_multiseed.json``): sample std (ddof=1), and a
+    two-sided Student-t 95% interval ``mean ± t_{.975,n-1}·std/√n``.
+    Returns ``std=0`` and no CI keys for ``n < 2``.
+    """
+    import numpy as np
+
+    vals = np.asarray(list(values), dtype=float)
+    n = len(vals)
+    out: Dict[str, Any] = {
+        "mean": float(vals.mean()) if n else float("nan"),
+        "std": float(vals.std(ddof=1)) if n >= 2 else 0.0,
+        "values": [float(v) for v in vals],
+    }
+    if n >= 2:
+        from scipy.stats import t as student_t
+
+        half = float(student_t.ppf(0.975, n - 1) * out["std"] / np.sqrt(n))
+        out["ci95"] = [out["mean"] - half, out["mean"] + half]
+        out["ci95_halfwidth"] = half
+    return out
+
+
 def jsonable(obj: Any) -> Any:
     """Recursively convert non-finite floats to ``None``.
 

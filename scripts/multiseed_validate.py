@@ -23,8 +23,6 @@ import os
 import sys
 import time
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 METRICS = [
@@ -49,7 +47,7 @@ def main():
     args = ap.parse_args()
 
     from defensive_model_vae_tpu.utils.cache import enable_persistent_cache
-    from defensive_model_vae_tpu.utils.reporting import jsonable
+    from defensive_model_vae_tpu.utils.reporting import band_stats, jsonable
 
     enable_persistent_cache()
 
@@ -83,27 +81,9 @@ def main():
             print(f"{sce.key} gen seed {g}: js={rep['velocity_js_divergence']:.4f} "
                   f"surface={rep['surface_rmse_with_zeros']:.4f} "
                   f"({time.time() - t0:.1f}s)", flush=True)
-        def _cell(m):
-            vals = np.array([r[m] for r in per_seed], float)
-            n = len(vals)
-            # sample std (ddof=1) throughout, so ci95_halfwidth is exactly
-            # t_{.975,n-1} * std / sqrt(n) reconstructed from this cell
-            cell = {
-                "mean": float(vals.mean()),
-                "std": float(vals.std(ddof=1)) if n >= 2 else 0.0,
-                "values": [float(v) for v in vals],
-            }
-            if n >= 2:
-                from scipy.stats import t as student_t
-
-                half = float(
-                    student_t.ppf(0.975, n - 1) * cell["std"] / np.sqrt(n)
-                )
-                cell["ci95"] = [cell["mean"] - half, cell["mean"] + half]
-                cell["ci95_halfwidth"] = half
-            return cell
-
-        doc[sce.key] = {m: _cell(m) for m in METRICS}
+        doc[sce.key] = {
+            m: band_stats(r[m] for r in per_seed) for m in METRICS
+        }
         notes = [
             f"multiseed band: gen seeds {','.join(map(str, gens))} (unselected; "
             "train-seed selection uses disjoint seeds — scripts/seed_sweep.py); "

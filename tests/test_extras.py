@@ -25,7 +25,7 @@ from defensive_model_vae_tpu.train import (
 )
 from defensive_model_vae_tpu.utils import MetricWriter, StageTimer
 
-from conftest import REFERENCE_ROOT, requires_reference
+from conftest import REFERENCE_ROOT, REPO_ROOT, requires_reference
 
 
 def test_resume_matches_continuous_run(all_windows):
@@ -146,6 +146,42 @@ def test_stage_timer_and_metric_writer(tmp_path):
     mw.write_dict({"a": 1, "b": 2}, run="x")
     recs = mw.read()
     assert len(recs) == 3 and recs[0]["scenario"] == "sce2"
+
+
+def test_band_stats_golden_and_artifact_consistency(tmp_path):
+    """band_stats is the statistic behind every scoreboard CI cell.
+
+    Golden check: for [1,2,3,4,5], mean=3, std=sqrt(2.5), t_{.975,4}=2.776445,
+    half-width = 2.776445*sqrt(2.5)/sqrt(5) = 1.963243.  Then verify the
+    committed results/validation_multiseed.json cells reconstruct from
+    their own stored values via the same formula.
+    """
+    from defensive_model_vae_tpu.utils import band_stats
+
+    cell = band_stats([1.0, 2.0, 3.0, 4.0, 5.0])
+    assert cell["mean"] == 3.0
+    assert abs(cell["std"] - np.sqrt(2.5)) < 1e-12
+    assert abs(cell["ci95_halfwidth"] - 1.9632432) < 1e-6
+    assert cell["ci95"] == [cell["mean"] - cell["ci95_halfwidth"],
+                            cell["mean"] + cell["ci95_halfwidth"]]
+    # degenerate bands: n=1 has no CI, n=0 has nan mean
+    assert "ci95" not in band_stats([7.0]) and band_stats([7.0])["std"] == 0.0
+    assert np.isnan(band_stats([])["mean"])
+
+    path = str(REPO_ROOT / "results" / "validation_multiseed.json")
+    doc = json.load(open(path))
+    checked = 0
+    for sce, cells in doc.items():
+        if not isinstance(cells, dict):
+            continue
+        for metric, cell in cells.items():
+            if not (isinstance(cell, dict) and "values" in cell):
+                continue
+            rebuilt = band_stats(cell["values"])
+            for k in ("mean", "std", "ci95_halfwidth"):
+                assert abs(rebuilt[k] - cell[k]) < 1e-9, (sce, metric, k)
+            checked += 1
+    assert checked >= 16, f"only {checked} scoreboard cells checked"
 
 
 def test_train_conv_api():
