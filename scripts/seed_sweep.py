@@ -41,6 +41,42 @@ METRICS = [
 ]
 
 
+def parse_seed_spec(spec: str) -> list[int]:
+    """'0:70' / '59:110,29,13' → explicit seed list (ranges are half-open)."""
+    seeds: list[int] = []
+    for part in str(spec).split(","):
+        if ":" in part:
+            lo, hi = (int(v) for v in part.split(":"))
+            seeds.extend(range(lo, hi))
+        else:
+            seeds.append(int(part))
+    return seeds
+
+
+def score_candidate(means: dict, pub: dict) -> tuple[int, float]:
+    """(beats_published, worst relative margin) for one candidate.
+
+    Maximin selection: the binding (smallest-margin) metric decides.
+    builtin ``min()`` silently skips non-first NaNs, so any non-finite
+    mean (e.g. every z-draw degenerate on some gen seed) must rank the
+    candidate LAST (-inf), never by an optimistic partial margin.
+    """
+    # committed artifacts round-trip through reporting.jsonable, which
+    # stores non-finite floats as null — read those back as NaN
+    vals = {m: (float("nan") if means[m] is None else means[m])
+            for m in METRICS}
+    beaten = sum(vals[m] < pub[m] for m in METRICS)
+    margins = [(pub[m] - vals[m]) / pub[m] for m in METRICS]
+    worst = (min(margins) if all(np.isfinite(v) for v in margins)
+             else float("-inf"))
+    return beaten, worst
+
+
+def rank_candidates(results: list[dict]) -> list[dict]:
+    """Sort best-first: most published cells beaten, then widest worst margin."""
+    return sorted(
+        results, key=lambda r: (-r["beats_published"], -r["worst_margin"])
+    )
 
 
 def main():
@@ -70,13 +106,7 @@ def main():
 
     sce = scenarios.get(args.scenario)
     pub = sce.published_best
-    seeds: list[int] = []
-    for part in args.train_seeds.split(","):
-        if ":" in part:
-            lo, hi = (int(v) for v in part.split(":"))
-            seeds.extend(range(lo, hi))
-        else:
-            seeds.append(int(part))
+    seeds = parse_seed_spec(args.train_seeds)
     gens = [int(v) for v in args.select_gen_seeds.split(",")]
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     wpath = args.windows or os.path.join(here, "fixtures", f"trajectory_{sce.key}_cond.npy")
@@ -96,17 +126,11 @@ def main():
             rep = validate(traces, humans, sce)
             per_gen[g] = {m: rep[m] for m in METRICS}
         means = {m: float(np.mean([per_gen[g][m] for g in gens])) for m in METRICS}
-        beaten = sum(means[m] < pub[m] for m in METRICS)
-        # maximin relative margin vs published: the binding (smallest-
-        # margin) metric decides — selection-seed noise is large relative
-        # to a thin margin, so maximizing the worst margin transfers to
-        # the unselected reporting band far better than any single metric
-        margins = [(pub[m] - means[m]) / pub[m] for m in METRICS]
-        # builtin min() silently skips non-first NaNs, so check every
-        # margin: any NaN mean (e.g. every z-draw degenerate on some gen
-        # seed) must rank LAST, not by an optimistic partial margin
-        worst_margin = (min(margins) if all(np.isfinite(v) for v in margins)
-                        else float("-inf"))
+        # maximin relative margin vs published: selection-seed noise is
+        # large relative to a thin margin, so maximizing the worst margin
+        # transfers to the unselected reporting band far better than any
+        # single metric
+        beaten, worst_margin = score_candidate(means, pub)
         results.append({
             "train_seed": ts, "epochs": n_epochs,
             "final_loss": float(hist["total"][-1]),
@@ -120,7 +144,7 @@ def main():
             flush=True,
         )
 
-    results.sort(key=lambda r: (-r["beats_published"], -r["worst_margin"]))
+    results = rank_candidates(results)
     best = results[0]
     print(f"\nBEST train seed {best['train_seed']}: beats "
           f"{best['beats_published']}/4, worst margin "

@@ -1,0 +1,105 @@
+"""Unit tests for the evidence-regeneration scripts' pure logic.
+
+The sweep/validate scripts under ``scripts/`` produce the committed
+selection evidence (``results/seed_sweep_*.json``) and the scoreboard
+band (``results/validation_multiseed.json``); their parsing and ranking
+rules are load-bearing — a silently wrong rank would ship a worse
+checkpoint — so the pure parts are tested here without touching a device.
+"""
+
+import importlib.util
+
+from conftest import REPO_ROOT
+
+
+def _load(name):
+    spec = importlib.util.spec_from_file_location(
+        name, str(REPO_ROOT / "scripts" / f"{name}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_parse_seed_spec():
+    ss = _load("seed_sweep")
+    assert ss.parse_seed_spec("0:4") == [0, 1, 2, 3]
+    assert ss.parse_seed_spec("59:61,29,13") == [59, 60, 29, 13]
+    assert ss.parse_seed_spec("7") == [7]
+
+
+def test_score_candidate_maximin_and_nan_ranking():
+    ss = _load("seed_sweep")
+    pub = {m: 1.0 for m in ss.METRICS}
+
+    good = {m: 0.9 for m in ss.METRICS}          # beats all, margin 0.1
+    beaten, worst = ss.score_candidate(good, pub)
+    assert beaten == 4 and abs(worst - 0.1) < 1e-12
+
+    # binding metric decides the margin even when others are wide
+    mixed = dict(good, velocity_js_divergence=0.99)
+    _, worst = ss.score_candidate(mixed, pub)
+    assert abs(worst - 0.01) < 1e-12
+
+    # a NaN mean must rank the candidate LAST regardless of position —
+    # builtin min() would silently skip a non-first NaN
+    for poison in ss.METRICS:
+        bad = dict(good)
+        bad[poison] = float("nan")
+        _, worst = ss.score_candidate(bad, pub)
+        assert worst == float("-inf"), poison
+
+
+def test_rank_candidates_order():
+    ss = _load("seed_sweep")
+    rows = [
+        {"train_seed": 0, "beats_published": 4, "worst_margin": 0.02},
+        {"train_seed": 1, "beats_published": 3, "worst_margin": 0.50},
+        {"train_seed": 2, "beats_published": 4, "worst_margin": 0.10},
+        {"train_seed": 3, "beats_published": 4, "worst_margin": float("-inf")},
+    ]
+    ranked = ss.rank_candidates(rows)
+    # beats_published first, then widest worst margin; NaN-poisoned last
+    # among its beats tier
+    assert [r["train_seed"] for r in ranked] == [2, 0, 3, 1]
+
+
+def test_committed_sweep_evidence_ranked_consistently():
+    """Every committed seed-sweep artifact's ranking must reproduce from
+    its own stored rows via the current scoring rule."""
+    ss = _load("seed_sweep")
+    checked = 0
+    import json
+
+    for path in sorted((REPO_ROOT / "results").glob("seed_sweep_*.json")):
+        doc = json.loads(path.read_text())
+        rows = doc.get("ranked", [])
+        if len(rows) < 2:
+            continue
+        if "worst_margin" not in rows[0]:
+            # round-2 artifacts predate the maximin tiebreak; they only
+            # guarantee a beats_published-descending order
+            beats = [r["beats_published"] for r in rows]
+            assert beats == sorted(beats, reverse=True), path.name
+            checked += 1
+            continue
+        rescored = [
+            dict(r, **dict(zip(("beats_published", "worst_margin"),
+                               ss.score_candidate(r["means"],
+                                                  doc["published_best"]))))
+            for r in rows
+        ]
+        reranked = ss.rank_candidates(rescored)
+        # jsonable stores -inf as null in the committed rows
+        key = lambda r: (
+            r["beats_published"],
+            round(r["worst_margin"], 12)
+            if r["worst_margin"] is not None else float("-inf"),
+        )
+        assert [key(r) for r in reranked] == sorted(
+            (key(r) for r in rows), reverse=True
+        ), path.name
+        # the committed front-runner stays the front-runner
+        assert key(reranked[0]) == key(rows[0]), path.name
+        checked += 1
+    assert checked >= 4, f"only {checked} sweep artifacts checked"
