@@ -315,16 +315,46 @@ def bench_seed_grid(windows, n_seeds=32, epochs=3000):
     return dt
 
 
+def _jittered_sut_copy(src_dir, dst_dir):
+    """Copy the SUT corpus with surrounding-vehicle velocities shifted by
+    +1e-3 m/s.  Same episodes, same frame selection and padded device
+    shapes (SV count is column-presence-based; no stop condition or path
+    clustering reads SV velocities — ``dnda/calculator.py``), but every
+    device input buffer differs — so a warm pass on the copy compiles and
+    loads the exact executables while leaving the timed pass on the real
+    corpus a FRESH (inputs, executable) pair (identical-repeat hazard,
+    CLAUDE.md)."""
+    import re
+
+    import pandas as pd
+
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in sorted(os.listdir(src_dir)):
+        if not name.endswith(".csv"):
+            continue
+        df = pd.read_csv(os.path.join(src_dir, name))
+        sv_vel = [c for c in df.columns if re.fullmatch(r"sv\d+_v[xy]", c)]
+        if sv_vel:
+            df[sv_vel] = df[sv_vel] + 1e-3
+        df.to_csv(os.path.join(dst_dir, name), index=False)
+
+
 def bench_dnda_sweep():
     """Full 21-episode SUT DNDA sweep (host prep + ONE batched device SAT
     program); returns warm seconds or None when the corpus is absent."""
+    import tempfile
+
     d = "/root/reference/SUT_Testing/collected_data"
     if not os.path.isdir(d):
         _log("dnda sweep skipped (no SUT corpus)")
         return None
     from defensive_model_vae_tpu.dnda import score_directory
 
-    rows = score_directory(d)  # includes any cold compiles
+    # warm on a value-jittered copy (cold compiles + executable loads land
+    # here) so the timed real-corpus sweep below is a fresh input pair
+    with tempfile.TemporaryDirectory() as tmp:
+        _jittered_sut_copy(d, os.path.join(tmp, "warm"))
+        score_directory(os.path.join(tmp, "warm"))
     t0 = time.time()
     rows = score_directory(d)
     dt = time.time() - t0
@@ -417,7 +447,7 @@ def main():
         # for wall-clock-constrained driver rounds; the persistent
         # .jax_cache keeps even the 'cold' compile cheap on repeats
         torch_rate = RECORDED_TORCH_CPU_RATE
-    dnda_s = mpc_s = grid_s = None
+    dnda_s = mpc_s = grid_s = grid_ok = None
     if not warm_only:
         bench_generation(windows)
         # a convergence regression must be VISIBLE, not fatal: record
@@ -428,10 +458,16 @@ def main():
         except Exception as e:
             _log(f"MULTI-KERNEL CHECK FAILED ({e})")
             multi_ok = False
+        # same visibility rule as the multi-kernel check: a convergence
+        # regression (RuntimeError) must land in the JSON line, not vanish
+        # into stderr — a missing seed_grid key would be indistinguishable
+        # from the bench being skipped
         try:
             grid_s = bench_seed_grid(windows)
+            grid_ok = True
         except Exception as e:
-            _log(f"seed-grid bench failed ({e})")
+            _log(f"SEED-GRID BENCH FAILED ({e})")
+            grid_ok = False
         try:
             dnda_s = bench_dnda_sweep()
         except Exception as e:
@@ -476,6 +512,8 @@ def main():
     }
     if multi_ok is not None:
         result["multi_kernel_converged"] = bool(multi_ok)
+    if grid_ok is not None:
+        result["seed_grid_converged"] = bool(grid_ok)
     if grid_s is not None:
         result["seed_grid_32x3000_s"] = round(grid_s, 2)
     if dnda_s is not None:

@@ -123,7 +123,9 @@ def _cmd_reproduce(args):
         if bad:
             print("CHECK FAILED — regenerated values drifted from the "
                   "committed artifacts:")
-            print(json.dumps(bad, indent=2))
+            # route through jsonable: a NaN regenerated metric must emit
+            # null, not a bare NaN token (strict-JSON policy above)
+            print(json.dumps(_jsonsafe(bad), indent=2))
             raise SystemExit(1)
         print("CHECK OK: every regenerated metric matches its committed "
               "artifact to 1e-6")

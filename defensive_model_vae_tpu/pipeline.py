@@ -366,17 +366,26 @@ def reproduce_scoreboard(
                     or "no committed artifact to check against",
                 }
             else:
+                # committed artifacts round-trip through jsonable, which
+                # stores non-finite floats as null — a committed None is a
+                # metric too (it was NaN at commit time) and must still be
+                # compared, else committed-NaN → finite drift passes silently
                 metric_keys = [
                     m for m, v in committed.items()
-                    if m != "provenance" and isinstance(v, (int, float))
-                    and not isinstance(v, bool)
+                    if m != "provenance"
+                    and (v is None
+                         or (isinstance(v, (int, float))
+                             and not isinstance(v, bool)))
                 ]
                 for m in metric_keys:
-                    old = float(committed[m])
+                    old = (float("nan") if committed[m] is None
+                           else float(committed[m]))
                     new = report.get(m)
                     new = float(new) if new is not None else float("nan")
-                    if not np.isfinite(new):
-                        failures[m] = {"committed": old, "regenerated": new}
+                    if np.isnan(old) and np.isnan(new):
+                        continue  # non-finite at commit time and now: no drift
+                    if not (np.isfinite(new) and np.isfinite(old)):
+                        failures[m] = {"committed": committed[m], "regenerated": new}
                     elif abs(new - old) > 1e-6 * max(1.0, abs(old)):
                         failures[m] = {"committed": old, "regenerated": new}
             out[key]["check_failures"] = failures

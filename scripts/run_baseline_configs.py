@@ -66,6 +66,9 @@ def main():
     except Exception:
         from defensive_model_vae_tpu.train import train as _scan
 
+        # time ONLY the scan warm-up: t0 may predate a failed fused
+        # attempt (warm-up or timed), which must not inflate warmup
+        t0 = time.time()
         _scan(windows["sce1"], train_cfg=TrainConfig(epochs=args.epochs))
         warmup = time.time() - t0
         t0 = time.time()

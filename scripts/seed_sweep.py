@@ -12,9 +12,11 @@ throughput-oriented sweeps where the sweep's own params ARE the product,
 ``ops.fused_train_seeds`` trains every candidate in one kernel launch
 (32×3000 epochs ≈ 3 s wall); the evaluate stage (generate+track per
 candidate) dominates either way.
-Scoring: number of published best metrics (JS, RMSE_frequency trajcount,
-surface RMSE with/without zeros — ``JS_divergence.txt``) beaten by the
-selection-seed MEAN, tie-broken by mean surface-with-zeros.
+Scoring (``score_candidate``/``rank_candidates``): number of published
+best metrics (JS, RMSE_frequency trajcount, surface RMSE with/without
+zeros — ``JS_divergence.txt``) beaten by the selection-seed MEAN,
+tie-broken maximin: the widest worst-case relative margin over the four
+metrics wins (any non-finite mean ranks the candidate last).
 
 Usage:
     python scripts/seed_sweep.py --scenario sce4 --train-seeds 0:128 \

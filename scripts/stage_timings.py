@@ -72,9 +72,17 @@ def main():
         fused_train_multi(corpora, epochs=300, seed=4)
 
     if os.path.isdir(args.sut_dir):
-        from defensive_model_vae_tpu.dnda import score_directory
+        import tempfile
 
-        score_directory(args.sut_dir)
+        from defensive_model_vae_tpu.dnda import score_directory
+        from bench import _jittered_sut_copy
+
+        # warm on a value-jittered copy so the timed real-corpus sweep is a
+        # fresh (inputs, executable) pair (identical-repeat hazard,
+        # CLAUDE.md) — shapes/executables identical, device work honest
+        with tempfile.TemporaryDirectory() as tmp:
+            _jittered_sut_copy(args.sut_dir, os.path.join(tmp, "warm"))
+            score_directory(os.path.join(tmp, "warm"))
         with timer.stage("dnda_sweep_21_episodes"):
             score_directory(args.sut_dir)
 

@@ -36,18 +36,24 @@ def _framework_module(path):
 
 
 def _symbol_known(mod, name):
-    """name is a module attr, or an attr/constructor-param of one."""
+    """name is a module attr, or a member/parameter of a class or function
+    DEFINED in this package.  Imported modules (numpy, os, …) and foreign
+    classes must not vouch for a name — ``dir(np)`` contains most common
+    identifiers, which would make the check vacuous."""
     if hasattr(mod, name):
         return True
     for attr in vars(mod).values():
-        if name in dir(attr):
+        if not (inspect.isclass(attr) or inspect.isfunction(attr)):
+            continue
+        if not getattr(attr, "__module__", "").startswith(PKG):
+            continue
+        if inspect.isclass(attr) and name in dir(attr):
             return True
-        if callable(attr):
-            try:
-                if name in inspect.signature(attr).parameters:
-                    return True
-            except (TypeError, ValueError):
-                continue
+        try:
+            if name in inspect.signature(attr).parameters:
+                return True
+        except (TypeError, ValueError):
+            continue
     return False
 
 

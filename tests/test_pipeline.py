@@ -216,6 +216,26 @@ def test_reproduce_scoreboard_wiring(tmp_path, monkeypatch):
     )
     assert list(out6["sce2"]["check_failures"]) == [m1]
 
+    # a committed null (a non-finite value at commit time, stored by
+    # jsonable) is still a metric: null → finite is drift and must fail …
+    art7 = dict(nan_report, provenance={"seed": 7})
+    art7[m1] = None
+    (tmp_path / "validation_sce2.json").write_text(_json.dumps(art7))
+    monkeypatch.setattr(pipeline, "run_scenario", fake_run_scenario)
+    out7 = pipeline.reproduce_scoreboard(
+        "ckpts", "data", str(tmp_path), scenario_keys=["sce2"],
+        seeds={"sce2": 7}, check=True,
+    )
+    assert list(out7["sce2"]["check_failures"]) == [m1]
+
+    # … while null → NaN is the same non-finite state, not drift
+    monkeypatch.setattr(pipeline, "run_scenario", nan_run_scenario)
+    out8 = pipeline.reproduce_scoreboard(
+        "ckpts", "data", str(tmp_path), scenario_keys=["sce2"],
+        seeds={"sce2": 7}, check=True,
+    )
+    assert out8["sce2"]["check_failures"] == {}
+
 
 @requires_reference
 def test_reference_torch_checkpoint_through_our_pipeline(tmp_path):

@@ -64,6 +64,49 @@ def test_rank_candidates_order():
     assert [r["train_seed"] for r in ranked] == [2, 0, 3, 1]
 
 
+def test_jittered_sut_copy_shifts_only_sv_velocities(tmp_path):
+    """``bench._jittered_sut_copy``: SV velocities shift by +1e-3 (fresh
+    device inputs for the DNDA warm pass) while every shape-determining
+    column — ego kinematics, SV positions (sce4's stop condition reads
+    sv1_x), NaN validity masks — survives the roundtrip unchanged, so the
+    warm pass compiles the exact executables the timed pass will run."""
+    import importlib.util
+
+    import numpy as np
+    import pandas as pd
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", str(REPO_ROOT / "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    src, dst = tmp_path / "src", tmp_path / "dst"
+    src.mkdir()
+    df = pd.DataFrame(
+        {
+            "frame": [1, 2, 3],
+            "ego_x": [0.5, 1.5, 2.5],
+            "ego_vx": [1.0, 1.0, 0.0],
+            "sv1_x": [14.0005, np.nan, 3.0],
+            "sv1_vx": [2.0, np.nan, 0.0],
+            "sv1_vy": [0.0, 1.0, np.nan],
+            "sv2_velocity": [9.9, 9.9, 9.9],  # NOT an sv\d+_v[xy] column
+        }
+    )
+    df.to_csv(src / "IDM_StaticBlindTown05_1.csv", index=False)
+    (src / "description.txt").write_text("not an episode")
+
+    bench._jittered_sut_copy(str(src), str(dst))
+    out = pd.read_csv(dst / "IDM_StaticBlindTown05_1.csv")
+    assert not (dst / "description.txt").exists()
+    for col in ("frame", "ego_x", "ego_vx", "sv1_x", "sv2_velocity"):
+        pd.testing.assert_series_equal(out[col], df[col])
+    for col in ("sv1_vx", "sv1_vy"):
+        assert out[col].isna().equals(df[col].isna()), col
+        assert np.allclose(out[col].dropna(), df[col].dropna() + 1e-3), col
+
+
 def test_committed_sweep_evidence_ranked_consistently():
     """Every committed seed-sweep artifact's ranking must reproduce from
     its own stored rows via the current scoring rule."""
