@@ -264,12 +264,17 @@ def _iter_frame_preps(
 
     n_yielded = 0
     cfg = sce.dnda
-    # plain-dict rows: iterrows() materializes a pandas Series per row,
-    # which is ~0.4 s/episode of pure overhead in this loop
-    for idx, raw in enumerate(df.to_dict("records")):
+    # lazy plain-dict rows: iterrows() materializes a pandas Series per row
+    # (~0.4 s/episode) and df.to_dict("records") converts EVERY row while
+    # only every frame_stride-th row past the start is ever read (~0.6 s
+    # per 21-episode sweep); numpy scalars are IEEE doubles — arithmetic
+    # identical to the boxed Python floats to_dict produced
+    col_arrays = {c: df[c].to_numpy() for c in df.columns}
+    for idx in range(len(df)):
         frame = idx + 1
         if frame % frame_stride != 0 or frame < start_frame:
             continue
+        raw = {c: v[idx] for c, v in col_arrays.items()}
         if _should_stop(sce, raw):
             break
         row = _rotate_row(raw, angle, max_sv)

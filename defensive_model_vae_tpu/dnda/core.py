@@ -21,6 +21,7 @@ from .frenet import Way, cartesian_to_frenet
 from .geometry import Road, SurroundingVehicle, Vehicle
 from .paths import generate_ego_cluster
 from .risk import drivable_area, risk_level
+from .spline import frenet_two_pass_native
 
 
 @dataclasses.dataclass
@@ -108,10 +109,17 @@ def prepare_frame(
         k_lat = float("inf")
     k_max = min(1.0 / 6.0, k_lat)
 
-    # two-pass Frenet: coarse to measure length, then ~1 m arc steps
-    _, arc_len, *_ = cartesian_to_frenet(crop, 50)
-    m_equal = round(arc_len / 1.0)
-    unit_arc, _, trans, bx, cx, by, cy, s_grid = cartesian_to_frenet(crop, m_equal)
+    # two-pass Frenet: coarse to measure length, then ~1 m arc steps —
+    # fused into one native crossing when available (identical arithmetic)
+    fused = frenet_two_pass_native(crop, 50, 1.0)
+    if fused is not None:
+        unit_arc, _, trans, bx, cx, by, cy, s_grid, m_equal = fused
+    else:
+        _, arc_len, *_ = cartesian_to_frenet(crop, 50)
+        m_equal = round(arc_len / 1.0)
+        unit_arc, _, trans, bx, cx, by, cy, s_grid = cartesian_to_frenet(
+            crop, m_equal
+        )
     way = Way(
         baseline_x=trans[:, 0], baseline_y=trans[:, 1],
         d1x=bx, d2x=cx, d1y=by, d2y=cy,

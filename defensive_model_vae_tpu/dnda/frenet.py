@@ -36,15 +36,27 @@ class Way:
     theta: np.ndarray = None
 
     def compute_curvature(self, absolute: bool = False, eps: float = 1e-10):
-        denom = (self.d1x**2 + self.d1y**2) ** 1.5 + eps
-        kb = (self.d1x * self.d2y - self.d2x * self.d1y) / denom
-        self.kb = np.abs(kb) if absolute else kb
-        self.theta = np.where(
-            np.abs(self.d1x) > eps,
-            np.arctan(self.d1y / np.where(np.abs(self.d1x) > eps, self.d1x, 1.0)),
-            np.where(self.d1y > 0, np.pi / 2, -np.pi / 2),
+        self.kb, self.theta = curvature_theta(
+            self.d1x, self.d2x, self.d1y, self.d2y, absolute, eps
         )
         return self
+
+
+def curvature_theta(d1x, d2x, d1y, d2y, absolute: bool = False,
+                    eps: float = 1e-10):
+    """(kb, theta) from the derivative surrogates — elementwise over any
+    leading shape, so a whole frame's path cluster batches into one call
+    (bit-identical to per-path evaluation)."""
+    denom = (d1x**2 + d1y**2) ** 1.5 + eps
+    kb = (d1x * d2y - d2x * d1y) / denom
+    if absolute:
+        kb = np.abs(kb)
+    theta = np.where(
+        np.abs(d1x) > eps,
+        np.arctan(d1y / np.where(np.abs(d1x) > eps, d1x, 1.0)),
+        np.where(d1y > 0, np.pi / 2, -np.pi / 2),
+    )
+    return kb, theta
 
 
 def _rotation(angle: float) -> np.ndarray:

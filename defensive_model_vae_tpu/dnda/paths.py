@@ -20,9 +20,15 @@ from typing import List
 
 import numpy as np
 
-from .frenet import Way, cartesian_to_frenet, _rotation
+from .frenet import Way, cartesian_to_frenet, curvature_theta, _rotation
 from .geometry import Road, Vehicle
-from .spline import fmm_spline_coeffs, max_curvature_native, spline_eval
+from .spline import (
+    fmm_spline_coeffs,
+    frenet_batch_native,
+    max_curvature_batch_native,
+    max_curvature_native,
+    spline_eval,
+)
 
 
 def _cubic_lateral_profile(ego: Vehicle, cdnt_arc, seg_end: int, qf: float):
@@ -83,6 +89,20 @@ def _path_xy(way: Way, cdnt_arc, seg_end: int, a, b, c, d):
     return x, y
 
 
+def _paths_xy_full(way: Way, cdnt_arc, profs):
+    """Full-grid K-path variant of :func:`_path_xy`: (K, m+1) x/y arrays
+    whose row slices ``[: seg+1]`` are bit-identical to the per-path calls
+    (same elementwise arithmetic, evaluated over the whole grid at once)."""
+    s = cdnt_arc - cdnt_arc[0]
+    prof = np.asarray(profs, float)  # (K, 4) rows [a, b, c, d]
+    a, b = prof[:, 0:1], prof[:, 1:2]
+    c, d = prof[:, 2:3], prof[:, 3:4]
+    q = a * s**3 + b * s**2 + c * s + d
+    x = way.baseline_x - q * way.d1y
+    y = way.baseline_y + q * way.d1x
+    return x, y
+
+
 def _max_curvature(x: np.ndarray, y: np.ndarray) -> float:
     """Reference curvature check (``:1127-1185``): rotate chord to +x, fit
     y(x) spline, evaluate curvature at max(100, n_seg) uniform x samples.
@@ -111,8 +131,10 @@ def _max_curvature_numpy(x: np.ndarray, y: np.ndarray) -> float:
 
 
 def _rect_sweep(path_x, path_y, theta, length, width):
-    """Rectangle corners along a path: (n, 2, 4) (reference ``:1308-1334``);
-    headings below 0 are flipped by +π before rotating."""
+    """Rectangle corners along a path: (…, n, 2, 4) (reference
+    ``:1308-1334``); headings below 0 are flipped by +π before rotating.
+    Batches over any leading dims — a frame's whole path cluster sweeps in
+    one call, elementwise-identical to per-path evaluation."""
     base = np.array(
         [
             [length / 2, -length / 2, -length / 2, length / 2],
@@ -123,9 +145,9 @@ def _rect_sweep(path_x, path_y, theta, length, width):
     c, s = np.cos(rot), np.sin(rot)
     R = np.stack(
         [np.stack([c, -s], -1), np.stack([s, c], -1)], axis=-2
-    )  # (n, 2, 2)
-    rects = np.einsum("nij,jk->nik", R, base)
-    rects += np.stack([path_x, path_y], axis=1)[:, :, None]
+    )  # (..., n, 2, 2)
+    rects = np.einsum("...ij,jk->...ik", R, base)
+    rects += np.stack([path_x, path_y], axis=-1)[..., None]
     return rects
 
 
@@ -185,8 +207,20 @@ def generate_ego_cluster(
                 ego, cdnt_arc, [seg[i] for i in dirty], [qf[i] for i in dirty]
             )):
                 profiles[i] = prof
-                x, y = _path_xy(way, cdnt_arc, seg[i], *prof)
-                k_maxes[i] = _max_curvature(x, y)
+            # full-grid path eval in one vectorized op, curvature checks in
+            # one native call — per-path values identical (see the helpers)
+            xf, yf = _paths_xy_full(
+                way, cdnt_arc, [profiles[i] for i in dirty]
+            )
+            xs = [xf[j, : seg[i] + 1] for j, i in enumerate(dirty)]
+            ys = [yf[j, : seg[i] + 1] for j, i in enumerate(dirty)]
+            ks = max_curvature_batch_native(xs, ys)
+            if ks is None:
+                ks = [None] * len(xs)
+            for i, k, x, y in zip(dirty, ks, xs, ys):
+                # per-path fallback keeps the scalar path's numpy-oracle /
+                # raise semantics for kernel-rejected inputs
+                k_maxes[i] = k if k is not None else _max_curvature(x, y)
         dirty = []
         for i in range(traj_num):
             if done[i]:
@@ -209,9 +243,16 @@ def generate_ego_cluster(
     ego_rects: List[np.ndarray] = []
     unit_arc_paths: List[float] = []
     path_ways: List[Way] = []
-    for i in usable:
-        a, b, c, d = profiles[i]
-        x, y = _path_xy(way, cdnt_arc, seg[i], a, b, c, d)
+    point_num = 100
+
+    # per-path x/y (variable lengths: curvature-bounded head + constant-
+    # offset baseline extension), evaluated from the full-grid batch
+    xs_list: List[np.ndarray] = []
+    ys_list: List[np.ndarray] = []
+    if usable:
+        xf, yf = _paths_xy_full(way, cdnt_arc, [profiles[i] for i in usable])
+    for row, i in enumerate(usable):
+        x, y = xf[row, : seg[i] + 1], yf[row, : seg[i] + 1]
         # extend at constant offset qf along the remaining baseline
         if seg[i] + 1 < real_segments:
             j = np.arange(seg[i] + 1, real_segments)
@@ -220,23 +261,45 @@ def generate_ego_cluster(
             y = np.concatenate([y, way.baseline_y[j] + qf[i] * way.d1x[j]])
         elif len(x) > real_segments:
             x, y = x[:real_segments], y[:real_segments]
+        xs_list.append(x)
+        ys_list.append(y)
 
-        point_num = 100
-        unit_p, _, trans, bx, cx, by, cy, _ = cartesian_to_frenet(
-            np.column_stack([x, y]), point_num
+    # uniform-arc resample of ALL usable paths in one native call (shared
+    # point_num → uniform output shapes, consumed as raw batch arrays);
+    # rows the kernel rejects fall back to the scalar dispatch, preserving
+    # its numpy-oracle / raise semantics
+    K, m1 = len(xs_list), point_num + 1
+    res = frenet_batch_native(xs_list, ys_list, point_num)
+    if res is None:  # no native library: scalar dispatch fills every row
+        ua = np.empty(K)
+        tx, ty = np.empty((K, m1)), np.empty((K, m1))
+        bxs, cxs = np.empty((K, m1)), np.empty((K, m1))
+        bys, cys = np.empty((K, m1)), np.empty((K, m1))
+        rc = np.ones(K, np.int32)
+    else:
+        ua, _, tx, ty, bxs, cxs, bys, cys, rc = res
+    for row in np.flatnonzero(rc != 0):
+        o = cartesian_to_frenet(
+            np.column_stack([xs_list[row], ys_list[row]]), point_num
         )
-        pw = Way(
-            baseline_x=trans[:, 0],
-            baseline_y=trans[:, 1],
-            d1x=bx,
-            d2x=cx,
-            d1y=by,
-            d2y=cy,
-        ).compute_curvature(absolute=True)
-        unit_arc_paths.append(unit_p)
-        path_ways.append(pw)
-        ego_rects.append(
-            _rect_sweep(pw.baseline_x, pw.baseline_y, pw.theta, ego.length, ego.width)
-        )
+        ua[row] = o[0]
+        tx[row], ty[row] = o[2][:, 0], o[2][:, 1]
+        bxs[row], cxs[row], bys[row], cys[row] = o[3], o[4], o[5], o[6]
+
+    if K:
+        # curvature/theta + ego rectangle sweep for the whole cluster in
+        # one vectorized op each (elementwise — identical to per-path)
+        kb_all, th_all = curvature_theta(bxs, cxs, bys, cys, absolute=True)
+        rects_all = _rect_sweep(tx, ty, th_all, ego.length, ego.width)
+        for row in range(K):
+            unit_arc_paths.append(float(ua[row]))
+            path_ways.append(
+                Way(
+                    baseline_x=tx[row], baseline_y=ty[row],
+                    d1x=bxs[row], d2x=cxs[row], d1y=bys[row], d2y=cys[row],
+                    kb=kb_all[row], theta=th_all[row],
+                )
+            )
+            ego_rects.append(rects_all[row])
 
     return traj_num, ego_rects, usable, unit_arc_paths, k_maxes, path_ways

@@ -32,10 +32,24 @@ def drivable_area(
 
     Corner conventions per rectangle (2, 4): column 1 = front-left chain,
     column 3 = rear-right chain, column 0 = front-right tip, column 2 =
-    rear-left anchor (reference stitching rules ``:1652-1716``)."""
-    polygon_x: List[float] = []
-    polygon_y: List[float] = []
+    rear-left anchor (reference stitching rules ``:1652-1716``).
+
+    The per-point append loops of the original formulation are expressed as
+    fancy-indexed segments of the (n, 2, 4) rectangle sweeps; ``fwd``/``rev``
+    take exactly the original ``range(a, b+1)`` / ``range(a, b-1, -1)``
+    index sequences, so a NEGATIVE neighbor index (``ci == -1``: collision
+    at the first rectangle) wraps to the last rectangle just like the
+    original scalar ``rects[j]`` did — a preserved quirk — and an
+    out-of-range index raises IndexError as before (frame skipped by the
+    episode driver)."""
+    segs: List[np.ndarray] = []  # (2, len) polygon segments, in chain order
     collided_flags = []
+
+    def fwd(rects, a, b, col):  # rects[j][:, col] for j in a..b inclusive
+        segs.append(rects[np.arange(a, b + 1), :, col].T)
+
+    def rev(rects, a, b, col):  # rects[j][:, col] for j in a..b descending
+        segs.append(rects[np.arange(a, b - 1, -1), :, col].T)
 
     ci = collision_index
     for i in range(usable_num):
@@ -47,44 +61,41 @@ def drivable_area(
 
         if i == 0:
             if usable_num == 1:
-                for j in range(ci[i] + 1):
-                    polygon_x.append(rects[j][0, 1]); polygon_y.append(rects[j][1, 1])
-                polygon_x.append(rects[ci[i]][0, 0]); polygon_y.append(rects[ci[i]][1, 0])
-                for j in range(ci[i], -1, -1):
-                    polygon_x.append(rects[j][0, 3]); polygon_y.append(rects[j][1, 3])
+                fwd(rects, 0, ci[i], 1)
+                fwd(rects, ci[i], ci[i], 0)
+                rev(rects, ci[i], 0, 3)
                 continue
-            for j in range(ci[i] + 1):
-                polygon_x.append(rects[j][0, 1]); polygon_y.append(rects[j][1, 1])
-            polygon_x.append(rects[ci[i]][0, 0]); polygon_y.append(rects[ci[i]][1, 0])
+            fwd(rects, 0, ci[i], 1)
+            fwd(rects, ci[i], ci[i], 0)
             if ci[i] > ci[i + 1]:
-                for j in range(ci[i], ci[i + 1] - 1, -1):
-                    polygon_x.append(rects[j][0, 3]); polygon_y.append(rects[j][1, 3])
+                rev(rects, ci[i], ci[i + 1], 3)
 
         if 0 < i < usable_num - 1:
             if ci[i] > ci[i - 1]:
-                for j in range(ci[i - 1], ci[i] + 1):
-                    polygon_x.append(rects[j][0, 0]); polygon_y.append(rects[j][1, 0])
+                fwd(rects, ci[i - 1], ci[i], 0)
                 if ci[i] > ci[i + 1]:
-                    for j in range(ci[i], ci[i + 1] - 1, -1):
-                        polygon_x.append(rects[j][0, 3]); polygon_y.append(rects[j][1, 3])
+                    rev(rects, ci[i], ci[i + 1], 3)
             else:
                 if ci[i] > ci[i + 1]:
-                    for j in range(ci[i], ci[i + 1] - 1, -1):
-                        polygon_x.append(rects[j][0, 3]); polygon_y.append(rects[j][1, 3])
+                    rev(rects, ci[i], ci[i + 1], 3)
                 elif ci[i] == ci[i + 1]:
-                    polygon_x.append(rects[ci[i]][0, 3]); polygon_y.append(rects[ci[i]][1, 3])
+                    fwd(rects, ci[i], ci[i], 3)
 
         if i == usable_num - 1 and usable_num > 1:
             if ci[i] > ci[i - 1]:
-                for j in range(ci[i - 1], ci[i] + 1):
-                    polygon_x.append(rects[j][0, 0]); polygon_y.append(rects[j][1, 0])
-            for j in range(ci[i], -1, -1):
-                polygon_x.append(rects[j][0, 3]); polygon_y.append(rects[j][1, 3])
-            polygon_x.append(rects[0][0, 2]); polygon_y.append(rects[0][1, 2])
+                fwd(rects, ci[i - 1], ci[i], 0)
+            rev(rects, ci[i], 0, 3)
+            fwd(rects, 0, 0, 2)
 
     if usable_num == 0 or all(collided_flags):
         return 0.0
-    return shoelace_area(polygon_x, polygon_y)
+    pts = np.concatenate(segs, axis=1)
+    # contiguous rows: np.dot on the strided rows concatenate can return
+    # (F-ordered from the .T segments) takes a different BLAS summation
+    # path than the original list→asarray layout, drifting the area at
+    # machine epsilon; contiguous inputs reproduce it bit-for-bit
+    return shoelace_area(np.ascontiguousarray(pts[0]),
+                         np.ascontiguousarray(pts[1]))
 
 
 def risk_level(

@@ -36,6 +36,8 @@ _lib_failed = False
 def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     """Attach prototypes; raises AttributeError on a stale pre-round .so."""
     dptr = ctypes.POINTER(ctypes.c_double)
+    iptr = ctypes.POINTER(ctypes.c_int64)
+    i32ptr = ctypes.POINTER(ctypes.c_int32)
     lib.dmv_fmm_spline.restype = ctypes.c_int
     lib.dmv_fmm_spline.argtypes = [ctypes.c_int64] + [dptr] * 5
     lib.dmv_spline_eval.restype = None
@@ -47,6 +49,20 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.dmv_frenet.restype = ctypes.c_int
     lib.dmv_frenet.argtypes = (
         [ctypes.c_int64, dptr, dptr, ctypes.c_int64] + [dptr] * 8
+    )
+    lib.dmv_frenet_two_pass.restype = ctypes.c_int
+    lib.dmv_frenet_two_pass.argtypes = (
+        [ctypes.c_int64, dptr, dptr, ctypes.c_int64, ctypes.c_double,
+         ctypes.c_int64] + [dptr] * 8 + [iptr]
+    )
+    lib.dmv_max_curvature_batch.restype = ctypes.c_int
+    lib.dmv_max_curvature_batch.argtypes = (
+        [ctypes.c_int64, iptr, iptr, dptr, dptr, dptr, i32ptr]
+    )
+    lib.dmv_frenet_batch.restype = ctypes.c_int
+    lib.dmv_frenet_batch.argtypes = (
+        [ctypes.c_int64, iptr, iptr, dptr, dptr, ctypes.c_int64]
+        + [dptr] * 8 + [i32ptr]
     )
     return lib
 
@@ -154,6 +170,104 @@ def frenet_native(pts: np.ndarray, m_equal: int):
     trans = np.column_stack([tx, ty])
     s_grid = np.arange(m_equal + 1) * ua.value
     return ua.value, al.value, trans, bx, cx, by, cy, s_grid
+
+
+def _iptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _concat_batch(xs_list, ys_list):
+    ns = np.array([len(x) for x in xs_list], np.int64)
+    off = np.zeros(len(ns), np.int64)
+    np.cumsum(ns[:-1], out=off[1:])
+    xs = np.ascontiguousarray(np.concatenate(xs_list), float)
+    ys = np.ascontiguousarray(np.concatenate(ys_list), float)
+    return ns, off, xs, ys
+
+
+def max_curvature_batch_native(xs_list, ys_list):
+    """K paths' :func:`max_curvature_native` in ONE ctypes crossing (the
+    per-call marshaling dominates at cluster-generation call counts).
+
+    Returns a list of floats (entries ``None`` where the native kernel
+    reported an error — the caller dispatches those through the scalar
+    path, preserving its numpy-fallback/raise semantics exactly), or
+    ``None`` when the library is unavailable."""
+    lib = _load_native()
+    if lib is None or not xs_list:
+        return None
+    ns, off, xs, ys = _concat_batch(xs_list, ys_list)
+    k_out = np.empty(len(ns))
+    rc = np.zeros(len(ns), np.int32)
+    lib.dmv_max_curvature_batch(
+        len(ns), _iptr(ns), _iptr(off), _dptr(xs), _dptr(ys), _dptr(k_out),
+        rc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return [float(k) if r == 0 else None for k, r in zip(k_out, rc)]
+
+
+def frenet_batch_native(xs_list, ys_list, m_equal: int):
+    """K paths' :func:`frenet_native` at a SHARED ``m_equal`` in ONE ctypes
+    crossing.  Returns raw batch arrays
+    ``(ua (K,), al (K,), tx, ty, bx, cx, by, cy  — each (K, m_equal+1), rc
+    (K,) int32)`` so the caller consumes them batched without per-path
+    restacking; rows with ``rc != 0`` are uninitialized and must be filled
+    through the scalar dispatch (preserving its fallback/raise semantics).
+    Returns ``None`` when the library is unavailable."""
+    lib = _load_native()
+    if lib is None or not xs_list:
+        return None
+    ns, off, xs, ys = _concat_batch(xs_list, ys_list)
+    k, m1 = len(ns), m_equal + 1
+    tx, ty = np.empty((k, m1)), np.empty((k, m1))
+    bx, cx = np.empty((k, m1)), np.empty((k, m1))
+    by, cy = np.empty((k, m1)), np.empty((k, m1))
+    ua, al = np.empty(k), np.empty(k)
+    rc = np.zeros(k, np.int32)
+    lib.dmv_frenet_batch(
+        k, _iptr(ns), _iptr(off), _dptr(xs), _dptr(ys), m_equal,
+        _dptr(tx), _dptr(ty), _dptr(bx), _dptr(cx), _dptr(by), _dptr(cy),
+        _dptr(ua), _dptr(al),
+        rc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return ua, al, tx, ty, bx, cx, by, cy, rc
+
+
+def frenet_two_pass_native(pts: np.ndarray, m_coarse: int, unit_len: float):
+    """Fused coarse-measure → fine-resample Frenet pass (ONE ctypes
+    crossing instead of two scalar :func:`frenet_native` calls — the
+    per-frame hot path of ``core.prepare_frame``).
+
+    Returns ``(unit_arc, arc_len, trans, bx, cx, by, cy, s_grid, m_equal)``
+    — the fine-pass tuple plus the chosen ``m_equal`` — or ``None`` when
+    the library is unavailable or the kernel rejects the input (caller
+    falls back to the two scalar dispatches, preserving their semantics;
+    ``m_equal`` there is ``round(arc_len / unit_len)``, which the kernel
+    matches via ties-to-even ``nearbyint``)."""
+    lib = _load_native()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(pts, float)
+    px = np.ascontiguousarray(pts[:, 0])
+    py = np.ascontiguousarray(pts[:, 1])
+    cap = max(4 * pts.shape[0], 512)
+    tx, ty = np.empty(cap + 1), np.empty(cap + 1)
+    bx, cx = np.empty(cap + 1), np.empty(cap + 1)
+    by, cy = np.empty(cap + 1), np.empty(cap + 1)
+    ua, al = ctypes.c_double(), ctypes.c_double()
+    m_eq = ctypes.c_int64()
+    rc = lib.dmv_frenet_two_pass(
+        pts.shape[0], _dptr(px), _dptr(py), m_coarse, unit_len, cap,
+        _dptr(tx), _dptr(ty), _dptr(bx), _dptr(cx), _dptr(by), _dptr(cy),
+        ctypes.byref(ua), ctypes.byref(al), ctypes.byref(m_eq),
+    )
+    if rc != 0:
+        return None
+    m1 = m_eq.value + 1
+    trans = np.column_stack([tx[:m1], ty[:m1]])
+    s_grid = np.arange(m1) * ua.value
+    return (ua.value, al.value, trans, bx[:m1], cx[:m1], by[:m1], cy[:m1],
+            s_grid, m_eq.value)
 
 
 def fmm_spline_coeffs(x: np.ndarray, y: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

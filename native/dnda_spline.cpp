@@ -301,4 +301,72 @@ int dmv_frenet(int64_t n, const double *in_x, const double *in_y,
   return rc;
 }
 
+// Batched variants: one ctypes crossing for all candidate paths of a frame
+// (the per-call marshaling dominates the scalar kernels' cost at ~10-25
+// paths x ~3000 frames per sweep).  Inputs are concatenated per-path
+// arrays with offsets; arithmetic is EXACTLY the scalar kernels', called
+// in path order.
+
+// k paths; path i has n[i] points at xs[off[i]] / ys[off[i]].
+// k_out[i] = max curvature, rc_out[i] = scalar-kernel return code.
+int dmv_max_curvature_batch(int64_t k, const int64_t *n, const int64_t *off,
+                            const double *xs, const double *ys, double *k_out,
+                            int32_t *rc_out) {
+  int any = 0;
+  for (int64_t i = 0; i < k; ++i) {
+    rc_out[i] = dmv_max_curvature(n[i], xs + off[i], ys + off[i], &k_out[i]);
+    if (rc_out[i] != 0)
+      any = 1;
+  }
+  return any;
+}
+
+// Fused two-pass Cartesian->Frenet of core.prepare_frame: pass 1 at
+// m_coarse measures the arc length only, m_equal = nearbyint(arc_len /
+// unit_len) (== Python round(): ties-to-even under the default FP
+// rounding mode), pass 2 resamples at m_equal into caller buffers of
+// capacity cap_m+1.  Returns 0 ok; 3 = m_equal < 2 or > cap_m (caller
+// falls back to the two scalar calls); other codes propagate.
+int dmv_frenet_two_pass(int64_t n, const double *px, const double *py,
+                        int64_t m_coarse, double unit_len, int64_t cap_m,
+                        double *trans_x, double *trans_y, double *bx,
+                        double *cx, double *by, double *cy,
+                        double *unit_arc_out, double *arc_len_out,
+                        int64_t *m_equal_out) {
+  std::vector<double> tx(m_coarse + 1), ty(m_coarse + 1), sbx(m_coarse + 1),
+      scx(m_coarse + 1), sby(m_coarse + 1), scy(m_coarse + 1);
+  double ua = 0.0, al = 0.0;
+  int rc = dmv_frenet(n, px, py, m_coarse, tx.data(), ty.data(), sbx.data(),
+                      scx.data(), sby.data(), scy.data(), &ua, &al);
+  if (rc != 0)
+    return rc;
+  const int64_t m_equal = static_cast<int64_t>(std::nearbyint(al / unit_len));
+  *m_equal_out = m_equal;
+  if (m_equal < 2 || m_equal > cap_m)
+    return 3;
+  rc = dmv_frenet(n, px, py, m_equal, trans_x, trans_y, bx, cx, by, cy,
+                  unit_arc_out, arc_len_out);
+  return rc;
+}
+
+// k paths resampled at a SHARED m_equal; outputs are row-major (k,
+// m_equal+1) blocks.  rc_out[i] = scalar-kernel return code.
+int dmv_frenet_batch(int64_t k, const int64_t *n, const int64_t *off,
+                     const double *xs, const double *ys, int64_t m_equal,
+                     double *trans_x, double *trans_y, double *bx, double *cx,
+                     double *by, double *cy, double *unit_arc,
+                     double *arc_len, int32_t *rc_out) {
+  const int64_t m1 = m_equal + 1;
+  int any = 0;
+  for (int64_t i = 0; i < k; ++i) {
+    rc_out[i] =
+        dmv_frenet(n[i], xs + off[i], ys + off[i], m_equal, trans_x + i * m1,
+                   trans_y + i * m1, bx + i * m1, cx + i * m1, by + i * m1,
+                   cy + i * m1, &unit_arc[i], &arc_len[i]);
+    if (rc_out[i] != 0)
+      any = 1;
+  }
+  return any;
+}
+
 } // extern "C"

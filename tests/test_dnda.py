@@ -427,6 +427,157 @@ def test_native_spline_matches_python():
             assert np.allclose(a, b, rtol=1e-11, atol=1e-13)
 
 
+def test_native_batch_wrappers_match_scalar():
+    """The batched ctypes entry points (one crossing per frame's whole path
+    cluster — ``dmv_max_curvature_batch`` / ``dmv_frenet_batch`` /
+    ``dmv_frenet_two_pass``) must equal the scalar dispatches BIT-FOR-BIT:
+    the C++ side invokes the same scalar kernels in path order, and the
+    Python side must not perturb inputs while concatenating."""
+    import defensive_model_vae_tpu.dnda.spline as sp
+
+    if sp._load_native() is None:
+        pytest.skip("native spline unavailable (no toolchain)")
+
+    rng = np.random.default_rng(3)
+    paths = []
+    for n in (60, 101, 140):
+        x = np.linspace(0.0, n * 0.9, n) + rng.normal(0, 1e-3, n)
+        y = 2.0 * np.sin(x / 25.0) + rng.normal(0, 1e-3, n)
+        paths.append((x, y))
+    xs = [p[0] for p in paths]
+    ys = [p[1] for p in paths]
+
+    ks = sp.max_curvature_batch_native(xs, ys)
+    for k, x, y in zip(ks, xs, ys):
+        assert k == sp.max_curvature_native(x, y)
+
+    ua, al, tx, ty, bx, cx, by, cy, rc = sp.frenet_batch_native(xs, ys, 100)
+    assert not rc.any()
+    for i, (x, y) in enumerate(zip(xs, ys)):
+        u0, a0, tr, b0, c0, b1, c1, sg = sp.frenet_native(
+            np.column_stack([x, y]), 100
+        )
+        assert u0 == ua[i] and a0 == al[i]
+        assert np.array_equal(tr[:, 0], tx[i]) and np.array_equal(tr[:, 1], ty[i])
+        for got, ref in ((bx[i], b0), (cx[i], c0), (by[i], b1), (cy[i], c1)):
+            assert np.array_equal(got, ref)
+
+    pts = np.column_stack(paths[1])
+    fused = sp.frenet_two_pass_native(pts, 50, 1.0)
+    assert fused is not None
+    _, arc, *_ = sp.frenet_native(pts, 50)
+    m = round(arc / 1.0)
+    assert fused[8] == m
+    ref = sp.frenet_native(pts, m)
+    assert fused[0] == ref[0] and fused[1] == ref[1]
+    assert np.array_equal(fused[2], ref[2])
+    for j in (3, 4, 5, 6, 7):
+        assert np.array_equal(fused[j], ref[j])
+
+
+def test_drivable_area_matches_original_per_point_loops():
+    """The vectorized polygon stitching must reproduce the original
+    per-point append loops exactly — INCLUDING the preserved quirk that a
+    neighbor's ci == -1 (collision at the first rectangle) wraps to the
+    LAST rectangle via Python negative indexing (``rects[-1]``)."""
+    from defensive_model_vae_tpu.dnda.risk import drivable_area
+
+    def oracle(usable_num, ego_rects, ci):
+        # the pre-vectorization loops, verbatim
+        px, py, collided = [], [], []
+        for i in range(usable_num):
+            if ci[i] < 0:
+                collided.append(True)
+                continue
+            collided.append(False)
+            rects = ego_rects[i]
+            if i == 0:
+                if usable_num == 1:
+                    for j in range(ci[i] + 1):
+                        px.append(rects[j][0, 1]); py.append(rects[j][1, 1])
+                    px.append(rects[ci[i]][0, 0]); py.append(rects[ci[i]][1, 0])
+                    for j in range(ci[i], -1, -1):
+                        px.append(rects[j][0, 3]); py.append(rects[j][1, 3])
+                    continue
+                for j in range(ci[i] + 1):
+                    px.append(rects[j][0, 1]); py.append(rects[j][1, 1])
+                px.append(rects[ci[i]][0, 0]); py.append(rects[ci[i]][1, 0])
+                if ci[i] > ci[i + 1]:
+                    for j in range(ci[i], ci[i + 1] - 1, -1):
+                        px.append(rects[j][0, 3]); py.append(rects[j][1, 3])
+            if 0 < i < usable_num - 1:
+                if ci[i] > ci[i - 1]:
+                    for j in range(ci[i - 1], ci[i] + 1):
+                        px.append(rects[j][0, 0]); py.append(rects[j][1, 0])
+                    if ci[i] > ci[i + 1]:
+                        for j in range(ci[i], ci[i + 1] - 1, -1):
+                            px.append(rects[j][0, 3]); py.append(rects[j][1, 3])
+                else:
+                    if ci[i] > ci[i + 1]:
+                        for j in range(ci[i], ci[i + 1] - 1, -1):
+                            px.append(rects[j][0, 3]); py.append(rects[j][1, 3])
+                    elif ci[i] == ci[i + 1]:
+                        px.append(rects[ci[i]][0, 3]); py.append(rects[ci[i]][1, 3])
+            if i == usable_num - 1 and usable_num > 1:
+                if ci[i] > ci[i - 1]:
+                    for j in range(ci[i - 1], ci[i] + 1):
+                        px.append(rects[j][0, 0]); py.append(rects[j][1, 0])
+                for j in range(ci[i], -1, -1):
+                    px.append(rects[j][0, 3]); py.append(rects[j][1, 3])
+                px.append(rects[0][0, 2]); py.append(rects[0][1, 2])
+        if usable_num == 0 or all(collided):
+            return 0.0
+        return shoelace_area(px, py)
+
+    rng = np.random.default_rng(11)
+    rects3 = [rng.normal(size=(9, 2, 4)) for _ in range(3)]
+    cases = [
+        [-1, 5, 7], [5, -1, 7], [5, 7, -1], [-1, -1, 4], [7, 5, 2],
+        [2, 5, 7], [3, 3, 3], [0, 0, 0], [8, 0, 8], [-1, -1, -1],
+    ]
+    for ci in cases:
+        got = drivable_area(3, rects3, np.asarray(ci))
+        want = oracle(3, rects3, np.asarray(ci))
+        assert got == want, ci
+    for ci in ([4], [-1], [0], [8]):
+        got = drivable_area(1, rects3[:1], np.asarray(ci))
+        assert got == oracle(1, rects3[:1], np.asarray(ci)), ci
+
+
+def test_cluster_batch_helpers_match_per_path():
+    """``_paths_xy_full`` row slices and the batched ``_rect_sweep`` must be
+    bit-identical to the per-path helpers they replace in
+    ``generate_ego_cluster``."""
+    from defensive_model_vae_tpu.dnda.frenet import way_from_baseline
+    from defensive_model_vae_tpu.dnda.paths import (
+        _path_xy, _paths_xy_full, _rect_sweep,
+    )
+
+    rng = np.random.default_rng(5)
+    base = np.column_stack(
+        [np.linspace(0, 80, 90), 1.5 * np.sin(np.linspace(0, 3, 90))]
+    )
+    way, unit_arc, _, s_grid = way_from_baseline(base, 80)
+    profs = [
+        (rng.normal(0, 1e-4), rng.normal(0, 1e-2), rng.normal(0, 0.1), rng.normal())
+        for _ in range(5)
+    ]
+    segs = [20, 35, 50, 65, 80]
+    xf, yf = _paths_xy_full(way, s_grid, profs)
+    for j, (prof, seg) in enumerate(zip(profs, segs)):
+        x1, y1 = _path_xy(way, s_grid, seg, *prof)
+        assert np.array_equal(xf[j, : seg + 1], x1)
+        assert np.array_equal(yf[j, : seg + 1], y1)
+
+    theta = rng.normal(0, 1.0, (3, 41))
+    px = rng.normal(0, 10.0, (3, 41))
+    py = rng.normal(0, 10.0, (3, 41))
+    batched = _rect_sweep(px, py, theta, 7.2, 2.3)
+    for j in range(3):
+        single = _rect_sweep(px[j], py[j], theta[j], 7.2, 2.3)
+        assert np.array_equal(batched[j], single)
+
+
 @requires_reference
 @pytest.mark.parametrize("sat_dtype", ["float64", "float32"])
 def test_device_sweep_matches_host_on_real_episode(sat_dtype):
