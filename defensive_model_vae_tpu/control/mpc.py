@@ -65,6 +65,15 @@ class MPCConfig:
     # published-artifact behavior, True = the in-tree MPC_Tracking.py code
     raw_jump_guard: bool = False
 
+    def __post_init__(self):
+        # reference MPCController raises at construction (:300-301); without
+        # this, _full_controls would hit an obscure negative-tile trace error
+        if self.control_horizon > self.prediction_horizon:
+            raise ValueError(
+                "control_horizon must be <= prediction_horizon "
+                f"({self.control_horizon} > {self.prediction_horizon})"
+            )
+
 
 def _dynamics(cfg: MPCConfig, state, control):
     """Kinematic bicycle [x, y, theta, v]; controls [a, delta] clipped
@@ -102,8 +111,13 @@ def _full_controls(cfg: MPCConfig, u):
     return jnp.concatenate([u, jnp.tile(u[-1:], (P - M, 1))], axis=0)
 
 
-def _residuals(cfg: MPCConfig, u, state, ref, last_control):
-    """Weighted residual vector whose sum of squares is the reference cost."""
+def _residuals(cfg: MPCConfig, u, state, ref, last_control, du0_w):
+    """Weighted residual vector whose sum of squares is the reference cost.
+
+    ``du0_w`` gates the FIRST control-increment row: the reference objective
+    sets Δu₀ = 0 when ``last_control is None`` — i.e. the very first solve
+    of a simulation pays no Δu penalty on u[0] (``MPC_Tracking.py:356-364``)
+    — so the outer loop passes 0.0 there and 1.0 on every later step."""
     states = rollout(cfg, state, _full_controls(cfg, u))
     sq = jnp.sqrt(jnp.array(cfg.q))
     sqf = jnp.sqrt(jnp.array(cfg.qf))
@@ -113,7 +127,8 @@ def _residuals(cfg: MPCConfig, u, state, ref, last_control):
     track_res = (states[:, 2:4] - ref) * w  # (P+1, 2)
 
     prev = jnp.concatenate([last_control[None], u[:-1]], axis=0)
-    du_res = (u - prev) * jnp.sqrt(jnp.array(cfg.r))  # (M, 2)
+    du_w = jnp.ones(cfg.control_horizon).at[0].set(du0_w)
+    du_res = (u - prev) * jnp.sqrt(jnp.array(cfg.r)) * du_w[:, None]  # (M, 2)
     return jnp.concatenate([track_res.ravel(), du_res.ravel()])
 
 
@@ -123,7 +138,7 @@ def _clip_u(cfg: MPCConfig, u):
     return jnp.clip(u, lo, hi)
 
 
-def _solve(cfg: MPCConfig, state, ref, last_control, u_init):
+def _solve(cfg: MPCConfig, state, ref, last_control, u_init, du0_w):
     """Projected Levenberg–Marquardt with a fixed iteration count.
 
     The problem is 2M-dimensional (≤ 40), smooth inside the box, so a
@@ -134,49 +149,36 @@ def _solve(cfg: MPCConfig, state, ref, last_control, u_init):
 
     def res_flat(u_flat):
         return _residuals(
-            cfg, u_flat.reshape(cfg.control_horizon, 2), state, ref, last_control
+            cfg, u_flat.reshape(cfg.control_horizon, 2), state, ref,
+            last_control, du0_w,
         )
 
     jac = jax.jacfwd(res_flat)
 
+    # one LM body; only the Jacobian provider differs between the
+    # re-linearized default and the frozen-J Gauss-Newton variant
     if cfg.freeze_jacobian:
         J0 = jac(u_init.ravel())
-        JtJ0 = J0.T @ J0
-
-        def body(carry, _):
-            u_flat, lam = carry
-            r = res_flat(u_flat)
-            H = JtJ0 + lam * jnp.eye(M2)
-            g = J0.T @ r
-            step = -jnp.linalg.solve(H, g)
-            u_trial = _clip_u(cfg, (u_flat + step).reshape(-1, 2)).ravel()
-            cost0 = jnp.sum(r**2)
-            cost1 = jnp.sum(res_flat(u_trial) ** 2)
-            accept = cost1 < cost0
-            u_next = jnp.where(accept, u_trial, u_flat)
-            lam_next = jnp.clip(
-                jnp.where(accept, lam * 0.5, lam * 4.0), 1e-8, 1e4
-            )
-            return (u_next, lam_next), None
-
+        get_J = lambda _: J0  # noqa: E731
     else:
+        get_J = jac
 
-        def body(carry, _):
-            u_flat, lam = carry
-            r = res_flat(u_flat)
-            J = jac(u_flat)
-            H = J.T @ J + lam * jnp.eye(M2)
-            g = J.T @ r
-            step = -jnp.linalg.solve(H, g)
-            u_trial = _clip_u(cfg, (u_flat + step).reshape(-1, 2)).ravel()
-            cost0 = jnp.sum(r**2)
-            cost1 = jnp.sum(res_flat(u_trial) ** 2)
-            accept = cost1 < cost0
-            u_next = jnp.where(accept, u_trial, u_flat)
-            lam_next = jnp.clip(
-                jnp.where(accept, lam * 0.5, lam * 4.0), 1e-8, 1e4
-            )
-            return (u_next, lam_next), None
+    def body(carry, _):
+        u_flat, lam = carry
+        r = res_flat(u_flat)
+        J = get_J(u_flat)
+        H = J.T @ J + lam * jnp.eye(M2)
+        g = J.T @ r
+        step = -jnp.linalg.solve(H, g)
+        u_trial = _clip_u(cfg, (u_flat + step).reshape(-1, 2)).ravel()
+        cost0 = jnp.sum(r**2)
+        cost1 = jnp.sum(res_flat(u_trial) ** 2)
+        accept = cost1 < cost0
+        u_next = jnp.where(accept, u_trial, u_flat)
+        lam_next = jnp.clip(
+            jnp.where(accept, lam * 0.5, lam * 4.0), 1e-8, 1e4
+        )
+        return (u_next, lam_next), None
 
     (u_flat, _), _ = jax.lax.scan(
         body, (u_init.ravel(), jnp.asarray(cfg.lm_lambda)), None, length=cfg.lm_iters
@@ -192,14 +194,18 @@ def _simulate(cfg: MPCConfig, state0, refs, last_control0):
     start row 0 of the next solve with the last applied control."""
 
     def step(carry, ref):
-        state, last_control = carry
+        state, last_control, du0_w = carry
         u0 = jnp.zeros((cfg.control_horizon, 2)).at[0].set(last_control)
-        u = _solve(cfg, state, ref, last_control, u0)
+        u = _solve(cfg, state, ref, last_control, u0, du0_w)
         control = u[0]
         nxt = state + _dynamics(cfg, state, control) * cfg.dt
-        return (nxt, control), (nxt, control)
+        return (nxt, control, jnp.asarray(1.0)), (nxt, control)
 
-    (_, _), (states, controls) = jax.lax.scan(step, (state0, last_control0), refs)
+    # du0_w = 0 on the first step: the reference's objective skips the Δu
+    # penalty while last_control is None (first solve of a simulation)
+    (_, _, _), (states, controls) = jax.lax.scan(
+        step, (state0, last_control0, jnp.asarray(0.0)), refs
+    )
     states = jnp.concatenate([state0[None], states], axis=0)
     return states, controls
 

@@ -45,6 +45,10 @@ def process_csv(
     (``Scenario.artifact_dataset_start`` — currently sce1's ego_y>=40).
     """
     sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
+    if dataset_variant not in ("shipped", "artifact"):
+        # the shipped/artifact fork IS the stale-predicate quirk this
+        # parameter selects — a typo must not silently pick "shipped"
+        raise ValueError(f"unknown dataset_variant: {dataset_variant!r}")
     df = read_csv(csv_path)
 
     start_pred = sce.dataset_start
@@ -93,7 +97,7 @@ def process_csv(
 def collect_trajectories(
     data_root: str,
     scenario_keys: Sequence[str],
-    actions: Sequence[str] = scenarios.ACTIONS,
+    actions: Sequence[str] = scenarios.DATASET_ACTIONS,
     target_points: int = 10,
     point_mode: str = "normal",
     time_interval: float = 0.015,
@@ -101,8 +105,12 @@ def collect_trajectories(
 ) -> List[np.ndarray]:
     """Walk ``data_root/<town>/<action>/*.csv`` and extract all windows.
 
-    Mirrors reference ``Traj_Data_Process.collect_trajectories`` (``:125-141``).
-    Directory listing order follows ``os.listdir`` like the reference.
+    Mirrors reference ``Traj_Data_Process.collect_trajectories`` (``:125-141``)
+    under the dataset ``__main__``'s action order (``:162``) with
+    lexicographically sorted per-folder files — the effective enumeration
+    the shipped npy artifacts were generated with (the reference's bare
+    ``os.listdir`` returned sorted names on its NTFS filesystem), proven by
+    the row-for-row byte-exact parity test.
     """
     all_trajs: List[np.ndarray] = []
     for key in scenario_keys:
@@ -112,7 +120,7 @@ def collect_trajectories(
             action_path = os.path.join(scene_path, action)
             if not os.path.exists(action_path):
                 continue
-            for fname in os.listdir(action_path):
+            for fname in sorted(os.listdir(action_path)):
                 if not fname.endswith(".csv"):
                     continue
                 traj = process_csv(
@@ -148,16 +156,16 @@ def build_dataset(
     dt = sce.dt if time_interval is None else time_interval
     if point_mode == "extend_mid":
         trajs = collect_trajectories(
-            data_root, [sce.key], scenarios.ACTIONS, target_points, "normal", dt,
-            dataset_variant,
+            data_root, [sce.key], scenarios.DATASET_ACTIONS, target_points,
+            "normal", dt, dataset_variant,
         ) + collect_trajectories(
-            data_root, [sce.key], scenarios.ACTIONS, target_points, "extend_mid",
-            dt, dataset_variant,
+            data_root, [sce.key], scenarios.DATASET_ACTIONS, target_points,
+            "extend_mid", dt, dataset_variant,
         )
     else:
         trajs = collect_trajectories(
-            data_root, [sce.key], scenarios.ACTIONS, target_points, point_mode,
-            dt, dataset_variant,
+            data_root, [sce.key], scenarios.DATASET_ACTIONS, target_points,
+            point_mode, dt, dataset_variant,
         )
     if not trajs:
         raise RuntimeError(f"no trajectories extracted for {scenario_key}")

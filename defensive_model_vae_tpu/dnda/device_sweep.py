@@ -293,8 +293,11 @@ def sweep_frames_device(
             rt = np.transpose(r, (1, 2, 0))
             ego[f, :, :, p, : r.shape[0]] = rt
             npts[f, p] = r.shape[0]
-            if r.shape[0] < N:
+            if 0 < r.shape[0] < N:
                 ego[f, :, :, p, r.shape[0]:] = rt[:, :, -1:]
+            # r.shape[0] == 0 leaves the all-zeros padding: npts masks every
+            # point out and the SAT safe-norm keeps zeros NaN-free, so the
+            # path returns the no-collision default like the host oracle
         arcs[f, : len(unit_arcs_per_frame[f])] = np.asarray(
             unit_arcs_per_frame[f], float
         )

@@ -521,8 +521,16 @@ REGISTRY: Dict[str, Scenario] = {
 
 TOWN_TO_KEY = {s.town: s.key for s in REGISTRY.values()}
 
-# Maneuver subfolders in the raw dataset (reference Traj_Data_Process.py:28)
+# Maneuver subfolders in the raw dataset (reference Traj_Data_Process.py:28;
+# Distribution.collect_csv_files iterates THIS order — :34)
 ACTIONS = ("减速", "减速+转向", "转向")
+
+# The order the shipped npy DATASETS were actually generated with: the
+# reference's dataset __main__ overrides ACTIONS (Traj_Data_Process.py:162).
+# With lexicographically sorted per-folder files, this order reproduces
+# every shipped trajectory_sce*_cond.npy row-for-row byte-exactly
+# (tests/test_data.py::test_window_extraction_exact_parity).
+DATASET_ACTIONS = ("减速", "转向", "减速+转向")
 
 _SCE_RE = re.compile(r"sce([1-4])")
 

@@ -15,34 +15,34 @@ from defensive_model_vae_tpu.data import (
 from conftest import REFERENCE_ROOT, requires_reference
 
 
-def _row_set(arr, decimals=4):
-    return {tuple(np.round(r, decimals)) for r in arr.reshape(len(arr), -1)}
-
-
 @requires_reference
 @pytest.mark.parametrize("key,n_ref", [("sce1", 38), ("sce2", 16), ("sce3", 66)])
 def test_window_extraction_exact_parity(key, n_ref):
+    """ROW-FOR-ROW, BYTE-EXACT reproduction of the shipped npy: the dataset
+    __main__'s action order (Traj_Data_Process.py:162, scenarios.
+    DATASET_ACTIONS) with sorted per-folder files IS the enumeration the
+    artifacts were generated with."""
     mine = build_dataset(str(REFERENCE_ROOT / "DefensiveData"), key)
     ref = np.load(
         REFERENCE_ROOT / "training/DefensiveDataProcessed" / f"trajectory_{key}_cond.npy"
     ).astype(np.float32)
     assert mine.shape == (n_ref, 10, 3)
-    assert _row_set(mine) == _row_set(ref)
+    assert np.array_equal(mine, ref)
 
 
 @requires_reference
 def test_window_extraction_sce4_subset():
-    # The shipped sce4 npy holds 135 windows but one of them cannot be
+    # The shipped sce4 npy holds 135 windows but its row 44 cannot be
     # reproduced from any shipped CSV under either subsampling mode (stale
-    # entry predating the current CSVs).  Our extraction must produce exactly
-    # the 134 reproducible windows and nothing else.
+    # entry predating the current CSVs).  Our extraction must produce the
+    # other 134 windows row-for-row byte-exactly.
     mine = build_dataset(str(REFERENCE_ROOT / "DefensiveData"), "sce4")
     ref = np.load(
         REFERENCE_ROOT / "training/DefensiveDataProcessed/trajectory_sce4_cond.npy"
     ).astype(np.float32)
     assert mine.shape == (134, 10, 3)
-    assert _row_set(mine) <= _row_set(ref)
-    assert len(_row_set(ref) - _row_set(mine)) == 1
+    assert np.array_equal(mine, np.delete(ref, 44, axis=0))
+    assert not any(np.array_equal(ref[44], r) for r in mine)
 
 
 def test_windows_shape_and_time_monotone(all_windows):

@@ -427,6 +427,29 @@ def test_native_spline_matches_python():
             assert np.allclose(a, b, rtol=1e-11, atol=1e-13)
 
 
+def test_device_sweep_empty_path_matches_host():
+    """A (0, 2, 4) rectangle sweep (zero usable points) must not crash the
+    device packing and must return the host oracle's no-collision default
+    ceil(v·H/u) — the documented FramePrep contract allows N_i = 0 even
+    though generate_ego_cluster never produces it (seg >= 10)."""
+    from conftest import straight_rect_sweep
+
+    from defensive_model_vae_tpu.dnda.core import FramePrep, sweep_frames
+
+    preps = [
+        FramePrep(
+            ego_rects=[np.zeros((0, 2, 4)), straight_rect_sweep(40)],
+            usable=[0, 1], unit_arc_paths=[1.0, 1.0], k_maxes=[0.01, 0.01],
+            sur_array=np.array([[15.0, 0.0, 4.0, 2.0, 0, 0, 0, 0, 0]], float),
+            ego_speed=8.0, time_horizon=3.0, time_step=0.1,
+        )
+    ]
+    ci_d = sweep_frames(preps, device=True)
+    ci_h = sweep_frames(preps, device=False)
+    assert np.array_equal(ci_d[0], ci_h[0])
+    assert ci_d[0][0] == int(np.ceil(8.0 * 3.0 / 1.0))
+
+
 def test_native_batch_wrappers_match_scalar():
     """The batched ctypes entry points (one crossing per frame's whole path
     cluster — ``dmv_max_curvature_batch`` / ``dmv_frenet_batch`` /

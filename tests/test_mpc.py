@@ -392,3 +392,12 @@ def test_tracker_vs_slsqp_oracle_on_hard_paths(all_windows):
             assert mine_v <= orac_v + 1e-6, (key, mine_v, orac_v)
             assert mine_pos <= orac_pos + 1e-6, (key, mine_pos, orac_pos)
             assert mine_pos < 0.3  # and good in absolute terms
+
+
+def test_mpc_config_validates_horizons():
+    """The reference MPCController raises at construction when the control
+    horizon exceeds the prediction horizon (MPC_Tracking.py:300-301); the
+    config must do the same instead of dying in a negative-tile trace."""
+    with pytest.raises(ValueError):
+        MPCConfig(prediction_horizon=10, control_horizon=20)
+    MPCConfig(prediction_horizon=10, control_horizon=10)  # boundary ok
