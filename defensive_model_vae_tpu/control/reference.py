@@ -109,7 +109,8 @@ class PathReference:
 
         # end-velocity heuristic: scan the heading at 1 ms resolution; on the
         # first jump > 45° from the start heading, freeze the end velocity at
-        # the second-to-last segment midpoint (reference ``:204-218``).
+        # the LAST segment's midpoint (t[-1]+t[-2])/2 — the final velocity
+        # knot (reference ``:204-218``, MPC_Tracking.py:213).
         scan_t = np.arange(0.0, t[-1] + 0.001, 0.001)
         th = _wrap(np.arctan2(self._vy(scan_t), self._vx(scan_t)))
         jumped = np.abs(th - self.start_theta) > np.deg2rad(45)
@@ -165,7 +166,12 @@ class PathReference:
         grid_t = np.arange(num_steps + horizon + 1) * dt
         _, _, vx, vy = self.get_reference(grid_t)
         v = np.hypot(vx, vy)
-        theta = self.get_reference_heading(grid_t)
+        # heading from the SAME (vx, vy): get_reference_heading would
+        # re-evaluate every spline over the grid (2x the host build cost)
+        # for bit-identical values — this is its body minus that call
+        theta = np.arctan2(vy, vx)
+        theta = np.where(grid_t > self.t_end, self.end_theta, theta)
+        theta = _wrap(theta)
 
         idx = np.arange(num_steps)[:, None] + np.arange(horizon + 1)[None, :]
         v_win = v[idx]

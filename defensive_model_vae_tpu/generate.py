@@ -56,7 +56,10 @@ def generate_trajectories(
         (B, n_samples, T, D) array (squeezed to (T, D) for B=1, n=1 to match
         the reference's single-trajectory call signature).
     """
-    key = jax.random.PRNGKey(seed) if isinstance(seed, int) else seed
+    # np.integer counts as a seed too (seeds loaded from npy / computed
+    # with numpy arithmetic), not as a pre-built PRNG key
+    key = (jax.random.PRNGKey(int(seed))
+           if isinstance(seed, (int, np.integer)) else seed)
     start_xy = np.atleast_2d(np.asarray(start_xy, np.float32))
     B = start_xy.shape[0]
     tiled = jnp.asarray(np.repeat(start_xy, n_samples, axis=0))

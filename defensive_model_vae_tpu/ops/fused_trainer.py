@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models import CVAEConfig, LossWeights, init_params
+from ..models import CVAEConfig, LossWeights, init_params, to_relative
 from ..models.cvae import Params
 
 FUSED_METRIC_KEYS = ("total", "recon", "kld", "start", "time")
@@ -120,19 +120,28 @@ def _forward_loss(plist, x_flat, cond, eps, cfg: CVAEConfig, w: LossWeights,
     return total, jnp.stack([total, recon_loss, kld, start_loss, time_loss])
 
 
-def _check_grid_epoch_budget(epochs: int, limit: int = 12000):
-    """The grid kernels' per-program metrics block ((1, epochs, 8) in VMEM,
-    lane-padded to 128 and DOUBLE-buffered by the grid pipeline) caps
-    epochs: measured on v5e, 3000 compiles (~3 MB) and 30000 fails the
-    16 MB scoped-vmem limit at 31 MB.  Refuse early with a pointer to
-    chunked resume instead of a compiler stack-OOM."""
-    if epochs > limit:
+def _check_epoch_budget(epochs: int, buffers: int = 2):
+    """The kernels' metrics block ((epochs, 8) in VMEM, lane-padded to 128,
+    and DOUBLE-buffered by the grid pipeline — ``buffers=2`` for the grid
+    kernels, 1 for the single whole-run kernel) caps epochs: measured on
+    v5e, the grid at 3000 epochs compiles (~3 MB) and 30000 fails the
+    16 MB scoped-vmem limit at 31 MB.  Refuse early with an actionable
+    message instead of a Mosaic compiler OOM.  Note the fused kernels
+    CANNOT resume (they re-init params and Adam state from the seed every
+    call) — longer runs belong to the scan trainer's chunked resume."""
+    mb = epochs * 128 * 4 * buffers / 1e6
+    if mb > 12.5:
         raise ValueError(
-            f"grid kernel metrics buffer needs ~{epochs * 128 * 4 * 2 / 1e6:.0f}"
-            f" MB VMEM at {epochs} epochs (> ~16 MB scoped limit); run in "
-            f"chunks of <= {limit} epochs (or use fused_train/train.train "
-            f"per scenario)"
+            f"fused-kernel metrics buffer needs ~{mb:.0f} MB VMEM at "
+            f"{epochs} epochs (~16 MB scoped limit incl. params/Adam); the "
+            f"fused kernels cannot resume, so for longer runs use the scan "
+            f"trainer's bit-exact chunked resume — train.train(epochs=N, "
+            f"init_state=..., start_epoch=already_trained)"
         )
+
+
+# back-compat alias (grid callers/tests)
+_check_grid_epoch_budget = _check_epoch_budget
 
 
 def _check_vmem_budget(cfg: CVAEConfig, limit_mb: float = 12.0):
@@ -166,11 +175,41 @@ def _normal_noise(shape):
     return r * jnp.cos(2.0 * jnp.pi * u2)
 
 
+def _epoch_body(cfg, weights, lr, x, cond, mask, get_eps, write_metrics):
+    """The per-epoch training step shared by BOTH Pallas kernels (single
+    whole-run and grid): explicit-or-core-PRNG noise, value_and_grad over
+    the flat params, inline Adam (b**t as exp(t·ln b) — Mosaic has no powf
+    legalization), metric write.  One body → the single/grid kernels
+    cannot drift apart."""
+    b1, b2, adam_eps = 0.9, 0.999, 1e-8
+
+    def body(t, carry):
+        params, m, v = carry
+        eps = get_eps()
+        (_, comps), grads = jax.value_and_grad(
+            lambda pl_: _forward_loss(pl_, x, cond, eps, cfg, weights, mask),
+            has_aux=True,
+        )(params)
+        tf = (t + 1).astype(jnp.float32)
+        bc1 = 1.0 - jnp.exp(tf * np.log(b1))
+        bc2 = 1.0 - jnp.exp(tf * np.log(b2))
+        new_p, new_m, new_v = [], [], []
+        for p, g, mi, vi in zip(params, grads, m, v):
+            mi = b1 * mi + (1 - b1) * g
+            vi = b2 * vi + (1 - b2) * g * g
+            update = (mi / bc1) / (jnp.sqrt(vi / bc2) + adam_eps)
+            new_p.append(p - lr * update)
+            new_m.append(mi)
+            new_v.append(vi)
+        write_metrics(t, comps)
+        return new_p, new_m, new_v
+
+    return body
+
+
 def _make_kernel(cfg: CVAEConfig, weights: LossWeights, epochs: int, lr: float,
                  n_params: int, eps_input: bool):
     from jax.experimental.pallas import tpu as pltpu
-
-    b1, b2, adam_eps = 0.9, 0.999, 1e-8
 
     def kernel(*refs):
         # layout: [seed, x, cond, (eps?), p0..pN-1] then outputs [out_p0..,
@@ -196,31 +235,15 @@ def _make_kernel(cfg: CVAEConfig, weights: LossWeights, epochs: int, lr: float,
         params0 = [r[:] for r in p_refs]
         zeros = [jnp.zeros_like(p) for p in params0]
 
-        def body(t, carry):
-            params, m, v = carry
+        def get_eps():
             if eps_input:
-                eps = eps_ref[:]
-            else:
-                eps = _normal_noise((B, cfg.latent_dim))
-            (_, comps), grads = jax.value_and_grad(
-                lambda pl_: _forward_loss(pl_, x, cond, eps, cfg, weights),
-                has_aux=True,
-            )(params)
-            tf = (t + 1).astype(jnp.float32)
-            # b**t as exp(t·ln b): Mosaic has no powf legalization
-            bc1 = 1.0 - jnp.exp(tf * np.log(b1))
-            bc2 = 1.0 - jnp.exp(tf * np.log(b2))
-            new_p, new_m, new_v = [], [], []
-            for p, g, mi, vi in zip(params, grads, m, v):
-                mi = b1 * mi + (1 - b1) * g
-                vi = b2 * vi + (1 - b2) * g * g
-                update = (mi / bc1) / (jnp.sqrt(vi / bc2) + adam_eps)
-                new_p.append(p - lr * update)
-                new_m.append(mi)
-                new_v.append(vi)
-            metrics_ref[t, :] = jnp.concatenate([comps, jnp.zeros(3)])
-            return new_p, new_m, new_v
+                return eps_ref[:]
+            return _normal_noise((B, cfg.latent_dim))
 
+        def write_metrics(t, comps):
+            metrics_ref[t, :] = jnp.concatenate([comps, jnp.zeros(3)])
+
+        body = _epoch_body(cfg, weights, lr, x, cond, None, get_eps, write_metrics)
         params, m, v = jax.lax.fori_loop(0, epochs, body, (params0, zeros, zeros))
         for r, p in zip(out_refs, params):
             r[:] = p
@@ -276,6 +299,7 @@ def fused_train(
     """
     cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
     _check_vmem_budget(cfg)
+    _check_epoch_budget(epochs, buffers=1)
     x_flat, start = fused_inputs(windows)
 
     params = init_params(jax.random.PRNGKey(seed), cfg)
@@ -317,8 +341,6 @@ def _make_multi_kernel(cfg: CVAEConfig, weights: LossWeights, epochs: int,
     transform) cover this kernel in the CPU suite."""
     from jax.experimental.pallas import tpu as pltpu
 
-    b1, b2, adam_eps = 0.9, 0.999, 1e-8
-
     def kernel(*refs):
         seed_ref = refs[0]
         x_ref, cond_ref, mask_ref = refs[1], refs[2], refs[3]
@@ -347,30 +369,15 @@ def _make_multi_kernel(cfg: CVAEConfig, weights: LossWeights, epochs: int,
         params0 = [r[0] for r in p_refs]
         zeros = [jnp.zeros_like(p) for p in params0]
 
-        def body(t, carry):
-            params, m, v = carry
+        def get_eps():
             if eps_input:
-                eps = eps_ref[0]
-            else:
-                eps = _normal_noise((B, cfg.latent_dim))
-            (_, comps), grads = jax.value_and_grad(
-                lambda pl_: _forward_loss(pl_, x, cond, eps, cfg, weights, mask),
-                has_aux=True,
-            )(params)
-            tf = (t + 1).astype(jnp.float32)
-            bc1 = 1.0 - jnp.exp(tf * np.log(b1))
-            bc2 = 1.0 - jnp.exp(tf * np.log(b2))
-            new_p, new_m, new_v = [], [], []
-            for p, g, mi, vi in zip(params, grads, m, v):
-                mi = b1 * mi + (1 - b1) * g
-                vi = b2 * vi + (1 - b2) * g * g
-                update = (mi / bc1) / (jnp.sqrt(vi / bc2) + adam_eps)
-                new_p.append(p - lr * update)
-                new_m.append(mi)
-                new_v.append(vi)
-            metrics_ref[0, t, :] = jnp.concatenate([comps, jnp.zeros(3)])
-            return new_p, new_m, new_v
+                return eps_ref[0]
+            return _normal_noise((B, cfg.latent_dim))
 
+        def write_metrics(t, comps):
+            metrics_ref[0, t, :] = jnp.concatenate([comps, jnp.zeros(3)])
+
+        body = _epoch_body(cfg, weights, lr, x, cond, mask, get_eps, write_metrics)
         params, _, _ = jax.lax.fori_loop(0, epochs, body, (params0, zeros, zeros))
         for r, p in zip(out_refs, params):
             r[0] = p
@@ -457,8 +464,9 @@ def fused_train_multi(
         w = jnp.asarray(windows_by_scenario[k], jnp.float32)
         pad = n_max - w.shape[0]
         w = jnp.concatenate([w, jnp.tile(w[:1], (pad, 1, 1))], axis=0)
-        start = w[:, 0, 1:3]
-        rel = w.at[:, :, 1:3].add(-start[:, None, :])
+        # shared abs→rel transform (models.to_relative) — the grid kernel
+        # must consume byte-identical inputs to the single kernel/scan tier
+        rel, start = to_relative(w)
         xs.append(rel.reshape(n_max, -1))
         conds.append(start)
         masks.append(
@@ -534,6 +542,10 @@ def fused_train_seeds(
     the other kernels.
     """
     seeds = [int(s) for s in seeds]
+    if len(set(seeds)) != len(seeds):
+        # results are keyed by seed value — duplicates would silently
+        # collapse to fewer entries than programs launched
+        raise ValueError("duplicate seeds in fused_train_seeds")
     cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
     _check_vmem_budget(cfg)
     _check_grid_epoch_budget(epochs)
@@ -579,8 +591,7 @@ def fused_step_reference(params: Params, windows, eps, lr=1e-3,
     if cfg is None:
         cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
     batch = jnp.asarray(windows, jnp.float32)
-    start = batch[:, 0, 1:3]
-    rel = batch.at[:, :, 1:3].add(-start[:, None, :])
+    rel, start = to_relative(batch)  # shared transform — cannot drift
     x_flat = rel.reshape(batch.shape[0], -1)
     plist = _flatten_params(params)
 

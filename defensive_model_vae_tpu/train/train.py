@@ -74,8 +74,12 @@ def make_train_step(model_cfg: CVAEConfig, train_cfg: TrainConfig, optimizer):
 _METRIC_KEYS = ("total", "recon", "kld", "start", "time")
 
 
-def _scan_trainer(step, epochs):
-    """Compile the whole training run as one scan over epochs."""
+def _scan_trainer(step, epochs, start_epoch: int = 0):
+    """Compile the whole training run as one scan over epochs.
+
+    ``start_epoch`` offsets the per-epoch PRNG fold so a resumed chunk
+    continues the noise stream instead of replaying the first chunk's
+    (``start_epoch=0`` produces the identical program as before)."""
 
     def run(params, opt_state, key, batch, mask, extra):
         def body(carry, epoch):
@@ -87,7 +91,7 @@ def _scan_trainer(step, epochs):
             )
 
         (params, opt_state), metrics = jax.lax.scan(
-            body, (params, opt_state), jnp.arange(epochs)
+            body, (params, opt_state), jnp.arange(start_epoch, start_epoch + epochs)
         )
         return params, opt_state, metrics
 
@@ -102,6 +106,7 @@ def train(
     mesh=None,
     init_state: Optional[Tuple[Dict, object]] = None,
     return_state: bool = False,
+    start_epoch: int = 0,
 ) -> Tuple[Dict, Dict[str, np.ndarray]]:
     """Train one scenario model on its full window corpus.
 
@@ -115,6 +120,11 @@ def train(
             reference cannot resume — weights-only checkpoints, SURVEY §5).
         return_state: also return the final optimizer state for
             checkpointing a resumable run.
+        start_epoch: number of epochs already trained when resuming — the
+            per-epoch reparameterization noise folds the GLOBAL epoch
+            index, so chunked training reproduces one long run bit-exactly
+            (without it a resumed chunk would replay the first chunk's
+            noise stream).
 
     Returns:
         (params, history) — plus opt_state when ``return_state``.
@@ -137,7 +147,7 @@ def train(
         opt_state = optimizer.init(params)
 
     step = make_train_step(model_cfg, train_cfg, optimizer)
-    run = _scan_trainer(step, train_cfg.epochs)
+    run = _scan_trainer(step, train_cfg.epochs, start_epoch)
 
     mask = None
     if mesh is not None:

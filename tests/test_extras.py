@@ -29,16 +29,30 @@ from conftest import REFERENCE_ROOT, REPO_ROOT, requires_reference
 
 
 def test_resume_matches_continuous_run(all_windows):
-    """Train 100 then resume 100 ≡ train 200 straight (same noise stream
-    folding means histories differ, but the resumed run must continue
-    descending from the checkpointed state)."""
+    """Train 100 then resume 100 with ``start_epoch=100`` ≡ train 200
+    straight, BIT-EXACTLY: the per-epoch noise folds the global epoch
+    index, so the chunked run consumes the same stream as the continuous
+    one (without the offset a resumed chunk would replay chunk 1's
+    noise — also asserted)."""
     w = all_windows["sce2"]
+    p_full, h_full = train(w, train_cfg=TrainConfig(epochs=200))
     p1, h1, s1 = train(w, train_cfg=TrainConfig(epochs=100), return_state=True)
     p2, h2 = train(
+        w, train_cfg=TrainConfig(epochs=100), init_state=(p1, s1),
+        start_epoch=100,
+    )
+    for name in p_full:
+        for leaf in p_full[name]:
+            assert np.array_equal(p_full[name][leaf], p2[name][leaf]), (name, leaf)
+    assert np.array_equal(h_full["total"][100:], h2["total"])
+
+    # the replay hazard the offset exists to avoid: resuming WITHOUT it
+    # re-draws chunk 1's noise stream, so epoch 100's metrics differ
+    _, h_replay = train(
         w, train_cfg=TrainConfig(epochs=100), init_state=(p1, s1)
     )
+    assert not np.array_equal(h_replay["total"], h2["total"])
     assert h2["total"][0] < h1["total"][0] / 2  # resumes low, not from scratch
-    assert h2["total"][-1] <= h1["total"][-1] * 1.5
 
 
 def test_opt_state_roundtrip(tmp_path, all_windows):

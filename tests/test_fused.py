@@ -213,12 +213,21 @@ def test_grid_epoch_budget_check():
     import numpy as np
     import pytest as _pytest
 
-    from defensive_model_vae_tpu.ops import fused_train_multi, fused_train_seeds
-    from defensive_model_vae_tpu.ops.fused_trainer import _check_grid_epoch_budget
+    from defensive_model_vae_tpu.ops import (
+        fused_train, fused_train_multi, fused_train_seeds,
+    )
+    from defensive_model_vae_tpu.ops.fused_trainer import _check_epoch_budget
 
-    _check_grid_epoch_budget(3000)  # the reference config fits
+    _check_epoch_budget(3000)  # the reference config fits
+    _check_epoch_budget(20000, buffers=1)  # single kernel: no double buffer
     w = np.zeros((4, 10, 3), np.float32)
-    with _pytest.raises(ValueError, match="chunks"):
+    # the fused kernels cannot resume — the message must steer to the scan
+    # trainer's chunked path, not suggest re-running the kernel in chunks
+    with _pytest.raises(ValueError, match="start_epoch"):
         fused_train_seeds(w, [0, 1], epochs=30000)
-    with _pytest.raises(ValueError, match="chunks"):
+    with _pytest.raises(ValueError, match="start_epoch"):
         fused_train_multi({"sce2": w}, epochs=30000)
+    with _pytest.raises(ValueError, match="start_epoch"):
+        fused_train(w, epochs=60000)
+    with _pytest.raises(ValueError, match="duplicate"):
+        fused_train_seeds(w, [3, 3, 17], epochs=100)
