@@ -32,7 +32,12 @@ import jax.numpy as jnp
 
 _WRAP_LIMIT = -2.8
 _SCAN_DT = 1e-3
-_MAX_SCAN = 20001  # covers path durations up to 20 s at the 1 ms grid
+# The 45° end-velocity heading scan needs a STATIC grid on device (the
+# host twin scans arange(0, t_end+1e-3), data-dependent); the window is
+# `scan_seconds` (default 20 s; decoded trajectories run ~11 s), masked to
+# t_end.  For t_end beyond the window, jumps past it are invisible and the
+# end velocity silently falls back to the plain end value — raise
+# `scan_seconds` in build_reference_device if paths can be longer.
 
 
 def _wrap(theta):
@@ -89,6 +94,7 @@ def build_reference_device(
     num_steps: int,
     horizon: int,
     dt: float,
+    scan_seconds: float = 20.0,
 ) -> jax.Array:
     """JAX twin of ``PathReference.build``: (num_steps, horizon+1, 2)
     [theta_ref, v_ref].
@@ -96,14 +102,16 @@ def build_reference_device(
     Args:
         waypoints: (N, 3) [x, y, t] with t strictly increasing, N ≥ 4.
         initial_state: (5,) [x, y, theta, vx, vy].
+        scan_seconds: static length of the 45° heading scan window — must
+            cover the longest possible path duration (see ``_MAX_SCAN``).
     """
     t = waypoints[:, 2]
     x = waypoints[:, 0]
     y = waypoints[:, 1]
     t_end = t[-1]
 
-    Mx = notaknot_coeffs(t, x)
-    My = notaknot_coeffs(t, y)
+    # the [theta, v] reference tensor needs only the VELOCITY splines —
+    # positions never enter it (PathReference.build reads none either)
 
     # velocity knots: diffs of the interpolant at the knots (= data diffs)
     h = jnp.diff(t)
@@ -121,7 +129,8 @@ def build_reference_device(
     start_theta = _wrap(jnp.arctan2(start_vy, start_vx))
 
     # end-velocity heuristic: first heading jump > 45° on the 1 ms grid
-    scan_t = jnp.arange(_MAX_SCAN) * _SCAN_DT
+    n_scan = int(round(scan_seconds / _SCAN_DT)) + 1
+    scan_t = jnp.arange(n_scan) * _SCAN_DT
     in_range = scan_t <= t_end + _SCAN_DT  # reference grid includes t_end
     svx, svy = v_at(scan_t)
     th_scan = _wrap(jnp.arctan2(svy, svx))
@@ -133,8 +142,6 @@ def build_reference_device(
     end_vx = jnp.where(any_jump, mid_vx, end_vx_plain)
     end_vy = jnp.where(any_jump, mid_vy, end_vy_plain)
     end_theta = _wrap(jnp.arctan2(end_vy, end_vx))
-    end_x = cubic_eval(t, x, Mx, t_end)
-    end_y = cubic_eval(t, y, My, t_end)
 
     # reference values over the full clock grid
     grid_t = jnp.arange(num_steps + horizon + 1) * dt

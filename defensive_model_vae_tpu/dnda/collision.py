@@ -56,11 +56,23 @@ def predict_surrounding_rectangles(
         theta_free = np.where(vx == 0, 1.5708, theta_free)
         if sp2[0] == 0:
             theta_free[0] = veh.heading + 1.57
-        # freeze heading at the last free step
-        theta = theta_free.copy()
+        # Post-stop heading follows the reference's per-BRANCH freeze
+        # (``:1405-1420``): the arctan branch carries the previous heading
+        # while stopFlag is set and the speed²==0 branch carries too, but
+        # the vx==0 (speed²!=0) branch assigns 1.5708 UNCONDITIONALLY —
+        # even on frozen steps.  So theta forward-fills from the last
+        # "set" step: every pre-stop step, plus frozen vx==0 overrides.
+        override = (vx == 0) & (sp2 != 0)
         if stopped.any():
-            j_stop = int(np.argmax(stop_at))
-            theta[j_stop:] = theta_free[j_stop - 1] if j_stop > 0 else theta_free[0]
+            frozen = np.arange(n_steps) >= int(np.argmax(stop_at))
+        else:
+            frozen = np.zeros(n_steps, bool)
+        set_mask = ~frozen | override
+        set_mask[0] = True  # j=0 always assigns (one of the three branches)
+        fill = np.maximum.accumulate(
+            np.where(set_mask, np.arange(n_steps), -1)
+        )
+        theta = theta_free[fill]
 
         base = np.array(
             [

@@ -68,10 +68,16 @@ def _predict_rects(sur: jnp.ndarray, t: jnp.ndarray):
     theta_free = theta_free.at[:, 0].set(
         jnp.where(sp2[:, 0] == 0, hdg + 1.57, theta_free[:, 0])
     )
-    th_freeze = jnp.take_along_axis(
-        theta_free, jnp.maximum(j_stop - 1, 0)[:, None], axis=1
-    )[:, 0]
-    theta = jnp.where(frozen, th_freeze[:, None], theta_free)
+    # per-branch freeze (see collision.predict_surrounding_rectangles —
+    # the reference's vx==0 branch assigns 1.5708 even on frozen steps):
+    # forward-fill theta from the last "set" step
+    override = (vx == 0) & (sp2 != 0)
+    set_mask = (~frozen) | override
+    set_mask = set_mask.at[:, 0].set(True)
+    fill = jax.lax.cummax(
+        jnp.where(set_mask, idx[None, :], -1), axis=1
+    )
+    theta = jnp.take_along_axis(theta_free, fill, axis=1)
 
     half_l, half_w = (length / 2)[:, None], (width / 2)[:, None]  # (V, 1)
     base_x = (half_l, -half_l, -half_l, half_l)

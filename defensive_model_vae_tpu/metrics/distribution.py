@@ -5,9 +5,11 @@ divergence (``Distribution.py:195-333``) as vectorized array ops:
 
 - model velocities: column 3 of each tracked [x, y, theta, v] state trace
 - human velocities: finite differences of [x, y, t] tracks, repeating the
-  previous value across zero time steps and duplicating the last value
-- JS divergence: base-2, over 50 bins spanning the pooled min/max, with the
-  reference's epsilon regularization — range [0, 1]
+  previous value across zero time steps (carried across tracks, like the
+  reference's shared list) and duplicating the last value
+- JS divergence: base-2, over a shared ``bins``-EDGE grid (the reference
+  passes 50 to np.linspace, i.e. 49 bins) spanning the pooled min/max,
+  with the reference's epsilon regularization — range [0, 1]
 """
 
 from __future__ import annotations
@@ -47,8 +49,26 @@ def _track_velocities(traj: np.ndarray) -> np.ndarray:
 
 
 def human_velocities(human_trajectories: Sequence[np.ndarray]) -> np.ndarray:
-    vs = [_track_velocities(np.asarray(t)) for t in human_trajectories if len(t) > 1]
-    return np.concatenate(vs) if vs else np.array([])
+    """All tracks' speeds, reference semantics — including the quirk that
+    ``calculate_human_velocities`` keeps ONE shared list across tracks
+    (``Distribution.py:258-295``), so a zero-dt FIRST segment inherits the
+    previous track's last speed, not 0 (per-track callers that want a
+    fresh 0 carry use :func:`_track_velocities`)."""
+    out: List[float] = []
+    for traj in human_trajectories:
+        traj = np.asarray(traj)
+        if len(traj) <= 1:
+            continue
+        dxy = np.diff(traj[:, :2], axis=0)
+        dt = np.diff(traj[:, 2])
+        seg = np.hypot(dxy[:, 0], dxy[:, 1]) / np.where(dt > 1e-6, dt, 1.0)
+        valid = dt > 1e-6
+        for v, ok in zip(seg, valid):
+            out.append(float(v) if ok else (out[-1] if out else 0.0))
+        # final point repeats the last segment's value (recomputed when
+        # valid — identical to the value just appended; carried otherwise)
+        out.append(out[-1])
+    return np.asarray(out)
 
 
 def _kl(p: np.ndarray, q: np.ndarray, base: float = 2.0) -> float:
@@ -62,7 +82,10 @@ def _kl(p: np.ndarray, q: np.ndarray, base: float = 2.0) -> float:
 def velocity_js_divergence(
     generated: np.ndarray, human: np.ndarray, bins: int = 50
 ) -> float:
-    """Base-2 JS divergence over shared bins (reference ``:299-333``)."""
+    """Base-2 JS divergence over shared bins (reference ``:299-333``).
+
+    ``bins`` counts histogram EDGES, mirroring the reference's
+    ``np.linspace(v_min, v_max, 50)`` — the default is 49 actual bins."""
     v_min = min(generated.min(), human.min())
     v_max = max(generated.max(), human.max())
     edges = np.linspace(v_min, v_max, bins)

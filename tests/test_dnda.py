@@ -142,6 +142,59 @@ def test_sur_prediction_constant_velocity():
     assert np.allclose(centers_x, 10 * np.arange(31) * 0.1, atol=1e-9)
 
 
+@requires_reference
+def test_sur_prediction_differential_vs_live_reference():
+    """Rect-for-rect parity of the constant-acceleration prediction vs the
+    REFERENCE ``Generate_surVehicle_Traj`` run live, over a fuzz family
+    that includes at-rest vehicles with pure lateral acceleration — the
+    case where the reference's ``vx == 0`` heading branch fires even while
+    the stop-flag is set (``dnda_functions.py:1405-1420``): the predicted
+    rectangle ROTATES to 1.5708 after the freeze instead of holding the
+    pre-stop heading."""
+    import sys
+
+    sys.path.insert(0, str(REFERENCE_ROOT / "SUT_Testing/tools"))
+    try:
+        from dnda_functions import Generate_surVehicle_Traj, surVehicle
+    finally:
+        sys.path.pop(0)
+
+    rng = np.random.default_rng(17)
+    cases = []
+    # at-rest + pure-y acceleration (the divergence family)
+    cases.append(dict(x=3.0, y=-1.0, speed_x=0.0, speed_y=0.0,
+                      acc_x=0.0, acc_y=1.29, heading=-2.893))
+    # at-rest + pure-x acceleration, and decelerating-to-reversal with
+    # vx crossing zero mid-horizon
+    cases.append(dict(x=0.0, y=0.0, speed_x=0.0, speed_y=0.0,
+                      acc_x=0.7, acc_y=0.0, heading=0.4))
+    cases.append(dict(x=5.0, y=2.0, speed_x=2.0, speed_y=-1.0,
+                      acc_x=-2.0, acc_y=1.0, heading=0.1))
+    for _ in range(40):
+        at_rest = rng.random() < 0.4
+        sp = 0.0 if at_rest else rng.uniform(0, 12)
+        ang = rng.uniform(-np.pi, np.pi)
+        cases.append(dict(
+            x=rng.uniform(-20, 20), y=rng.uniform(-10, 10),
+            speed_x=sp * np.cos(ang), speed_y=sp * np.sin(ang),
+            acc_x=rng.choice([0.0, rng.uniform(-3, 3)]),
+            acc_y=rng.choice([0.0, rng.uniform(-3, 3)]),
+            heading=rng.uniform(-np.pi, np.pi),
+        ))
+
+    for kw in cases:
+        ref_out = []
+        Generate_surVehicle_Traj(
+            [surVehicle(length=4.0, width=2.0, **kw)], ref_out, 3.0, 0.1,
+            0, False, "",
+        )
+        ref_rects = np.asarray(ref_out[0])  # (T+1, 2, 4)
+        ours = predict_surrounding_rectangles(
+            [SurroundingVehicle(length=4.0, width=2.0, **kw)], 3.0, 0.1
+        )[0]
+        assert np.allclose(ours, ref_rects, atol=1e-9), kw
+
+
 def test_sur_prediction_stops_on_reversal():
     # decelerating vehicle freezes when velocity would reverse
     v = SurroundingVehicle(x=0, y=0, length=4, width=2, speed_x=5, acc_x=-5)

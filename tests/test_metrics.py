@@ -251,6 +251,22 @@ def _ref_humans(RD, key):
 
 
 @requires_reference
+def test_human_velocities_cross_track_carry_matches_live_reference():
+    """The reference's ``calculate_human_velocities`` keeps ONE shared
+    velocity list across tracks (``Distribution.py:258-295``), so a track
+    whose FIRST segment has dt <= 1e-6 inherits the PREVIOUS track's last
+    speed rather than 0 — pinned against the reference run live."""
+    RD, _ = _ref_modules()
+    a = np.array([[0.0, 0.0, 0.0], [3.0, 4.0, 1.0], [6.0, 8.0, 2.0]])
+    b = np.array([[1.0, 1.0, 5.0], [2.0, 1.0, 5.0], [2.0, 5.0, 6.0]])
+    ours = human_velocities([a, b])
+    ref = RD.calculate_human_velocities([a, b])
+    np.testing.assert_allclose(ours, ref, atol=1e-12)
+    # track b's zero-dt first segment carries track a's last speed (5 m/s)
+    assert ours[3] == 5.0
+
+
+@requires_reference
 @pytest.mark.parametrize("key,published", [("sce1", 0.131582), ("sce4", 0.041909)])
 def test_js_divergence_live_differential_open_cells(key, published):
     """The sce1/sce4 published JS cells (JS_divergence.txt:3,34) do not
