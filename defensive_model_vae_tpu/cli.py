@@ -48,6 +48,11 @@ def _cmd_train(args):
     windows = np.load(args.windows)
     tc = TrainConfig(epochs=args.epochs, lr=args.lr, seed=args.seed)
     if args.fused:
+        if args.mesh:
+            raise SystemExit(
+                "--fused runs single-chip (VMEM-resident kernel); "
+                "drop --mesh or use the scan trainer"
+            )
         from .ops import fused_train
 
         params, hist = fused_train(
@@ -85,7 +90,7 @@ def _cmd_pipeline(args):
     report = run_scenario(
         args.ckpt, args.scenario, args.data_root, args.out, seed=args.seed
     )
-    print(json.dumps(report, indent=2))
+    print(json.dumps(_jsonsafe(report), indent=2))
 
 
 def _cmd_reproduce(args):
@@ -140,7 +145,7 @@ def _cmd_validate(args):
     tracked = load_tracked(args.tracked_dir, sce.key)
     csvs = collect_csv_files(os.path.join(args.data_root, sce.town))
     humans = load_humans(sce, csvs)
-    print(json.dumps(validate(tracked, humans, sce), indent=2))
+    print(json.dumps(_jsonsafe(validate(tracked, humans, sce)), indent=2))
 
 
 def _cmd_dnda(args):

@@ -25,7 +25,12 @@ def start_velocities(
     out = []
     for path in csv_files:
         sc = get_start_conditions(path, sce)
-        out.append((os.path.basename(path), float(np.hypot(sc.vx, sc.vy))))
+        # maneuver-qualified name: the three subfolders may reuse file
+        # names, and dict-keyed consumers would silently collapse them
+        name = os.path.join(
+            os.path.basename(os.path.dirname(path)), os.path.basename(path)
+        )
+        out.append((name, float(np.hypot(sc.vx, sc.vy))))
     return out
 
 

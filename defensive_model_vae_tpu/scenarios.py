@@ -145,6 +145,11 @@ class Scenario:
     stv_axis: str = "y"
 
     # --- display conventions ---
+    # lane CENTERLINE for the lateral-offset curves — (axis, coordinate),
+    # the reference's hardcoded centers (Plot_Gif.py:327-338: sce1
+    # x=-195.05, sce2 y=-0.55, sce3 x=155.05, sce4 x=16.25) — NOT one of
+    # the painted lane lines
+    lateral_offset_center: Tuple[str, float] = ("x", 0.0)
     # first background vehicle's rendered footprint (sce3's is a bicycle,
     # reference Tools.py:397-400)
     bv1_plot_size: Tuple[float, float] = (4.0, 2.0)
@@ -379,6 +384,7 @@ REGISTRY: Dict[str, Scenario] = {
         sut_ttc_axis="y",
         pet_partner="sv2",
         stv_invert_axis=False,
+        lateral_offset_center=("x", -195.05),
         published_best={
             "velocity_js_divergence": 0.131582,
             "rmse_frequency_trajcount": 2.440675,
@@ -423,6 +429,7 @@ REGISTRY: Dict[str, Scenario] = {
         sut_ttc_axis="x",
         pet_partner="sv2",
         stv_axis="x",
+        lateral_offset_center=("y", -0.55),
         published_best={
             "velocity_js_divergence": 0.112286,
             "rmse_frequency_trajcount": 1.685821,
@@ -464,6 +471,7 @@ REGISTRY: Dict[str, Scenario] = {
         sut_episode_start=_sce3_sut_start,
         sut_episode_end=_sce3_sut_end,
         bv1_plot_size=(2.5, 1.5),  # sce3's first background vehicle is a bicycle
+        lateral_offset_center=("x", 155.05),
         published_best={
             "velocity_js_divergence": 0.127377,
             "rmse_frequency_trajcount": 6.838131,
@@ -506,6 +514,7 @@ REGISTRY: Dict[str, Scenario] = {
         ),
         sut_episode_start=_sce4_sut_start,
         sut_episode_end=_sce4_sut_end,
+        lateral_offset_center=("x", 16.25),
         provenance_notes=(
             "sce4 corpus is n=134: the 135th shipped window is stale "
             "(not derivable from any raw CSV); see tests/test_data.py",

@@ -100,11 +100,14 @@ def save_checkpoint(
         manifest.update(extra_manifest)
     with open(os.path.join(directory, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
+    hist_path = os.path.join(directory, "history.npz")
     if history is not None:
-        np.savez(
-            os.path.join(directory, "history.npz"),
-            **{k: np.asarray(v) for k, v in history.items()},
-        )
+        np.savez(hist_path, **{k: np.asarray(v) for k, v in history.items()})
+    elif os.path.exists(hist_path):
+        # same staleness rule as the params stores above: re-saving without
+        # history (e.g. `defvae import` over a trained directory) must not
+        # leave a previous run's loss curves attributed to the new weights
+        os.remove(hist_path)
     return directory
 
 

@@ -32,29 +32,51 @@ def vehicle_rectangle(center_x, center_y, yaw, length=4.0, width=2.0):
     return corners @ R.T + np.array([center_x, center_y])
 
 
-def smooth_curve(points: np.ndarray, start_heading: Optional[float] = None, n: int = 200):
-    """Cubic-spline smoothing of [t, x, y] (or [x, y, t]-style 2-col)
-    trajectories with an optional clamped start-heading boundary condition
-    (reference ``create_smooth_curve``, ``Tools.py:775-830``).
+def smooth_curve(
+    points: np.ndarray,
+    start_heading: Optional[float] = None,
+    n: Optional[int] = None,
+    time_interval: float = 0.015,
+):
+    """Cubic-spline smoothing of [t, x, y] trajectories, mirroring the
+    reference ``create_smooth_curve`` (``Tools.py:775-830``): x and y are
+    splined against the NORMALIZED CUMULATIVE CHORD LENGTH (not time) with
+    natural boundary conditions; ``start_heading`` clamps the start
+    first-derivative to (cos, sin)·(mean segment length), end stays
+    natural.  The output time column is ``arange(0, t_end, time_interval)``
+    and the curve is sampled at ``num_points`` uniform parameter values —
+    pass ``n`` to override the sample count (the reference derives it from
+    ``time_interval``).
 
-    Returns an (n, points.shape[1]) array sampled at uniform parameter.
+    Returns an (num_points, 3) [t, x, y] array.
     """
     from scipy.interpolate import CubicSpline
 
     pts = np.asarray(points, float)
-    t = pts[:, 0]
-    u = np.linspace(t[0], t[-1], n)
-    cols = [u]
-    for ci in range(1, pts.shape[1]):
-        if start_heading is not None and ci <= 2:
-            dt0 = t[1] - t[0]
-            dist = np.hypot(pts[1, 1] - pts[0, 1], pts[1, 2] - pts[0, 2]) if pts.shape[1] >= 3 else 1.0
-            slope = (dist / dt0) * (np.cos(start_heading) if ci == 1 else np.sin(start_heading))
-            cs = CubicSpline(t, pts[:, ci], bc_type=((1, slope), "not-a-knot"))
-        else:
-            cs = CubicSpline(t, pts[:, ci])
-        cols.append(cs(u))
-    return np.column_stack(cols)
+    time_series, x, y = pts[:, 0], pts[:, 1], pts[:, 2]
+
+    smooth_time = np.arange(0.0, time_series[-1], time_interval)
+    num_points = len(smooth_time) if n is None else n
+    if n is not None:
+        smooth_time = np.linspace(0.0, time_series[-1], n, endpoint=False)
+
+    # chord-length parameterization, normalized to [0, 1] (reference :799-801)
+    seg = np.sqrt(np.diff(x) ** 2 + np.diff(y) ** 2)
+    t_param = np.zeros(len(x))
+    t_param[1:] = np.cumsum(seg)
+    t_param /= t_param[-1]
+
+    if start_heading is not None:
+        avg_dist = float(np.mean(seg))
+        bc_x = ((1, np.cos(start_heading) * avg_dist), "natural")
+        bc_y = ((1, np.sin(start_heading) * avg_dist), "natural")
+    else:
+        bc_x = bc_y = "natural"
+    cs_x = CubicSpline(t_param, x, bc_type=bc_x)
+    cs_y = CubicSpline(t_param, y, bc_type=bc_y)
+
+    new_t = np.linspace(0.0, 1.0, num_points)
+    return np.column_stack([smooth_time, cs_x(new_t), cs_y(new_t)])
 
 
 def _heading_series(xy: np.ndarray) -> np.ndarray:
@@ -112,6 +134,12 @@ def animate_human_vs_model(
     ax.grid(True, alpha=0.2)
     ax.set_aspect("equal")
     draw_lane_lines(ax, sce)
+    # display orientation matches the reference animation and every other
+    # repo figure (Tools.py:436-439: x inverted for sce1/2, y for sce3/4)
+    if "x" in sce.axis_flip:
+        ax.invert_xaxis()
+    if "y" in sce.axis_flip:
+        ax.invert_yaxis()
 
     tracks = []
 

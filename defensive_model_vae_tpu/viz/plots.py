@@ -53,7 +53,14 @@ def plot_velocity_distribution(
 ):
     """Histogram + boxplot comparison (reference ``Distribution.py:299-385``)."""
     plt = _plt()
+    generated_velocities = np.asarray(generated_velocities, float)
+    human_velocities = np.asarray(human_velocities, float)
     fig, axes = plt.subplots(1, 2, figsize=(14, 5))
+    # an empty side (zero valid tracks) must not crash after the expensive
+    # pipeline compute — render an annotated empty figure instead
+    if generated_velocities.size == 0 or human_velocities.size == 0:
+        axes[0].set_title("velocity distribution unavailable (empty input)")
+        return _save(fig, save_path)
     vmax = max(np.max(generated_velocities), np.max(human_velocities))
     bins = np.linspace(0, vmax, 50)
     axes[0].hist(
@@ -186,7 +193,14 @@ def plot_speed_time_curves(episodes: Dict[str, "pd.DataFrame"], scenario, save_p
     fig, ax = plt.subplots(figsize=(10, 6))
     for label, df in episodes.items():
         v = np.hypot(df["ego_vx"].astype(float), df["ego_vy"].astype(float))
-        t = np.arange(len(df)) * sce.dt
+        # the reference uses the log's own clock (sim_time - sim_time[0],
+        # Data_Plot.py); synthesize from sce.dt only when the column is
+        # absent, so logs with dropped frames or other rates plot true
+        if "sim_time" in df.columns:
+            st = df["sim_time"].astype(float).to_numpy()
+            t = st - st[0]
+        else:
+            t = np.arange(len(df)) * sce.dt
         ax.plot(t, v, linewidth=1.5, label=label)
     ax.set_xlabel("Time (s)"); ax.set_ylabel("Speed (m/s)")
     ax.set_title(f"Ego Speed — {sce.town}")
@@ -236,7 +250,10 @@ def plot_histogram(values, save_path, title, xlabel, bin_width=0.5, x_max=None):
     """Start-velocity / THW histograms (reference ``Get_THW.py``)."""
     plt = _plt()
     values = np.asarray(values, float)
-    x_max = x_max or float(np.nanmax(values)) * 1.1
+    if x_max is None:  # `or` would treat an explicit 0 as unset
+        finite = values[np.isfinite(values)]
+        x_max = float(finite.max()) * 1.1 if finite.size else bin_width
+    x_max = max(float(x_max), bin_width)  # guarantee >= 1 valid bin
     fig, ax = plt.subplots(figsize=(10, 6))
     ax.hist(values, bins=np.arange(0, x_max, bin_width), alpha=0.8,
             color="skyblue", edgecolor="black", density=True)
@@ -281,11 +298,12 @@ def plot_velocity_and_lateral_offset(
 ):
     """Speed and lateral-offset-vs-lane-center curves (reference
     ``Plot_Gif.py:295-427``).  Both trajectories are [x, y, t] rows; the
-    lane center is the scenario's dashed line (or the middle solid one)."""
+    lane CENTERLINE is the scenario's hardcoded reference value
+    (``lateral_offset_center`` — Plot_Gif.py:327-338), not a painted
+    lane line."""
     plt = _plt()
     sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
-    dashed = [l for l in sce.lane_lines if l.style == "dashed"]
-    center = dashed[0] if dashed else sce.lane_lines[len(sce.lane_lines) // 2]
+    center_axis, center_value = sce.lateral_offset_center
 
     def speed(tr):
         d = np.linalg.norm(np.diff(tr[:, :2], axis=0), axis=1)
@@ -294,8 +312,8 @@ def plot_velocity_and_lateral_offset(
         return tr[1:, 2], v
 
     def offset(tr):
-        coord = tr[:, 0] if center.axis == "x" else tr[:, 1]
-        return tr[:, 2], coord - center.value
+        coord = tr[:, 0] if center_axis == "x" else tr[:, 1]
+        return tr[:, 2], coord - center_value
 
     fig, axes = plt.subplots(1, 2, figsize=(14, 5))
     for tr, color, label in ((model_traj, MODEL_COLOR, "Model"),

@@ -51,7 +51,40 @@ def test_smooth_curve_passes_near_endpoints():
     sm = smooth_curve(pts, start_heading=None, n=100)
     assert sm.shape == (100, 3)
     assert np.allclose(sm[0], pts[0], atol=1e-9)
-    assert np.allclose(sm[-1], pts[-1], atol=1e-9)
+    # positions span the full curve; the time column mirrors the
+    # reference's arange grid, which EXCLUDES t_end
+    assert np.allclose(sm[-1, 1:], pts[-1, 1:], atol=1e-9)
+    assert sm[-1, 0] < pts[-1, 0]
+
+
+@requires_reference
+def test_smooth_curve_matches_live_reference():
+    """Row-for-row parity with ``Tools.create_smooth_curve`` run live —
+    chord-length parameterization, natural boundaries, and the clamped
+    start-heading derivative scaled by the mean segment length
+    (``Tools.py:775-830``), on an UNEVENLY spaced trajectory where a
+    time-parameterized spline would visibly differ."""
+    import contextlib
+    import io
+    import sys
+
+    sys.path.insert(0, str(REFERENCE_ROOT))
+    try:
+        with contextlib.redirect_stdout(io.StringIO()):
+            import Tools as RT
+    finally:
+        sys.path.pop(0)
+
+    rng = np.random.default_rng(9)
+    t = np.sort(rng.uniform(0.1, 7.0, 9))
+    t[0] = 0.0
+    pts = np.column_stack(
+        [t, np.cumsum(rng.uniform(0.5, 3.0, 9)), np.cumsum(rng.normal(0, 1.0, 9))]
+    )
+    for angle in (None, 0.7):
+        ref = RT.create_smooth_curve(pts, time_interval=0.015, start_angle=angle)
+        ours = smooth_curve(pts, start_heading=angle, time_interval=0.015)
+        np.testing.assert_allclose(ours, ref, atol=1e-12)
 
 
 def test_velocity_distribution_plot(tmp_path):
@@ -251,3 +284,24 @@ def test_cli_gif_and_case(tmp_path):
     main(["case", "--scenario", "sce1", "--csv", csv, "--trace", str(trace),
           "--out", str(case)])
     assert case.exists() and case.stat().st_size > 1000
+
+
+def test_lateral_offset_centers_match_reference():
+    """The lateral-offset lane CENTERLINES are the reference's hardcoded
+    values (Plot_Gif.py:327-338), not any painted lane line."""
+    from defensive_model_vae_tpu import scenarios as _sc
+
+    expected = {
+        "sce1": ("x", -195.05),
+        "sce2": ("y", -0.55),
+        "sce3": ("x", 155.05),
+        "sce4": ("x", 16.25),
+    }
+    for key, (axis, value) in expected.items():
+        got = _sc.get(key).lateral_offset_center
+        assert got == (axis, value), (key, got)
+        # and none of them coincides with a painted line
+        assert all(
+            not (l.axis == axis and np.isclose(l.value, value))
+            for l in _sc.get(key).lane_lines
+        ), key
