@@ -115,7 +115,19 @@ def read_csv(path: str) -> pd.DataFrame:
         return pd.DataFrame(data.copy(), columns=names)
     parsed = read_csv_native(path)
     if parsed is None:
-        return pd.read_csv(path)
+        df = pd.read_csv(path)
+        # cache the fallback too (the multiple-reads-per-CSV pattern is why
+        # the cache exists) — but only all-numeric frames, and served as
+        # float64 like the native path so hits and misses agree on dtypes
+        if key is not None and len(df.columns) and all(
+            np.issubdtype(dt, np.number) for dt in df.dtypes
+        ):
+            data = df.to_numpy(np.float64)
+            if len(_parse_cache) >= _PARSE_CACHE_MAX:
+                _parse_cache.clear()
+            _parse_cache[key] = (list(df.columns), data)
+            return pd.DataFrame(data.copy(), columns=list(df.columns))
+        return df
     names, data = parsed
     # pandas naming convention for blank header fields
     names = [n if n.strip() else f"Unnamed: {i}" for i, n in enumerate(names)]

@@ -8,7 +8,8 @@ enabling ONE model over the combined four-scenario corpus.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -38,23 +39,56 @@ def window_thw(window: np.ndarray, scenario, trial_suffix: str = "") -> float:
     return d / v if v > 0 else 0.0
 
 
+def window_trial_suffixes(data_root: str, scenario) -> List[str]:
+    """Per-window trial suffixes, row-aligned with ``build_dataset``'s
+    output (same enumeration: ``scenarios.DATASET_ACTIONS`` + sorted
+    per-folder files; a window is emitted exactly when ``process_csv``
+    yields a full-length extraction).  Needed because sce4's THW distance
+    depends on the source trial suffix (``Get_THW.py:72-82``) and the
+    window arrays carry no file provenance."""
+    from .windows import process_csv
+
+    sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
+    out: List[str] = []
+    for action in scenarios.DATASET_ACTIONS:
+        path = os.path.join(data_root, sce.town, action)
+        if not os.path.isdir(path):
+            continue
+        for fname in sorted(os.listdir(path)):
+            if not fname.endswith(".csv"):
+                continue
+            w = process_csv(
+                os.path.join(path, fname), sce, time_interval=sce.dt
+            )
+            if w is not None and len(w) == 10:
+                out.append(fname.rsplit(".", 1)[0].rsplit("_", 1)[-1])
+    return out
+
+
 def build_conditioned_corpus(
     windows_by_scenario: Dict[str, np.ndarray],
+    suffixes_by_scenario: Optional[Dict[str, Sequence[str]]] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Stack all scenario corpora with [one-hot(4), THW] extra conditions.
+    """Stack all scenario corpora with [one-hot, THW] extra conditions.
 
-    Returns (windows (N, T, D), extra_cond (N, 5)) ready for
-    ``train.train_conditioned``.
+    Returns (windows (N, T, D), extra_cond (N, n_scenarios+1)) ready for
+    ``train.train_conditioned``.  ``suffixes_by_scenario`` supplies the
+    per-window trial suffixes (:func:`window_trial_suffixes`) so sce4's
+    suffix-dependent THW distance (40 m for trial '3', else 30 m) is
+    honored; without them every window uses the scenario default.
     """
     keys = sorted(windows_by_scenario.keys())
+    n_sce = len(scenarios.REGISTRY)  # one-hot width from the registry
     all_w, all_c = [], []
     for key in keys:
         sce = scenarios.get(key)
         w = np.asarray(windows_by_scenario[key], np.float32)
-        onehot = np.zeros(4, np.float32)
+        suffixes = (suffixes_by_scenario or {}).get(key)
+        onehot = np.zeros(n_sce, np.float32)
         onehot[sce.index - 1] = 1.0
-        for win in w:
-            thw = window_thw(win, sce)
+        for i, win in enumerate(w):
+            suffix = suffixes[i] if suffixes is not None else ""
+            thw = window_thw(win, sce, suffix)
             all_w.append(win)
             all_c.append(np.concatenate([onehot, [thw]]))
     return np.stack(all_w), np.stack(all_c).astype(np.float32)

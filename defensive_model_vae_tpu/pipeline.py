@@ -48,10 +48,31 @@ from .metrics import (
 from .models import CVAEConfig
 
 
+# grid size of every validation metric AND of the provenance block that
+# describes it (reference Distribution.main, ``Distribution.py:511`` — the
+# setting behind the published RMSE_frequency values).  ONE constant so the
+# self-describing artifacts cannot drift from the run configuration.
+GRID_SIZE_M = 0.5
+
+
+def default_mpc_cfg(sce) -> MPCConfig:
+    """The tracker configuration of every validation run — shared by the
+    run path and :func:`provenance` so artifacts describe the real run."""
+    return MPCConfig(prediction_horizon=30, control_horizon=20, dt=sce.dt)
+
+
 def _csv_trace_name(scenario_key: str, csv_path: str) -> str:
     """``exp_11_control_<Town>_3.csv → tracked_trajectory_<sce>_exp11_3.npy``
     (reference naming, ``Distribution.py:157``)."""
     parts = os.path.basename(csv_path).split("_")
+    if len(parts) < 3 or parts[0] != "exp":
+        # a stray CSV in a maneuver folder fails loudly with the file named
+        # (generate_and_track validates names up front so this fires BEFORE
+        # the expensive generate+track device pass)
+        raise ValueError(
+            f"unrecognized episode CSV name {os.path.basename(csv_path)!r} "
+            "(expected exp_<n>_..._<suffix>.csv)"
+        )
     return f"tracked_trajectory_{scenario_key}_exp{parts[1]}_{parts[-1].split('.')[0]}.npy"
 
 
@@ -79,8 +100,10 @@ def generate_and_track(
     trace names)."""
     sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
     if mpc_cfg is None:
-        mpc_cfg = MPCConfig(prediction_horizon=30, control_horizon=20, dt=sce.dt)
+        mpc_cfg = default_mpc_cfg(sce)
 
+    for c in csv_files:  # validate trace names before any device work
+        _csv_trace_name(sce.key, c)
     conds = [get_start_conditions(c, sce) for c in csv_files]
     starts = np.array([[c.x, c.y] for c in conds], np.float32)
 
@@ -184,16 +207,14 @@ def validate(
 
     gv = extract_velocities(tracked)
     hv = human_velocities(humans)
-    # grid_size 0.5 m = the reference's validation configuration
-    # (Distribution.main, ``Distribution.py:511``) and the setting behind
-    # the published RMSE_frequency values
     out: Dict[str, float] = {
         "velocity_js_divergence": velocity_js_divergence(gv, hv),
         "rmse_frequency_points": rmse_frequency(
-            extract_coordinates(tracked), extract_coordinates(humans), sce, 0.5
+            extract_coordinates(tracked), extract_coordinates(humans), sce,
+            GRID_SIZE_M,
         ),
         "rmse_frequency_trajcount": rmse_frequency_trajcount(
-            tracked, humans, sce, 0.5
+            tracked, humans, sce, GRID_SIZE_M
         ),
     }
     mc, mt, mv = model_stv_data(tracked, sce, axis=stv_axis)
@@ -256,11 +277,11 @@ def provenance(
     lives outside the file itself)."""
     sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
     if mpc_cfg is None:
-        mpc_cfg = MPCConfig(prediction_horizon=30, control_horizon=20, dt=sce.dt)
+        mpc_cfg = default_mpc_cfg(sce)
     p = {
         "scenario": sce.key,
         "seed": seed,
-        "grid_size_m": 0.5,
+        "grid_size_m": GRID_SIZE_M,
         "tracker": {
             "prediction_horizon": mpc_cfg.prediction_horizon,
             "control_horizon": mpc_cfg.control_horizon,
@@ -354,7 +375,7 @@ def reproduce_scoreboard(
                     "published_best": pub,
                     "beats": bool(report[m] < pub),
                 }
-                for m, pub in scenarios.get(key).published_best.items()
+                for m, pub in (scenarios.get(key).published_best or {}).items()
             },
         }
         if check:

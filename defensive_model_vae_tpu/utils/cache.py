@@ -55,4 +55,14 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         _enabled = True
+    else:
+        active = jax.config.jax_compilation_cache_dir
+        if active and cache_dir != active:
+            # a later call cannot re-point the cache (entries from this
+            # process may already be written); returning the requested dir
+            # as if it took effect would silently pollute the active one
+            raise RuntimeError(
+                f"persistent cache already enabled at {active!r}; cannot "
+                f"re-enable at {cache_dir!r} in the same process"
+            )
     return cache_dir

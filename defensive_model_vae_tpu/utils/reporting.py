@@ -22,7 +22,9 @@ class MetricWriter:
     def write(self, name: str, value: Any, **tags):
         record: Dict[str, Any] = {"metric": name, "value": value, **tags}
         with open(self.path, "a") as f:
-            f.write(json.dumps(record) + "\n")
+            # jsonable: non-finite floats become null — bare NaN tokens are
+            # not valid JSON and break non-Python JSONL consumers
+            f.write(json.dumps(jsonable(record)) + "\n")
 
     def write_dict(self, metrics: Dict[str, Any], **tags):
         for k, v in metrics.items():

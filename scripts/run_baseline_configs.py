@@ -119,7 +119,24 @@ def main():
 
     # ---- config 4: scenario-class + THW conditioned corpus ----
     t0 = time.time()
-    corpus, extra = build_conditioned_corpus(windows)
+    # trial suffixes from the raw corpus when mounted — sce4's THW
+    # distance is suffix-dependent (window_trial_suffixes docstring).
+    # NOTE the fixtures keep the round-1 row permutation (frozen training
+    # provenance), so suffixes only align for fixture sets that match the
+    # canonical build_dataset enumeration; fall back to defaults otherwise.
+    suffixes = None
+    if os.path.isdir(args.data_root):
+        from defensive_model_vae_tpu.data import build_dataset
+        from defensive_model_vae_tpu.data.features import window_trial_suffixes
+
+        suffixes = {}
+        for k, w in windows.items():
+            canonical = build_dataset(args.data_root, k)
+            if canonical.shape == w.shape and np.array_equal(canonical, w):
+                suffixes[k] = window_trial_suffixes(args.data_root, k)
+    corpus, extra = build_conditioned_corpus(
+        windows, suffixes_by_scenario=suffixes
+    )
     _, hist4, cfg4 = train_conditioned(corpus, extra, TrainConfig(epochs=args.epochs))
     report["config4_conditioned"] = {
         "corpus_size": int(corpus.shape[0]),

@@ -82,6 +82,35 @@ def test_conditioned_corpus_and_training(all_windows):
     assert hist["total"][-1] < hist["total"][0] / 3
 
 
+@requires_reference
+def test_conditioned_corpus_honors_sce4_trial_suffix(all_windows):
+    """sce4's THW distance depends on the source trial suffix (40 m for
+    '_3' trials, else 30 m — Get_THW.py:72-82); window_trial_suffixes
+    aligns row-for-row with build_dataset's enumeration so the conditioned
+    corpus honors it."""
+    from defensive_model_vae_tpu.data import build_dataset
+    from defensive_model_vae_tpu.data.features import (
+        build_conditioned_corpus, window_thw, window_trial_suffixes,
+    )
+
+    root = str(REFERENCE_ROOT / "DefensiveData")
+    w4 = build_dataset(root, "sce4")
+    suf = window_trial_suffixes(root, "sce4")
+    assert len(suf) == len(w4)
+    assert {"1", "2", "3"} >= set(suf) and "3" in suf
+
+    _, extra = build_conditioned_corpus(
+        {"sce4": w4}, suffixes_by_scenario={"sce4": suf}
+    )
+    # spot-check: suffix-'3' rows used 40 m, others 30 m
+    i3 = suf.index("3")
+    i_other = next(i for i, s in enumerate(suf) if s != "3")
+    assert np.isclose(extra[i3, -1], window_thw(w4[i3], "sce4", "3"))
+    assert np.isclose(extra[i_other, -1], window_thw(w4[i_other], "sce4", suf[i_other]))
+    v3 = np.hypot(*(w4[i3, 1, 1:3] - w4[i3, 0, 1:3])) / (w4[i3, 1, 0] - w4[i3, 0, 0])
+    assert np.isclose(extra[i3, -1], 40.0 / v3, rtol=1e-5)
+
+
 def test_conv_vae_trains_on_long_windows():
     """BASELINE config 3: Conv1D VAE over 50-point random-walk windows."""
     import jax.numpy as jnp
