@@ -1,16 +1,22 @@
-"""Linear time-varying MPC (reference ``MPC/mpc_reference.py`` equivalent).
+"""Linear time-varying MPC (capability counterpart of the reference's
+``MPC/mpc_reference.py`` demo).
 
-The reference ships a standalone educational linear MPC: a kinematic
-bicycle linearized about a reference trajectory, solved as a QP with
-cvxpy/ECOS over a T=8 horizon on a synthetic sine road (``:1-231``).
+The reference ships a standalone educational linear MPC: a 3-state
+kinematic bicycle [x, y, yaw] with inputs [v, δ], linearized about a
+reference trajectory and solved as a QP with cvxpy/ECOS over a T=8
+horizon on a synthetic sine road (``:1-231``).
 
-TPU-native equivalent: the same linearization
+This is a RE-DESIGN, not a mirror (the demo is standalone and unused by
+the pipeline — SURVEY §2 C10): a richer 4-state model [x, y, v, yaw]
+with inputs [a, δ] (acceleration-level control like the main tracker),
+the same LTV structure
     x_{k+1} = A_k x_k + B_k u_k + c_k
 with quadratic tracking cost and box-constrained inputs, solved by
 projected gradient on the condensed problem — box-QP needs no interior
 point method, and the whole receding-horizon simulation is one
-``lax.scan``.  Also usable as a library solver; the demo entry point
-reproduces the reference's sine-road scenario.
+``lax.scan``.  The shared pieces with the reference demo are the T=8
+horizon, dt=0.1, the 45° steer bound, and the sine-road receding-horizon
+scenario shape; model states/weights/road constants differ by design.
 """
 
 from __future__ import annotations
@@ -25,8 +31,9 @@ import numpy as np
 
 @dataclasses.dataclass(frozen=True)
 class LinearMPCConfig:
-    # defaults = reference demo (``mpc_reference.py``): horizon 8,
-    # wheelbase 2.9, dt 0.1, |a| ≤ 1, |δ| ≤ 45°
+    # horizon 8 / dt 0.1 / 45° steer bound match the reference demo
+    # (``mpc_reference.py``); the 4-state model, wheelbase, accel bound,
+    # and weights are this redesign's own (see module docstring)
     horizon: int = 8
     wheelbase: float = 2.9
     dt: float = 0.1
@@ -102,6 +109,11 @@ def solve_ltv_qp(cfg: LinearMPCConfig, x0, x_ref, v_bar, phi_bar, delta_bar):
     def cost(u):
         xs = rollout(u)
         e = xs - x_ref
+        # wrap the yaw error to [-π, π]: a reference yaw column built with
+        # arctan2 crosses the ±π seam on westbound/looping paths, and an
+        # unwrapped difference would read as a ~2π phantom error that
+        # drives the controller off the road
+        e = e.at[:, 3].set(jnp.arctan2(jnp.sin(e[:, 3]), jnp.cos(e[:, 3])))
         track = jnp.einsum("ti,ij,tj->", e, Q, e)
         effort = jnp.einsum("ti,ij,tj->", u, R, u)
         return track + effort

@@ -66,7 +66,10 @@ def _rotation(angle: float) -> np.ndarray:
 
 def cartesian_to_frenet(
     baseline_xy: np.ndarray, m_equal: int
-) -> Tuple[float, float, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+) -> Tuple[
+    float, float, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+    np.ndarray,
+]:
     """Resample a polyline at uniform arc length.
 
     Args:

@@ -21,8 +21,11 @@ from .. import scenarios
 
 _EGO_COLS = ("ego_x", "ego_y", "ego_vx", "ego_vy", "ego_ax", "ego_ay", "ego_yaw")
 
+# scenario keys are validated by scenarios.get downstream — matching any
+# sce\d+ here keeps the regex registry-agnostic (CLAUDE.md: no hardcoded
+# scenario sets outside scenarios.py)
 _NPY_RE = re.compile(
-    r"tracked_trajectory_(sce[1-4])_exp(\d+)_(\d+)\.npy$", re.IGNORECASE
+    r"tracked_trajectory_(sce\d+)_exp(\d+)_(\d+)\.npy$", re.IGNORECASE
 )
 
 

@@ -45,8 +45,10 @@ inline double parse_field(const char *begin, const char *end) {
   if (begin == end)
     return std::nan("");
   // from_chars rejects a leading '+' that pandas (the fallback parser)
-  // accepts — skip it so both paths parse '+1.5'-style fields identically,
-  // including '+inf'/'+nan' (from_chars accepts the bare words)
+  // accepts — skip it so both paths parse '+1.5'-style fields identically.
+  // '+inf' also matches pandas; '+nan' does NOT (pandas leaves the column
+  // as object strings), so that token remains a residual divergence —
+  // noted in the native-parity test
   if (*begin == '+' && end - begin > 1 &&
       ((begin[1] >= '0' && begin[1] <= '9') || begin[1] == '.' ||
        begin[1] == 'i' || begin[1] == 'I' || begin[1] == 'n' ||
@@ -113,11 +115,17 @@ void *dmv_csv_open(const char *path) {
           field_start = q + 1;
         }
       }
-      // ragged row: pad/trim to the header width
+      // short row: NaN-pad to the header width (pandas pads too)
       for (; field_count < table->cols; ++field_count)
         table->data.push_back(std::nan(""));
-      if (field_count > table->cols)
-        table->data.resize(table->data.size() - (field_count - table->cols));
+      // over-wide row: ambiguous (pandas promotes the first field to an
+      // index) — fail the whole parse so the pandas fallback's
+      // interpretation governs instead of a silent tail-trim
+      if (field_count > table->cols) {
+        delete table;
+        munmap(const_cast<char *>(buf), size);
+        return nullptr;
+      }
       ++table->rows;
     }
     p = line_end < file_end ? line_end + 1 : file_end;

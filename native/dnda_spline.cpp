@@ -59,7 +59,8 @@ int dmv_fmm_spline(int64_t n, const double *x, const double *y,
     const double c3_0 = slope[1] - slope[0];
     const double c3_1 = slope[2] - slope[1];
     // h**2 is rounded FIRST, matching numpy's `expr * h[0] ** 2 / denom`
-    // association bit-for-bit (spline.py:212-217)
+    // association bit-for-bit (spline.py, fmm_spline_coeffs' FMM
+    // end-condition block)
     rhs[0] = (c3_1 / (x[3] - x[1]) - c3_0 / (x[2] - x[0])) * (h[0] * h[0]) /
              (x[3] - x[0]);
     const double c3_m1 = slope[n - 2] - slope[n - 3];

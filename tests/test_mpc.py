@@ -401,3 +401,33 @@ def test_mpc_config_validates_horizons():
     with pytest.raises(ValueError):
         MPCConfig(prediction_horizon=10, control_horizon=20)
     MPCConfig(prediction_horizon=10, control_horizon=10)  # boundary ok
+
+
+def test_linear_mpc_yaw_seam():
+    """A reference whose arctan2 yaw column crosses the ±π seam must not
+    produce a ~2π phantom yaw error: the cost wraps the yaw difference, so
+    tracking through the seam is as tight as on the SAME circle rotated to
+    avoid it (before the wrap fix the seam case diverged meters off)."""
+    from defensive_model_vae_tpu.control.linear_mpc import (
+        LinearMPCConfig, simulate_tracking,
+    )
+
+    cfg = LinearMPCConfig()
+
+    def run(rot):
+        R, v, n = 60.0, 3.0, 700
+        ang = np.linspace(-np.pi / 2, np.pi, n) + rot
+        x, y = R * np.cos(ang), R * np.sin(ang)
+        yaw = np.arctan2(np.gradient(y), np.gradient(x))
+        ref = np.column_stack([x, y, np.full(n, v), yaw]).astype(np.float32)
+        x0 = np.array([x[0], y[0], v, yaw[0]], np.float32)
+        states, _ = simulate_tracking(cfg, ref, x0, 350)
+        err = np.array([np.hypot(x - p[0], y - p[1]).min() for p in states])
+        seam_crossed = np.abs(np.diff(yaw)).max() > np.pi
+        return err.max(), seam_crossed
+
+    e_seam, crossed = run(0.0)
+    e_clean, crossed_clean = run(-np.pi / 2)
+    assert crossed and not crossed_clean  # the geometries differ as intended
+    assert e_seam < 0.5, e_seam
+    assert abs(e_seam - e_clean) < 0.05, (e_seam, e_clean)
