@@ -9,10 +9,12 @@ import pytest
 
 from defensive_model_vae_tpu.models import CVAEConfig, LossWeights, init_params
 from defensive_model_vae_tpu.ops.fused_trainer import (
+    FUSED_METRIC_KEYS,
     _flatten_params,
     _forward_loss,
     _fused_call,
     _unflatten_params,
+    fused_inputs,
     fused_step_reference,
 )
 
@@ -21,10 +23,9 @@ CFG = CVAEConfig()
 
 
 def _prep(windows):
-    batch = jnp.asarray(windows, jnp.float32)
-    start = batch[:, 0, 1:3]
-    rel = batch.at[:, :, 1:3].add(-start[:, None, :])
-    return rel.reshape(batch.shape[0], -1), start
+    # the REAL input prep — the oracle tests must consume exactly what the
+    # kernels consume, so any transform change propagates here too
+    return fused_inputs(windows)
 
 
 def test_forward_loss_matches_model_stack(all_windows):
@@ -42,7 +43,6 @@ def test_forward_loss_matches_model_stack(all_windows):
 
     batch = jnp.asarray(w, jnp.float32)
     rel, starts = to_relative(batch)
-    mu, logvar, hc = None, None, None
     from defensive_model_vae_tpu.models.cvae import decode, encode
 
     mu, logvar, hc = encode(params, rel, starts)
@@ -51,7 +51,7 @@ def test_forward_loss_matches_model_stack(all_windows):
     total_m, comps_m = cvae_loss(recon, rel, mu, logvar, LossWeights())
 
     assert np.isclose(float(total_k), float(total_m), rtol=1e-5)
-    for i, key in enumerate(["total", "recon", "kld", "start", "time"]):
+    for i, key in enumerate(FUSED_METRIC_KEYS):
         assert np.isclose(float(comps_k[i]), float(comps_m[key]), rtol=1e-5), key
 
 
@@ -97,7 +97,9 @@ def test_forward_loss_masked_matches_padded():
     the multi-scenario grid kernel relies on)."""
     from defensive_model_vae_tpu.models import LossWeights
 
-    w = np.load("fixtures/trajectory_sce2_cond.npy")
+    from conftest import FIXTURES
+
+    w = np.load(FIXTURES / "trajectory_sce2_cond.npy")
     params = init_params(jax.random.PRNGKey(0), CFG)
     plist = _flatten_params(params)
     x_flat, cond = _prep(w)
@@ -155,7 +157,7 @@ def test_fused_train_multi_matches_single_kernel(all_windows):
             assert np.allclose(lp["w"], np.asarray(single[name]["w"]), atol=1e-6), (k, name)
             assert np.allclose(lp["b"], np.asarray(single[name]["b"]), atol=1e-6), (k, name)
         m = np.asarray(metrics)[:, :5]
-        for j, key in enumerate(["total", "recon", "kld", "start", "time"]):
+        for j, key in enumerate(FUSED_METRIC_KEYS):
             assert np.allclose(hist_by[k][key], m[:, j], rtol=1e-5), (k, key)
 
 
@@ -191,9 +193,11 @@ def test_fused_train_seeds_matches_single_kernel(all_windows):
         for name, lp in params_by[s].items():
             assert np.allclose(lp["w"], np.asarray(single[name]["w"]), atol=1e-6), (s, name)
             assert np.allclose(lp["b"], np.asarray(single[name]["b"]), atol=1e-6), (s, name)
-        assert np.allclose(
-            hist_by[s]["total"], np.asarray(metrics)[:, 0], rtol=1e-5
-        )
+        # all five metric columns: the seeds-path history harvest is its
+        # own slicing code, distinct from the multi-scenario harvest
+        m = np.asarray(metrics)[:, :5]
+        for j, key in enumerate(FUSED_METRIC_KEYS):
+            assert np.allclose(hist_by[s][key], m[:, j], rtol=1e-5), (s, key)
 
 
 def test_fused_vmem_budget_check():

@@ -67,9 +67,15 @@ def test_data_parallel_step_matches_single_device(windows_sce1):
         key,
         shard_batch(batch, mesh),
     )
-    assert np.isclose(float(m_single["total"]), float(m_mesh["total"]), rtol=1e-5)
+    # every metric component and EVERY param leaf (biases are the one
+    # pytree shape class nothing else covers)
+    for k in m_single:
+        assert np.isclose(float(m_single[k]), float(m_mesh[k]), rtol=1e-5), k
     for name in params:
-        assert np.allclose(p_single[name]["w"], p_mesh[name]["w"], atol=1e-5)
+        for leaf in params[name]:
+            assert np.allclose(
+                p_single[name][leaf], p_mesh[name][leaf], atol=1e-5
+            ), (name, leaf)
 
 
 def test_tensor_parallel_forward_matches(windows_sce1):
