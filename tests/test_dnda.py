@@ -434,6 +434,7 @@ def test_score_directory_empty_dir(tmp_path):
     assert lines == ["model,scenario,trial,max_dnda,frames,file_path"]
 
 
+@requires_reference
 def test_score_directory(tmp_path):
     import shutil
 

@@ -27,12 +27,11 @@ from defensive_model_vae_tpu.metrics import (
 
 from conftest import REFERENCE_ROOT, requires_reference
 
-TOWN = {
-    "sce1": "StaticBlindTown05",
-    "sce2": "DynamicBlindTown05",
-    "sce3": "PredictableMovementTown05",
-    "sce4": "UnpredictableMovementTown04",
-}
+from defensive_model_vae_tpu import scenarios as _sc
+
+# scenario → town mapping comes from the registry (CLAUDE.md: no per-
+# scenario constants outside scenarios.py)
+TOWN = {k: _sc.get(k).town for k in _sc.REGISTRY}
 
 
 def _load_shipped(key):
@@ -71,10 +70,14 @@ def test_velocity_extraction():
     v = human_velocities([traj])
     assert v.shape == (5,)
     assert np.allclose(v, np.sqrt(2))
-    # zero-dt segment repeats the previous value
-    traj2 = np.array([[0, 0, 0.0], [1, 0, 1.0], [2, 0, 1.0], [3, 0, 2.0]])
+    # zero-dt segment repeats the previous value.  The previous speed
+    # (3.0) deliberately differs from the zero-dt segment's displacement
+    # (1.0 — what the dt→1.0 placeholder division would yield), so a
+    # regression that drops the carry cannot pass
+    traj2 = np.array([[0, 0, 0.0], [3, 0, 1.0], [4, 0, 1.0], [5, 0, 2.0]])
     v2 = human_velocities([traj2])
-    assert np.isclose(v2[1], 1.0)  # dt=0 → repeat previous
+    assert np.isclose(v2[0], 3.0)
+    assert np.isclose(v2[1], 3.0)  # dt=0 → repeat previous (not 1.0)
 
     tracked = [np.column_stack([t, t, t, 3 * np.ones(5)])]
     assert np.allclose(extract_velocities(tracked), 3.0)
@@ -127,9 +130,6 @@ def test_plane_rmse_synthetic():
     # identical clouds → 0; constant offset d → d
     t = np.linspace(0, 5, 60)
     human = [np.column_stack([t, t, t])]
-    model_states = [np.column_stack([t, t, np.zeros_like(t), np.ones_like(t)])]
-    # model times use arange * dt(sce1)=0.02 → different time base; use a
-    # scenario-consistent model track instead
     n = len(t)
     mt = np.arange(n) * 0.02
     model = [np.column_stack([np.interp(mt, t, t), np.interp(mt, t, t),
@@ -429,6 +429,7 @@ def test_sce4_orphan_trace_pinned():
     csv_keys = set()
     for c in csvs:
         m = re.match(r"exp_(\d+)_control_.*_(\d+)\.csv", os.path.basename(c))
+        assert m is not None, f"unexpected CSV name: {os.path.basename(c)}"
         csv_keys.add((m.group(1), m.group(2)))
     trace_files = sorted(
         glob.glob(
@@ -438,6 +439,7 @@ def test_sce4_orphan_trace_pinned():
     orphans = []
     for f in trace_files:
         m = re.match(r"tracked_trajectory_sce4_exp(\d+)_(\d+)\.npy", os.path.basename(f))
+        assert m is not None, f"unexpected trace name: {os.path.basename(f)}"
         if (m.group(1), m.group(2)) not in csv_keys:
             orphans.append(os.path.basename(f))
     assert orphans == ["tracked_trajectory_sce4_exp69_2.npy"]
@@ -466,32 +468,16 @@ def test_plane_rmse_differential_vs_live_reference(key):
     long human tracks continue.  Not a defect in this implementation."""
     import contextlib
     import io
-    import sys
 
-    sys.path.insert(0, str(REFERENCE_ROOT))
-    try:
-        import Distribution as RD
-        import Spatial_Distribution as RS
-    finally:
-        sys.path.pop(0)
-
+    RD, RS = _ref_modules()
     model_name = f"vae_offset_{key}_cond_ld8_epoch3000.pth"
-    csvs = collect_csv_files(str(REFERENCE_ROOT / "DefensiveData" / TOWN[key]))
-    shipped = [
-        np.load(f)
-        for f in sorted(
-            glob.glob(
-                str(REFERENCE_ROOT / f"results/GeneratedData/tracked_trajectory_{key}_*.npy")
-            )
-        )
-    ]
+    shipped, humans = _load_shipped(key)
     with contextlib.redirect_stdout(io.StringIO()):
-        ref_humans = RD.load_human_trajectories(csvs, model_name)
+        ref_humans = _ref_humans(RD, key)
         ref_val, ref_errs = RS.compute_spatiotemporal_plane_rmse(
             ref_humans, shipped, model_name, time_interval=0.5
         )
 
-    _, humans = _load_shipped(key)
     val, errs = spatiotemporal_plane_rmse(humans, shipped, key)
     assert np.isclose(val, ref_val, atol=1e-9), (key, val, ref_val)
     assert np.allclose(errs, ref_errs, atol=1e-9)

@@ -113,7 +113,12 @@ def test_batch_matches_single(windows_sce1):
     for b, i in enumerate(idxs):
         t_s, s_s, c_s = track(wps[b], inits[b], cfg)
         n = steps[b]
+        # the step count itself must match the single-path run — a wrong
+        # (e.g. zero) count would make the state comparison vacuous
+        assert n == len(s_s) - 1, (b, n, len(s_s))
+        assert np.allclose(times_b[: n + 1], t_s[: n + 1], atol=1e-12)
         assert np.allclose(states_b[b, : n + 1], s_s[: n + 1], atol=1e-4)
+        assert np.allclose(controls_b[b, :n], c_s[:n], atol=1e-4)
 
 
 def test_tracker_matches_reference_slsqp_oracle(windows_sce1):
@@ -235,10 +240,7 @@ def test_device_reference_matches_host(windows_sce1):
         host = PathReference(wp, init).build(n, 30, 0.02)
         dev = np.asarray(
             jax.jit(
-                lambda w, i: __import__(
-                    "defensive_model_vae_tpu.control.device_reference",
-                    fromlist=["build_reference_device"],
-                ).build_reference_device(w, i, n, 30, 0.02)
+                lambda w, i: build_reference_device(w, i, n, 30, 0.02)
             )(jnp.asarray(wp), jnp.asarray(init))
         )
         assert np.abs(host[..., 0] - dev[..., 0]).max() < 1e-4  # theta
@@ -314,6 +316,17 @@ def test_select_valid_trajectory():
     # a valid single candidate passes through untouched
     out = np.asarray(select_valid_trajectory(good[None]))
     assert np.allclose(out, expect)
+
+    # t0-zeroing is load-bearing: a candidate valid ONLY after its first
+    # timestamp is zeroed (t = [0.5, 0.6, ...] with t1 > 0) must be
+    # accepted and returned with t0 = 0, and a nonzero-t0 winner must not
+    # leak its raw t0 through
+    shifted = good.copy()
+    shifted[:, 0] = 0.5 + np.arange(T) * 0.5
+    out = np.asarray(select_valid_trajectory(jnp.stack([bad, shifted])))
+    assert out[0, 0] == 0.0
+    assert np.all(np.diff(out[:, 0]) > 0)
+    assert np.allclose(out[:, 1:], shifted[:, 1:])
 
 
 def test_serve_offset_mode():
