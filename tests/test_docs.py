@@ -11,7 +11,9 @@ import inspect
 import os
 import re
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from conftest import REPO_ROOT
+
+REPO = str(REPO_ROOT)
 PKG = "defensive_model_vae_tpu"
 
 # first path segments (or exact top-level files) that denote framework
@@ -95,5 +97,8 @@ def test_migration_guide_cli_subcommands_exist():
     src = inspect.getsource(cli)
     real = set(re.findall(r"add_parser\(\s*[\"']([\w-]+)", src))
     cited = set(re.findall(r"`defvae ([\w-]+)`", text))
+    # non-vacuity: a citation-format drift must fail loudly, not pass with
+    # an empty cited set (the symbols test has the same guard)
+    assert len(cited) >= 10, f"only {len(cited)} defvae citations parsed"
     missing = cited - real
     assert not missing, f"guide cites unknown CLI subcommands: {missing}"

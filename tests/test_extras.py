@@ -65,8 +65,13 @@ def test_opt_state_roundtrip(tmp_path, all_windows):
     optimizer = optax.adam(1e-3)
     state2 = load_opt_state(d, params, optimizer)
     assert int(state2[0].count) == int(state[0].count) == 20
-    for name in params:
-        assert np.allclose(state[0].mu[name]["w"], state2[0].mu[name]["w"])
+    # EVERY Adam leaf: mu and nu, weights and biases (a dropped/zeroed nu
+    # would corrupt the first resumed step while mu-only checks pass)
+    for moment in ("mu", "nu"):
+        a, b = getattr(state[0], moment), getattr(state2[0], moment)
+        for name in params:
+            for leaf in params[name]:
+                assert np.allclose(a[name][leaf], b[name][leaf]), (moment, name, leaf)
 
 
 def test_conditioned_corpus_and_training(all_windows):
@@ -74,8 +79,11 @@ def test_conditioned_corpus_and_training(all_windows):
         {k: all_windows[k][:10] for k in ("sce1", "sce2")}
     )
     assert corpus.shape[0] == 20 and extra.shape == (20, 5)
-    # one-hots are exclusive; THW positive
+    # one-hots are exclusive AND scenario-correct: sce1 -> column 0,
+    # sce2 -> column 1 (keys sorted; a same-column mapping bug would still
+    # pass a sum==1 check)
     assert np.all(extra[:, :4].sum(axis=1) == 1.0)
+    assert np.all(extra[:10, 0] == 1.0) and np.all(extra[10:, 1] == 1.0)
     assert np.all(extra[:, 4] > 0)
     params, hist, cfg = train_conditioned(corpus, extra, TrainConfig(epochs=150))
     assert cfg.cond_dim == 7

@@ -41,6 +41,16 @@ def test_score_candidate_maximin_and_nan_ranking():
     _, worst = ss.score_candidate(mixed, pub)
     assert abs(worst - 0.01) < 1e-12
 
+    # margins are RELATIVE (pub - val) / pub: with mixed scales the small
+    # metric's 10% margin must beat the big metric's 2% margin even though
+    # the big metric's absolute margin (0.1) is larger
+    pub2 = {m: 0.1 for m in ss.METRICS}
+    pub2["surface_rmse_with_zeros"] = 5.0
+    vals2 = {m: 0.09 for m in ss.METRICS}          # 10% margins
+    vals2["surface_rmse_with_zeros"] = 4.9         # 2% margin, 0.1 absolute
+    _, worst2 = ss.score_candidate(vals2, pub2)
+    assert abs(worst2 - 0.02) < 1e-12
+
     # a NaN mean must rank the candidate LAST regardless of position —
     # builtin min() would silently skip a non-first NaN
     for poison in ss.METRICS:

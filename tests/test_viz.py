@@ -33,7 +33,10 @@ def test_plot_losses_and_csv_roundtrip(tmp_path):
     p = plot_losses(_history(), str(tmp_path / "loss.png"))
     assert (tmp_path / "loss.png").exists()
     hist2 = load_loss_csv(str(tmp_path / "loss.csv"))
-    assert np.allclose(hist2["total"], _history()["total"])
+    # every column: the synthetic history makes components distinguishable
+    # (base*(i+1)), so a header/column transposition cannot pass
+    for k, v in _history().items():
+        assert np.allclose(hist2[k], v), k
 
 
 def test_vehicle_rectangle_geometry():
@@ -167,11 +170,26 @@ def test_constant_speed_trajectory():
     (reference Drawing_Tools.calculate_moving_bg_vehicle_trajectory)."""
     from defensive_model_vae_tpu.viz.gif import constant_speed_trajectory
 
-    wp = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 5.0]])
+    # corner at arc length 6.5 — strictly BETWEEN the 1 m arc samples, so
+    # a segment-boundary bug cannot hide behind samples landing on it
+    wp = np.array([[0.0, 0.0], [6.5, 0.0], [6.5, 5.0]])
     path = constant_speed_trajectory(wp, speed=2.0, dt=0.5)
+    # analytic on-polyline positions: (s, 0) for s <= 6.5, then
+    # (6.5, s-6.5), clamped at the path end (total arc 11.5)
+    s_arc = np.minimum(np.arange(len(path)) * 1.0, 11.5)
+    expect = np.where(
+        (s_arc <= 6.5)[:, None],
+        np.column_stack([s_arc, np.zeros_like(s_arc)]),
+        np.column_stack([np.full_like(s_arc, 6.5), s_arc - 6.5]),
+    )
+    assert np.allclose(path, expect, atol=1e-9)
+    # chord steps equal the arc step away from the corner and the clamped
+    # tail; the corner-straddling chord is shorter (samples stay ON the
+    # polyline, not on a chord)
     steps = np.hypot(*np.diff(path, axis=0).T)
-    assert np.allclose(steps, 1.0, atol=1e-9)  # 2 m/s * 0.5 s
-    assert np.allclose(path[0], [0, 0]) and np.allclose(path[-1], [10, 5], atol=1.0)
+    assert np.allclose(np.delete(steps, [6, len(steps) - 1]), 1.0, atol=1e-9)
+    assert steps[6] < 1.0 - 1e-6
+    assert np.allclose(path[0], [0, 0]) and np.allclose(path[-1], [6.5, 5])
 
 
 def test_generated_vs_training_and_offset_curves(tmp_path, windows_sce1):
@@ -284,6 +302,11 @@ def test_cli_gif_and_case(tmp_path):
     main(["case", "--scenario", "sce1", "--csv", csv, "--trace", str(trace),
           "--out", str(case)])
     assert case.exists() and case.stat().st_size > 1000
+
+    gif = tmp_path / "hm.gif"
+    main(["gif", "--scenario", "sce1", "--csv", csv, "--trace", str(trace),
+          "--out", str(gif)])
+    assert gif.exists() and gif.stat().st_size > 5000
 
 
 def test_lateral_offset_centers_match_reference():
