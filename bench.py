@@ -181,6 +181,68 @@ def _flops_per_window(windows):
     return 6 * sum(fi * fo for fi, fo in spec.values())
 
 
+def bench_scale(n=131072, epochs=200, seq_len=10, dim=3):
+    """Production-batch training throughput.
+
+    The reference corpora are tiny (≤135 windows — ``SURVEY.md`` §6), so the
+    headline bench is dispatch-bound and its single-digit MFU reflects the
+    model size, not a framework ceiling (see the roofline note in main()).
+    This bench runs the SAME trainer (``train.make_train_step`` — identical
+    model, loss, Adam update, scan-over-epochs program) on a synthetic
+    production-scale corpus where the MXU is actually fed, making the
+    framework's real throughput ceiling auditable alongside the
+    reference-sized number.  Returns (windows/s, TFLOP/s) or None on
+    failure (recorded as absent keys, logged to stderr)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from defensive_model_vae_tpu.models import CVAEConfig, init_params
+    from defensive_model_vae_tpu.train import TrainConfig
+    from defensive_model_vae_tpu.train.train import _scan_trainer, make_train_step
+
+    rng = np.random.default_rng(0)
+    t = np.cumsum(rng.uniform(0.5, 2.2, (n, seq_len)), axis=1)
+    t -= t[:, :1]
+    xy = rng.normal(
+        [[-193.0, 50.0]], [[1.0, 20.0]], (n, seq_len, dim - 1)
+    ).cumsum(axis=1)
+    windows = np.concatenate([t[..., None], xy], axis=-1).astype(np.float32)
+
+    cfg = CVAEConfig(seq_len=seq_len, dim=dim)
+    tc = TrainConfig(epochs=epochs)
+    optimizer = optax.adam(tc.lr)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    opt_state = optimizer.init(params)
+    run = jax.jit(_scan_trainer(make_train_step(cfg, tc, optimizer), epochs))
+    batch = jnp.asarray(windows)
+
+    t0 = time.time()
+    out = run(params, opt_state, jax.random.PRNGKey(1), batch, None, None)
+    jax.block_until_ready(out[2])
+    cold = time.time() - t0
+    best = float("inf")
+    # fresh PRNG key per timed call (identical-repeat hazard, CLAUDE.md);
+    # out[2] is the (epochs, 5) metrics stack — a tiny single-buffer sync
+    for s in (2, 3, 4):
+        t0 = time.time()
+        out = run(params, opt_state, jax.random.PRNGKey(s), batch, None, None)
+        jax.block_until_ready(out[2])
+        best = min(best, time.time() - t0)
+    last = float(np.asarray(out[2])[-1, 0])
+    if not np.isfinite(last):
+        raise RuntimeError(f"scale bench diverged (loss={last})")
+    rate = epochs * n / best
+    fpw = _flops_per_window(windows)
+    tflops = rate * fpw / 1e12
+    _log(
+        f"scale: {n} windows x {epochs} epochs (cold {cold:.1f}s, warm {best:.2f}s) "
+        f"→ {rate/1e6:.1f}M windows/s, {tflops:.1f} TFLOP/s "
+        f"({100 * tflops * 1e12 / V5E_PEAK_FLOPS:.1f}% of v5e bf16 peak)"
+    )
+    return rate, tflops
+
+
 def bench_torch_baseline(windows, epochs=200):
     """Torch-CPU equivalent of the reference trainer (same architecture,
     loss, optimizer, full-batch loop) — measured live, rate extrapolated."""
@@ -447,7 +509,7 @@ def main():
         # for wall-clock-constrained driver rounds; the persistent
         # .jax_cache keeps even the 'cold' compile cheap on repeats
         torch_rate = RECORDED_TORCH_CPU_RATE
-    dnda_s = mpc_s = grid_s = grid_ok = None
+    dnda_s = mpc_s = grid_s = grid_ok = scale = None
     if not warm_only:
         bench_generation(windows)
         # a convergence regression must be VISIBLE, not fatal: record
@@ -476,6 +538,10 @@ def main():
             mpc_s = bench_mpc_corpus()
         except Exception as e:
             _log(f"mpc corpus bench failed ({e})")
+        try:
+            scale = bench_scale()
+        except Exception as e:
+            _log(f"scale bench failed ({e})")
         try:
             torch_rate = bench_torch_baseline(windows)
         except Exception as e:  # torch missing/broken → recorded rate
@@ -520,6 +586,13 @@ def main():
         result["dnda_sweep_21ep_s"] = round(dnda_s, 1)
     if mpc_s is not None:
         result["mpc_corpus_38path_s"] = round(mpc_s, 2)
+    if scale is not None:
+        # production-batch ceiling (131072-window synthetic corpus, same
+        # trainer) — the headline stays the reference-sized workload; these
+        # keys make the MXU-fed ceiling auditable across rounds
+        result["scale_windows_per_sec"] = round(scale[0], 1)
+        result["scale_tflops_sustained"] = round(scale[1], 3)
+        result["scale_mfu_pct"] = round(100 * scale[1] * 1e12 / V5E_PEAK_FLOPS, 3)
     print(json.dumps(result))
 
 

@@ -156,3 +156,21 @@ def test_committed_sweep_evidence_ranked_consistently():
         assert key(reranked[0]) == key(rows[0]), path.name
         checked += 1
     assert checked >= 4, f"only {checked} sweep artifacts checked"
+
+
+def test_bench_scale_smoke_tiny():
+    """``bench.bench_scale`` at a toy size: runs the real trainer program,
+    returns a finite (rate, tflops) pair, and raises (rather than reporting
+    a rate) on divergence — same visibility contract as the other bench
+    sections.  The production size (131072 windows) only runs on-chip."""
+    spec = importlib.util.spec_from_file_location(
+        "bench", str(REPO_ROOT / "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    rate, tflops = bench.bench_scale(n=64, epochs=8)
+    assert rate > 0 and tflops > 0
+    import numpy as np
+
+    assert np.isfinite(rate) and np.isfinite(tflops)
