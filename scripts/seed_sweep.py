@@ -18,6 +18,16 @@ zeros — ``JS_divergence.txt``) beaten by the selection-seed MEAN,
 tie-broken maximin: the widest worst-case relative margin over the four
 metrics wins (any non-finite mean ranks the candidate last).
 
+Beyond train seeds, the candidate grid optionally spans training-recipe
+dimensions (all scored by the same selection-seed protocol): ``--lr`` and
+``--kld`` lists, and ``--point-mode normal,extend_mid`` (the reference's
+midpoint-augmentation dataset builder, ``Traj_Data_Process.py:106-121`` —
+the extend_mid corpus appends the ceil-midpoint windows to the normal
+ones).  ``--band-eval-top K`` re-trains the top-K ranked candidates and
+evaluates them on the UNSELECTED reporting band, recording mean/CI per
+metric in the output JSON — a disclosed shortlist (the PARITY scoreboard
+discloses shortlist-on-band evaluation wherever it was used).
+
 Usage:
     python scripts/seed_sweep.py --scenario sce4 --train-seeds 0:128 \
         --select-gen-seeds 5,6,8 --out results/seed_sweep_sce4.json
@@ -89,6 +99,21 @@ def main():
     ap.add_argument("--select-gen-seeds", default="5,6,8")
     ap.add_argument("--epochs", default="3000",
                     help="comma-separated epoch counts; each (epochs, seed) pair is a candidate")
+    ap.add_argument("--lr", default="1e-3",
+                    help="comma-separated learning rates (recipe dimension)")
+    ap.add_argument("--kld", default="0.1",
+                    help="comma-separated KLD loss weights (recipe dimension)")
+    ap.add_argument("--point-mode", default="normal",
+                    help="comma-separated corpus modes: normal (the --windows/"
+                         "fixture corpus) and/or extend_mid (midpoint-augmented, "
+                         "built from --data-root)")
+    ap.add_argument("--band-eval-top", type=int, default=0,
+                    help="re-train the top-K ranked candidates and evaluate on "
+                         "the reporting band (disclosed shortlist)")
+    ap.add_argument("--band-gen-seeds",
+                    default=",".join(map(str, list(range(5)) + list(range(10, 75)))),
+                    help="reporting-band gen seeds for --band-eval-top (default "
+                         "the n=70 unselected band)")
     ap.add_argument("--data-root", default="/root/reference/DefensiveData")
     ap.add_argument("--windows", default=None,
                     help="windows npy (default fixtures/trajectory_<sce>_cond.npy)")
@@ -101,8 +126,8 @@ def main():
     enable_persistent_cache()
 
     from defensive_model_vae_tpu import scenarios
-    from defensive_model_vae_tpu.data import collect_csv_files
-    from defensive_model_vae_tpu.models import CVAEConfig
+    from defensive_model_vae_tpu.data import build_dataset, collect_csv_files
+    from defensive_model_vae_tpu.models import CVAEConfig, LossWeights
     from defensive_model_vae_tpu.pipeline import generate_and_track, load_humans, validate
     from defensive_model_vae_tpu.train import TrainConfig, train
 
@@ -112,21 +137,52 @@ def main():
     gens = [int(v) for v in args.select_gen_seeds.split(",")]
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     wpath = args.windows or os.path.join(here, "fixtures", f"trajectory_{sce.key}_cond.npy")
-    windows = np.load(wpath)
+    corpora = {}
+    for mode in args.point_mode.split(","):
+        if mode == "normal":
+            corpora[mode] = np.load(wpath)
+        else:
+            corpora[mode] = build_dataset(args.data_root, sce.key, point_mode=mode)
+            print(f"built {mode} corpus: {corpora[mode].shape}", flush=True)
     csvs = collect_csv_files(os.path.join(args.data_root, sce.town))
     humans = load_humans(sce, csvs)
-    cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
+    cfg = CVAEConfig(
+        seq_len=next(iter(corpora.values())).shape[1],
+        dim=next(iter(corpora.values())).shape[2],
+    )
 
     epoch_counts = [int(v) for v in str(args.epochs).split(",")]
-    results = []
-    for ts, n_epochs in ((s, e) for e in epoch_counts for s in seeds):
-        t0 = time.time()
-        params, hist = train(windows, train_cfg=TrainConfig(epochs=n_epochs, seed=ts))
+    lrs = [float(v) for v in str(args.lr).split(",")]
+    klds = [float(v) for v in str(args.kld).split(",")]
+
+    def train_candidate(mode, lr, kld, n_epochs, ts):
+        tc = TrainConfig(
+            epochs=n_epochs, lr=lr, seed=ts,
+            weights=LossWeights(kld=kld),
+        )
+        return train(corpora[mode], train_cfg=tc)
+
+    def eval_candidate(params, gen_seeds):
         per_gen = {}
-        for g in gens:
+        for g in gen_seeds:
             traces, _ = generate_and_track(params, cfg, sce, csvs, seed=g)
             rep = validate(traces, humans, sce)
             per_gen[g] = {m: rep[m] for m in METRICS}
+        return per_gen
+
+    results = []
+    grid = [
+        (mode, lr, kld, e, s)
+        for mode in corpora
+        for lr in lrs
+        for kld in klds
+        for e in epoch_counts
+        for s in seeds
+    ]
+    for mode, lr, kld, n_epochs, ts in grid:
+        t0 = time.time()
+        params, hist = train_candidate(mode, lr, kld, n_epochs, ts)
+        per_gen = eval_candidate(params, gens)
         means = {m: float(np.mean([per_gen[g][m] for g in gens])) for m in METRICS}
         # maximin relative margin vs published: selection-seed noise is
         # large relative to a thin margin, so maximizing the worst margin
@@ -134,13 +190,15 @@ def main():
         # single metric
         beaten, worst_margin = score_candidate(means, pub)
         results.append({
-            "train_seed": ts, "epochs": n_epochs,
+            "train_seed": ts, "epochs": n_epochs, "lr": lr, "kld_weight": kld,
+            "point_mode": mode,
             "final_loss": float(hist["total"][-1]),
             "means": means, "per_gen": per_gen, "beats_published": beaten,
             "worst_margin": worst_margin,
         })
         print(
-            f"seed {ts:3d} ep{n_epochs}: beats {beaten}/4  "
+            f"{mode} lr{lr:g} kld{kld:g} seed {ts:3d} ep{n_epochs}: "
+            f"beats {beaten}/4  "
             + "  ".join(f"{m.split('_')[-1]}={means[m]:.4f}" for m in METRICS)
             + f"  ({time.time() - t0:.1f}s)",
             flush=True,
@@ -148,19 +206,60 @@ def main():
 
     results = rank_candidates(results)
     best = results[0]
-    print(f"\nBEST train seed {best['train_seed']}: beats "
+    print(f"\nBEST candidate {best['point_mode']} lr{best['lr']:g} "
+          f"kld{best['kld_weight']:g} seed {best['train_seed']}: beats "
           f"{best['beats_published']}/4, worst margin "
           f"{best['worst_margin']:+.3f}, means {best['means']}")
+
+    band_eval = None
+    if args.band_eval_top > 0:
+        from defensive_model_vae_tpu.utils.reporting import band_stats
+
+        band_seeds = [int(v) for v in args.band_gen_seeds.split(",")]
+        band_eval = []
+        for cand in results[: args.band_eval_top]:
+            params, _ = train_candidate(
+                cand["point_mode"], cand["lr"], cand["kld_weight"],
+                cand["epochs"], cand["train_seed"],
+            )
+            t0 = time.time()
+            per_gen = eval_candidate(params, band_seeds)
+            stats = {
+                m: band_stats([per_gen[g][m] for g in band_seeds])
+                for m in METRICS
+            }
+            band_eval.append({
+                k: cand[k]
+                for k in ("train_seed", "epochs", "lr", "kld_weight", "point_mode")
+            } | {"band": stats})
+            print(
+                f"band[{cand['point_mode']} lr{cand['lr']:g} kld"
+                f"{cand['kld_weight']:g} seed {cand['train_seed']}] "
+                + "  ".join(
+                    f"{m.split('_')[-1]}={stats[m]['mean']:.4f}"
+                    f"±{stats[m]['ci95_halfwidth']:.4f}" for m in METRICS
+                )
+                + f"  ({time.time() - t0:.1f}s)",
+                flush=True,
+            )
+
     if args.out:
+        doc = {
+            "scenario": sce.key,
+            "train_seeds": seeds,
+            "select_gen_seeds": gens,
+            "epochs": epoch_counts,
+            "lr": lrs,
+            "kld": klds,
+            "point_mode": sorted(corpora),
+            "published_best": pub,
+            "ranked": results,
+        }
+        if band_eval is not None:
+            doc["band_gen_seeds"] = band_seeds
+            doc["band_eval"] = band_eval
         with open(args.out, "w") as f:
-            json.dump(jsonable({
-                "scenario": sce.key,
-                "train_seeds": seeds,
-                "select_gen_seeds": gens,
-                "epochs": epoch_counts,
-                "published_best": pub,
-                "ranked": results,
-            }), f, indent=2)
+            json.dump(jsonable(doc), f, indent=2)
         print(f"wrote {args.out}")
 
 
