@@ -174,3 +174,27 @@ def test_bench_scale_smoke_tiny():
     import numpy as np
 
     assert np.isfinite(rate) and np.isfinite(tflops)
+
+
+def test_multiseed_default_band_matches_committed_artifact():
+    """`python scripts/multiseed_validate.py` (no args) must regenerate the
+    COMMITTED band: its default --gen-seeds equals the seed list recorded
+    in every scenario's provenance note of validation_multiseed.json, and
+    the per-metric value vectors have that length.  Guards the docs'
+    one-liner reproduction claim (REPRODUCING.md) against default drift."""
+    import json
+    import re
+
+    mv = _load("multiseed_validate")
+    default = mv.DEFAULT_GEN_SEEDS
+    doc = json.loads(
+        (REPO_ROOT / "results" / "validation_multiseed.json").read_text()
+    )
+    n = len(default.split(","))
+    for sce, prov in doc["provenance"].items():
+        note = prov["notes"][0]
+        m = re.search(r"gen seeds ([0-9,]+) \(unselected", note)
+        assert m, note
+        assert m.group(1) == default, sce
+        for metric, stats in doc[sce].items():
+            assert len(stats["values"]) == n, (sce, metric)
