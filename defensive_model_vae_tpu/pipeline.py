@@ -107,27 +107,7 @@ def generate_and_track(
     conds = [get_start_conditions(c, sce) for c in csv_files]
     starts = np.array([[c.x, c.y] for c in conds], np.float32)
 
-    def _draw(s):
-        g = generate_trajectories(params, model_cfg, starts, n_samples=1, seed=s)
-        # writable host copy — the degenerate-sample re-draw below assigns
-        # into it (np.asarray of a jax array is a read-only view)
-        return np.array(g).reshape(len(csv_files), model_cfg.seq_len, model_cfg.dim)
-
-    # one z-sample per CSV, one device call; re-draw degenerate samples
-    # (non-monotone time) with a folded seed — the reference simply skips
-    # failed CSVs (``:109-111``), losing coverage
-    gen = _draw(seed)
-
-    _monotone = _valid_waypoint_times
-
-    ok = _monotone(gen)
-    for retry in range(1, 4):
-        if ok.all():
-            break
-        redraw = _draw(seed + 1000 * retry)
-        replace = ~ok & _monotone(redraw)
-        gen[replace] = redraw[replace]
-        ok |= replace
+    gen, ok = _draw_valid_samples(params, model_cfg, starts, seed)
 
     # [t, x, y] → [x, y, t] waypoints, first timestamp zeroed
     wps = gen[:, :, [1, 2, 0]].astype(float)
@@ -146,6 +126,109 @@ def generate_and_track(
             traces.append(states[row, : n + 1].copy())
             names.append(_csv_trace_name(sce.key, csv_files[b]))
     return traces, names
+
+
+def _draw_valid_samples(params, model_cfg, starts: np.ndarray, seed: int):
+    """One z-sample per start point with the degenerate re-draw loop.
+
+    Re-draws non-monotone-time samples with a folded seed (up to 3 times) —
+    the reference simply skips failed CSVs (``Distribution.py:109-111``),
+    losing coverage.  Returns (gen (B, T, D) host array, ok mask (B,))."""
+
+    def _draw(s):
+        g = generate_trajectories(params, model_cfg, starts, n_samples=1, seed=s)
+        # writable host copy — the degenerate-sample re-draw below assigns
+        # into it (np.asarray of a jax array is a read-only view)
+        return np.array(g).reshape(len(starts), model_cfg.seq_len, model_cfg.dim)
+
+    gen = _draw(seed)
+    ok = _valid_waypoint_times(gen)
+    for retry in range(1, 4):
+        if ok.all():
+            break
+        redraw = _draw(seed + 1000 * retry)
+        replace = ~ok & _valid_waypoint_times(redraw)
+        gen[replace] = redraw[replace]
+        ok |= replace
+    return gen, ok
+
+
+def generate_and_track_multi(
+    params,
+    model_cfg: CVAEConfig,
+    scenario,
+    csv_files: Sequence[str],
+    seeds: Sequence[int],
+    mpc_cfg: Optional[MPCConfig] = None,
+) -> Dict[int, Tuple[List[np.ndarray], List[str]]]:
+    """:func:`generate_and_track` for many generation seeds in ONE tracking
+    program.
+
+    Multi-seed sweeps (the unselected reporting band, seed-sweep band
+    evaluation) are tracking-bound: each seed's vmapped MPC batch is narrow
+    (N ≈ 38–135 paths), so the device program is dispatch- and
+    utilization-limited and the band pays that cost once per seed.  Here the
+    per-seed z-draws and degenerate re-draw semantics are byte-identical to
+    per-seed calls (same ``PRNGKey(seed)`` streams, same fold constants —
+    :func:`_draw_valid_samples`), and the surviving ``Σ_s N_s`` rows are
+    stacked into a SINGLE :func:`track_batch` call: one wide vmap, one
+    dispatch, one stacked fetch.  Per-row traces are ulp-equivalent to the
+    per-seed path (measured max |Δ| ≈ 1e-6 over full 390-step runs;
+    asserted by ``test_pipeline.py``): rows are independent under ``vmap``
+    and the shared scan-length bucket only appends steps past each path's
+    own end (dropped by the per-path ``steps`` slice), but the batch-dim
+    bucket changes the executable's batch width, and XLA's codegen for a
+    different width may round fused ops differently in the last ulp —
+    which the contractive LM tracker does not amplify.  Band/CI artifacts
+    regenerated under this path re-baseline on it (their provenance
+    records the batched program).
+
+    Returns ``{seed: (traces, names)}`` with per-seed entries exactly as
+    :func:`generate_and_track` would return them.
+    """
+    sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
+    if mpc_cfg is None:
+        mpc_cfg = default_mpc_cfg(sce)
+
+    for c in csv_files:  # validate trace names before any device work
+        _csv_trace_name(sce.key, c)
+    conds = [get_start_conditions(c, sce) for c in csv_files]
+    starts = np.array([[c.x, c.y] for c in conds], np.float32)
+    inits = np.stack([c.as_state() for c in conds])
+
+    all_wps: List[np.ndarray] = []
+    all_inits: List[np.ndarray] = []
+    row_tags: List[Tuple[int, int]] = []  # (seed, csv index) per stacked row
+    for s in seeds:
+        gen, ok = _draw_valid_samples(params, model_cfg, starts, s)
+        wps = gen[:, :, [1, 2, 0]].astype(float)
+        wps[:, 0, 2] = 0.0
+        for b in np.flatnonzero(ok):
+            all_wps.append(wps[b])
+            all_inits.append(inits[b])
+            row_tags.append((s, int(b)))
+
+    out: Dict[int, Tuple[List[np.ndarray], List[str]]] = {
+        int(s): ([], []) for s in seeds
+    }
+    if row_tags:
+        wps_b, inits_b = np.stack(all_wps), np.stack(all_inits)
+        # bucket the batch dim to a multiple of 64 (same rationale as the
+        # scan-length bucket in track_batch): the surviving row count moves
+        # with per-seed degenerate drops, and an exact B would recompile the
+        # tracking program on almost every candidate.  Pad rows repeat row 0
+        # and are dropped below.
+        B = len(row_tags)
+        pad = -(-B // 64) * 64 - B
+        if pad:
+            wps_b = np.concatenate([wps_b, np.repeat(wps_b[:1], pad, 0)])
+            inits_b = np.concatenate([inits_b, np.repeat(inits_b[:1], pad, 0)])
+        _, states, _, steps = track_batch(wps_b, inits_b, mpc_cfg)
+        for row, (s, b) in enumerate(row_tags):
+            n = int(steps[row])
+            out[s][0].append(states[row, : n + 1].copy())
+            out[s][1].append(_csv_trace_name(sce.key, csv_files[b]))
+    return out
 
 
 def save_tracked(traces: Sequence[np.ndarray], names: Sequence[str], out_dir: str):

