@@ -34,6 +34,7 @@ def _cmd_dataset(args):
 
     arr = build_dataset(
         args.data_root, args.scenario, args.points,
+        point_mode=getattr(args, "point_mode", "normal"),
         dataset_variant=getattr(args, "variant", "shipped"),
     )
     save_windows(arr, args.out)
@@ -45,8 +46,13 @@ def _cmd_train(args):
     from .train import TrainConfig, train
     from .train.checkpoint import save_checkpoint
 
+    from .models import LossWeights
+
     windows = np.load(args.windows)
-    tc = TrainConfig(epochs=args.epochs, lr=args.lr, seed=args.seed)
+    weights = LossWeights(kld=args.kld)
+    tc = TrainConfig(
+        epochs=args.epochs, lr=args.lr, seed=args.seed, weights=weights,
+    )
     if args.fused:
         if args.mesh:
             raise SystemExit(
@@ -56,7 +62,8 @@ def _cmd_train(args):
         from .ops import fused_train
 
         params, hist = fused_train(
-            windows, epochs=args.epochs, lr=args.lr, seed=args.seed
+            windows, epochs=args.epochs, lr=args.lr, weights=weights,
+            seed=args.seed,
         )
     else:
         mesh = None
@@ -66,7 +73,14 @@ def _cmd_train(args):
             mesh = create_mesh()
         params, hist = train(windows, train_cfg=tc, mesh=mesh)
     cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
-    save_checkpoint(args.ckpt, params, cfg, args.scenario, hist)
+    save_checkpoint(
+        args.ckpt, params, cfg, args.scenario, hist,
+        extra_manifest={"recipe": {
+            "epochs": args.epochs, "lr": args.lr, "kld_weight": args.kld,
+            "seed": args.seed, "windows": os.path.basename(args.windows),
+            "trainer": "fused" if args.fused else "scan",
+        }},
+    )
     print(
         f"trained {args.epochs} epochs; final loss {hist['total'][-1]:.4f}; "
         f"checkpoint at {args.ckpt}"
@@ -398,6 +412,12 @@ def main(argv=None):
         "npy datasets; 'artifact' uses the predicates the published results "
         "were trained with (sce1: ego_y>=40)",
     )
+    d.add_argument(
+        "--point-mode", choices=("normal", "extend_mid"), default="normal",
+        help="'extend_mid' appends the reference's ceil-midpoint-augmented "
+        "windows (Traj_Data_Process.py:106-121) to the normal ones — the "
+        "sce4 checkpoint's training corpus (see its manifest recipe)",
+    )
     d.set_defaults(fn=_cmd_dataset)
 
     t = sub.add_parser("train", help="train a scenario CVAE")
@@ -406,6 +426,10 @@ def main(argv=None):
     t.add_argument("--ckpt", required=True)
     t.add_argument("--epochs", type=int, default=3000)
     t.add_argument("--lr", type=float, default=1e-3)
+    t.add_argument("--kld", type=float, default=0.1,
+                   help="KLD loss weight (reference default 0.1, "
+                   "Training_VAE.py:299-306; the sce4 checkpoint recipe "
+                   "uses 0.2 — see its manifest)")
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--mesh", action="store_true", help="data-parallel mesh")
     t.add_argument(

@@ -203,6 +203,76 @@ def test_extraction_differential_vs_live_reference():
 
 
 @requires_reference
+def test_extend_mid_differential_vs_live_reference():
+    """The ceil-midpoint subsampling (``point_mode='extend_mid'``,
+    reference ``Traj_Data_Process.py:109-114``) must match the reference's
+    ``process_csv`` run LIVE on a real CSV of every scenario — the sce4
+    checkpoint's training corpus is the extend_mid build, so this window
+    math is now load-bearing."""
+    import glob
+    import sys
+
+    sys.path.insert(0, str(REFERENCE_ROOT))
+    try:
+        import Traj_Data_Process as RTP
+    finally:
+        sys.path.pop(0)
+    from defensive_model_vae_tpu.data import process_csv
+
+    for town, key in [
+        ("StaticBlindTown05", "sce1"), ("DynamicBlindTown05", "sce2"),
+        ("PredictableMovementTown05", "sce3"),
+        ("UnpredictableMovementTown04", "sce4"),
+    ]:
+        sce = scenarios.get(key)
+        csv = sorted(
+            glob.glob(str(REFERENCE_ROOT / "DefensiveData" / town / "减速/*.csv"))
+        )[0]
+        for mode in ("normal", "extend_mid"):
+            ref = RTP.process_csv(
+                csv, town, "减速", target_points=10, point_mode=mode,
+                time_interval=sce.dt,
+            )
+            mine = process_csv(
+                csv, key, target_points=10, point_mode=mode,
+                time_interval=sce.dt,
+            )
+            assert (ref is None) == (mine is None)
+            if ref is not None:
+                # f32 cast = the corpus dtype (same standard as the
+                # shipped-npy parity tests); raw f64 differs at ~1e-14
+                # from CSV-parse/stacking path differences
+                assert np.array_equal(
+                    np.asarray(mine, np.float32), np.asarray(ref, np.float32)
+                )
+
+
+@requires_reference
+def test_extend_mid_dataset_appends_midpoint_windows():
+    """``build_dataset(point_mode='extend_mid')`` = the normal corpus with
+    the ceil-midpoint variant of every window appended (the reference
+    __main__'s extend flow, ``Traj_Data_Process.py:170-176``).  Midpoint
+    siblings share endpoints and the time column with their normal window
+    (the subsample index formula preserves ``indices[0]``/``indices[-1]``).
+    The shipped ``trajectory_sce3_extend1.npy`` is NOT an oracle for this:
+    it is a legacy (150, 6, 2) xy-only artifact from the pre-n=66 corpus
+    era (75 trajectories, 6 target points)."""
+    norm = build_dataset(str(REFERENCE_ROOT / "DefensiveData"), "sce2")
+    ext = build_dataset(
+        str(REFERENCE_ROOT / "DefensiveData"), "sce2", point_mode="extend_mid"
+    )
+    n = len(norm)
+    assert ext.shape == (2 * n, 10, 3)
+    assert np.array_equal(ext[:n], norm)
+    mid = ext[n:]
+    assert np.array_equal(mid[:, :, 0], norm[:, :, 0])  # same time columns
+    assert np.array_equal(mid[:, 0, 1:], norm[:, 0, 1:])  # same start xy
+    assert np.array_equal(mid[:, -1, 1:], norm[:, -1, 1:])  # same end xy
+    # interior points differ for at least some windows (the midpoint shift)
+    assert not np.array_equal(mid[:, 1:-1, 1:], norm[:, 1:-1, 1:])
+
+
+@requires_reference
 def test_sce1_artifact_dataset_variant():
     """The 'artifact' extraction variant (ego_y>=40, the predicate the
     published results were trained with — see scenarios.py) yields the same

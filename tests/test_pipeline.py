@@ -121,6 +121,32 @@ def test_cli_dataset_train_generate(tmp_path, all_windows):
     assert gen.shape == (1, 3, 10, 3)
 
 
+def test_cli_train_kld_weight(tmp_path, all_windows):
+    """--kld reaches the loss (different weight → different final loss) and
+    the manifest records the full training recipe — the sce4 checkpoint's
+    kld-0.2 extend_mid recipe must be retrainable from the CLI alone."""
+    import json
+
+    from defensive_model_vae_tpu.cli import main
+
+    w = tmp_path / "w.npy"
+    np.save(w, all_windows["sce2"])
+    finals = {}
+    for kld in ("0.1", "0.4"):
+        ck = tmp_path / f"ckpt_{kld}"
+        main([
+            "train", "--scenario", "sce2", "--windows", str(w),
+            "--ckpt", str(ck), "--epochs", "50", "--kld", kld,
+        ])
+        hist = np.load(ck / "history.npz")
+        finals[kld] = float(hist["total"][-1])
+        with open(ck / "manifest.json") as f:
+            recipe = json.load(f)["recipe"]
+        assert recipe["kld_weight"] == float(kld)
+        assert recipe["epochs"] == 50 and recipe["trainer"] == "scan"
+    assert finals["0.1"] != finals["0.4"]
+
+
 def test_reg157():
     """Both branches of the fixed TTC trigger (the reference's own condition
     is inverted — see the preserved-quirk note in driver_models.py)."""
