@@ -198,3 +198,71 @@ def test_multiseed_default_band_matches_committed_artifact():
         assert m.group(1) == default, sce
         for metric, stats in doc[sce].items():
             assert len(stats["values"]) == n, (sce, metric)
+
+
+def test_multiseed_chunked_resume(tmp_path, monkeypatch):
+    """``--chunk N`` must (a) split the seed list into N-seed tracking
+    programs, (b) checkpoint each completed seed's report to the progress
+    file, and (c) on rerun skip completed seeds while assembling the final
+    band in gens order — the crash-resume path that regenerated the
+    committed sce4 band around repeated TPU-worker restarts."""
+    import json
+    import sys
+
+    import numpy as np
+
+    import defensive_model_vae_tpu.data as data_mod
+    import defensive_model_vae_tpu.pipeline as pl
+    import defensive_model_vae_tpu.train.checkpoint as ckpt_mod
+    import defensive_model_vae_tpu.utils.cache as cache_mod
+
+    mv = _load("multiseed_validate")
+
+    calls = []
+
+    def fake_multi(params, cfg, sce, csvs, seeds):
+        calls.append([int(s) for s in seeds])
+        # encode the seed in the trace so the (seed-blind) validate stub
+        # can produce per-seed values the assertions recognize
+        return {int(s): ([np.full((4, 4), float(s))], ["t.npy"])
+                for s in seeds}
+
+    def fake_validate(traces, humans, sce):
+        s = float(traces[0][0, 0])
+        return {m: s + i for i, m in enumerate(mv.METRICS)}
+
+    monkeypatch.setattr(cache_mod, "enable_persistent_cache", lambda: None)
+    monkeypatch.setattr(ckpt_mod, "load_checkpoint",
+                        lambda d: (None, None, {}))
+    monkeypatch.setattr(data_mod, "collect_csv_files", lambda d: [])
+    monkeypatch.setattr(pl, "load_humans", lambda sce, csvs: [])
+    monkeypatch.setattr(pl, "generate_and_track_multi", fake_multi)
+    monkeypatch.setattr(pl, "validate", fake_validate)
+
+    out, prog = tmp_path / "band.json", tmp_path / "progress.json"
+    argv = ["mv", "--scenarios", "sce1", "--gen-seeds", "0,1,2,3,4,5,6",
+            "--chunk", "3", "--out", str(out), "--progress", str(prog)]
+    monkeypatch.setattr(sys, "argv", argv)
+
+    mv.main()
+    assert calls == [[0, 1, 2], [3, 4, 5], [6]]
+    doc = json.loads(out.read_text())
+    for i, m in enumerate(mv.METRICS):
+        assert doc["sce1"][m]["values"] == [s + i for s in range(7)], m
+    assert any("chunked" in n for n in doc["provenance"]["sce1"]["notes"])
+
+    # simulate a crash after the first two chunks: drop seeds 5,6 from the
+    # progress file and rerun — only the missing seeds are re-tracked
+    progress = json.loads(prog.read_text())
+    assert sorted(map(int, progress["sce1"])) == list(range(7))
+    for s in ("5", "6"):
+        del progress["sce1"][s]
+    prog.write_text(json.dumps(progress))
+    calls.clear()
+    out.unlink()
+
+    mv.main()
+    assert calls == [[5, 6]]
+    doc = json.loads(out.read_text())
+    for i, m in enumerate(mv.METRICS):
+        assert doc["sce1"][m]["values"] == [s + i for s in range(7)], m
