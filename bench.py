@@ -39,6 +39,23 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _fresh_seed(lo=1 << 20):
+    """OS-entropy seed base for TIMED calls.
+
+    The axon tunnel elides re-execution of an (inputs, executable) pair it
+    has already run — and the cache is CROSS-PROCESS: a fresh process
+    re-running the identical scale bench read 0.00 s warm / 0.6 s cold
+    against 1.24 s / 14.3 s honest minutes earlier (CLAUDE.md measurement
+    hazards).  Fixed literal seeds (1..5, 1000..1031, …) therefore repeat
+    byte-identical inputs every bench invocation and can time the cache,
+    not the chip.  Every timed call derives its seeds from this entropy
+    base; convergence assertions are seed-generic (relative loss-drop
+    checks), so honesty costs nothing."""
+    import secrets
+
+    return lo + secrets.randbelow((1 << 30) - lo)
+
+
 def _load_windows():
     here = os.path.dirname(os.path.abspath(__file__))
     fix = os.path.join(here, "fixtures", "trajectory_sce1_cond.npy")
@@ -66,7 +83,8 @@ def bench_jax(windows, epochs=3000):
         cold = time.time() - t0
         fused_train(windows, epochs=epochs, seed=99)  # untimed warm-up
         warm = float("inf")
-        for s in (1, 2, 3, 4, 5):  # best-of-5 to damp device/tunnel jitter
+        base = _fresh_seed()  # never repeat a seed the tunnel has seen
+        for s in range(base, base + 5):  # best-of-5 to damp tunnel jitter
             t0 = time.time()
             _, hist = fused_train(windows, epochs=epochs, seed=s)
             warm = min(warm, time.time() - t0)
@@ -80,7 +98,10 @@ def bench_jax(windows, epochs=3000):
         _, hist = train(windows, train_cfg=tc)
         cold = time.time() - t0
         t0 = time.time()
-        _, hist = train(windows, train_cfg=tc)
+        # fresh seed: an identical repeat can be served from the tunnel's
+        # cross-process result cache (CLAUDE.md measurement hazards)
+        _, hist = train(windows, train_cfg=TrainConfig(epochs=epochs,
+                                                       seed=_fresh_seed()))
         warm = time.time() - t0
         label = "xla-scan"
 
@@ -114,11 +135,14 @@ def bench_jax(windows, epochs=3000):
             ]
 
             # fresh seed VALUES per timed rep (repeating an identical
-            # (inputs, executable) call through the tunnel can read ~0 ms —
-            # CLAUDE.md measurement hazards), pre-transferred OUTSIDE the
+            # (inputs, executable) call through the tunnel can read ~0 ms,
+            # and its result cache is cross-process — CLAUDE.md measurement
+            # hazards; hence the entropy base), pre-transferred OUTSIDE the
             # timed window so seed device_puts aren't charged to the kernel
+            sbase = _fresh_seed()
             seed_arrays = {
-                rep: [jnp.array([[100 * rep + i]], jnp.int32) for i in range(K)]
+                rep: [jnp.array([[sbase + 100 * rep + i]], jnp.int32)
+                      for i in range(K)]
                 for rep in range(4)
             }
             _jax.block_until_ready(seed_arrays[3][-1])
@@ -165,6 +189,7 @@ def bench_jax(windows, epochs=3000):
 # v5e bf16 MXU peak per chip; the fp32 kernel sees at most half of this,
 # so mfu_pct below is a conservative (lower-bound) utilization figure.
 V5E_PEAK_FLOPS = 197e12
+V5E_HBM_BYTES_PER_S = 819e9  # v5e HBM bandwidth (public spec: 819 GB/s)
 
 
 def _flops_per_window(windows):
@@ -181,7 +206,7 @@ def _flops_per_window(windows):
     return 6 * sum(fi * fo for fi, fo in spec.values())
 
 
-def bench_scale(n=131072, epochs=200, seq_len=10, dim=3):
+def bench_scale(n=131072, epochs=200, seq_len=10, dim=3, compute_dtype=None):
     """Production-batch training throughput.
 
     The reference corpora are tiny (≤135 windows — ``SURVEY.md`` §6), so the
@@ -191,8 +216,21 @@ def bench_scale(n=131072, epochs=200, seq_len=10, dim=3):
     model, loss, Adam update, scan-over-epochs program) on a synthetic
     production-scale corpus where the MXU is actually fed, making the
     framework's real throughput ceiling auditable alongside the
-    reference-sized number.  Returns (windows/s, TFLOP/s) or None on
-    failure (recorded as absent keys, logged to stderr)."""
+    reference-sized number.
+
+    At this batch size the MLP is HBM-bandwidth-bound, not MXU-bound
+    (arithmetic intensity ~64 FLOP/activation-byte at hidden 128 — far
+    below the ~240 needed to saturate the MXU from HBM), so the honest
+    speed-of-light anchor is achieved bandwidth, reported as a FLOOR from
+    an analytic traffic model (every activation written+read once, batch
+    read per epoch; the axon backend's ``cost_analysis()`` bytes are
+    implausible, so no XLA number is used).  ``compute_dtype="bfloat16"``
+    runs the trainer's mixed-precision path (bf16 forward/backward, f32
+    master params + Adam — ``TrainConfig.compute_dtype``), which halves
+    activation bytes — the throughput lever for a bandwidth-bound model.
+
+    Returns (windows/s, TFLOP/s, GB/s-or-None) or raises on divergence
+    (recorded as absent keys, logged to stderr)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -210,21 +248,23 @@ def bench_scale(n=131072, epochs=200, seq_len=10, dim=3):
     windows = np.concatenate([t[..., None], xy], axis=-1).astype(np.float32)
 
     cfg = CVAEConfig(seq_len=seq_len, dim=dim)
-    tc = TrainConfig(epochs=epochs)
+    tc = TrainConfig(epochs=epochs, compute_dtype=compute_dtype)
     optimizer = optax.adam(tc.lr)
     params = init_params(jax.random.PRNGKey(0), cfg)
     opt_state = optimizer.init(params)
     run = jax.jit(_scan_trainer(make_train_step(cfg, tc, optimizer), epochs))
     batch = jnp.asarray(windows)
 
+    sbase = _fresh_seed()  # entropy seeds: the tunnel's result cache is
+    # cross-process, so fixed keys can time the cache (CLAUDE.md hazards)
     t0 = time.time()
-    out = run(params, opt_state, jax.random.PRNGKey(1), batch, None, None)
+    out = run(params, opt_state, jax.random.PRNGKey(sbase), batch, None, None)
     jax.block_until_ready(out[2])
     cold = time.time() - t0
     best = float("inf")
     # fresh PRNG key per timed call (identical-repeat hazard, CLAUDE.md);
     # out[2] is the (epochs, 5) metrics stack — a tiny single-buffer sync
-    for s in (2, 3, 4):
+    for s in range(sbase + 1, sbase + 4):
         t0 = time.time()
         out = run(params, opt_state, jax.random.PRNGKey(s), batch, None, None)
         jax.block_until_ready(out[2])
@@ -235,12 +275,25 @@ def bench_scale(n=131072, epochs=200, seq_len=10, dim=3):
     rate = epochs * n / best
     fpw = _flops_per_window(windows)
     tflops = rate * fpw / 1e12
+    # achieved-bandwidth FLOOR from an analytic traffic model (the axon
+    # backend's cost_analysis() reports implausible bytes-accessed, so the
+    # auditable model is: per window·epoch, every layer activation written
+    # once and read once in the compute dtype, plus one f32 batch read.
+    # Real traffic is strictly higher — backward re-reads activations for
+    # weight grads, optimizer state streams, etc. — so the % is a floor.)
+    act_floats = sum(fo for _, fo in cfg.layer_spec().values()) + cfg.latent_dim
+    act_bytes = 2 if compute_dtype == "bfloat16" else 4
+    bpw = 2 * act_floats * act_bytes + seq_len * dim * 4
+    gbps = rate * bpw / 1e9
+    tag = f" [{compute_dtype}]" if compute_dtype else ""
     _log(
-        f"scale: {n} windows x {epochs} epochs (cold {cold:.1f}s, warm {best:.2f}s) "
-        f"→ {rate/1e6:.1f}M windows/s, {tflops:.1f} TFLOP/s "
-        f"({100 * tflops * 1e12 / V5E_PEAK_FLOPS:.1f}% of v5e bf16 peak)"
+        f"scale{tag}: {n} windows x {epochs} epochs (cold {cold:.1f}s, "
+        f"warm {best:.2f}s) → {rate/1e6:.1f}M windows/s, {tflops:.1f} TFLOP/s "
+        f"({100 * tflops * 1e12 / V5E_PEAK_FLOPS:.1f}% of v5e bf16 peak), "
+        f"≥{gbps:.0f} GB/s ({100 * gbps * 1e9 / V5E_HBM_BYTES_PER_S:.0f}% of "
+        f"v5e HBM peak, traffic-floor model)"
     )
-    return rate, tflops
+    return rate, tflops, gbps
 
 
 def bench_torch_baseline(windows, epochs=200):
@@ -359,10 +412,12 @@ def bench_seed_grid(windows, n_seeds=32, epochs=3000):
     from defensive_model_vae_tpu.ops import fused_train_seeds
 
     fused_train_seeds(windows, list(range(n_seeds)), epochs=epochs)  # compile
-    # fresh seed values for the timed run (identical-repeat hazard, CLAUDE.md)
+    # fresh seed values for the timed run (identical-repeat hazard is
+    # cross-process — CLAUDE.md; a fixed literal range can time the cache)
+    base = _fresh_seed()
     t0 = time.time()
     _, hist_by = fused_train_seeds(
-        windows, list(range(1000, 1000 + n_seeds)), epochs=epochs
+        windows, list(range(base, base + n_seeds)), epochs=epochs
     )
     dt = time.time() - t0
     for s, h in hist_by.items():
@@ -377,15 +432,16 @@ def bench_seed_grid(windows, n_seeds=32, epochs=3000):
     return dt
 
 
-def _jittered_sut_copy(src_dir, dst_dir):
+def _jittered_sut_copy(src_dir, dst_dir, eps=1e-3):
     """Copy the SUT corpus with surrounding-vehicle velocities shifted by
-    +1e-3 m/s.  Same episodes, same frame selection and padded device
+    +``eps`` m/s.  Same episodes, same frame selection and padded device
     shapes (SV count is column-presence-based; no stop condition or path
     clustering reads SV velocities — ``dnda/calculator.py``), but every
-    device input buffer differs — so a warm pass on the copy compiles and
-    loads the exact executables while leaving the timed pass on the real
-    corpus a FRESH (inputs, executable) pair (identical-repeat hazard,
-    CLAUDE.md)."""
+    device input buffer differs — so a warm pass on one copy compiles and
+    loads the exact executables while the timed pass on a copy with a
+    DIFFERENT eps is a fresh (inputs, executable) pair (identical-repeat
+    hazard, CLAUDE.md; the tunnel's result cache is cross-process, so the
+    timed eps must come from OS entropy, not a constant)."""
     import re
 
     import pandas as pd
@@ -397,7 +453,7 @@ def _jittered_sut_copy(src_dir, dst_dir):
         df = pd.read_csv(os.path.join(src_dir, name))
         sv_vel = [c for c in df.columns if re.fullmatch(r"sv\d+_v[xy]", c)]
         if sv_vel:
-            df[sv_vel] = df[sv_vel] + 1e-3
+            df[sv_vel] = df[sv_vel] + eps
         df.to_csv(os.path.join(dst_dir, name), index=False)
 
 
@@ -412,14 +468,22 @@ def bench_dnda_sweep():
         return None
     from defensive_model_vae_tpu.dnda import score_directory
 
-    # warm on a value-jittered copy (cold compiles + executable loads land
-    # here) so the timed real-corpus sweep below is a fresh input pair
+    # warm on one value-jittered copy (cold compiles + executable loads
+    # land here), then TIME a copy jittered with an OS-entropy eps: the
+    # real corpus is byte-identical every invocation, and the tunnel's
+    # cross-process result cache can elide a repeated identical sweep
+    # (CLAUDE.md hazards) — the entropy copy has identical shapes and
+    # per-frame compute, so its timing is the honest corpus-sweep number
     with tempfile.TemporaryDirectory() as tmp:
         _jittered_sut_copy(d, os.path.join(tmp, "warm"))
         score_directory(os.path.join(tmp, "warm"))
-    t0 = time.time()
-    rows = score_directory(d)
-    dt = time.time() - t0
+        import secrets
+
+        timed = os.path.join(tmp, "timed")
+        _jittered_sut_copy(d, timed, eps=1e-4 * (1 + secrets.randbelow(1000)))
+        t0 = time.time()
+        rows = score_directory(timed)
+        dt = time.time() - t0
     _log(f"dnda sweep: {len(rows)} episodes in {dt:.1f}s (warm)")
     return dt
 
@@ -442,8 +506,10 @@ def bench_mpc_corpus():
     )
     cfg = MPCConfig(prediction_horizon=30, control_horizon=20, dt=0.02)
     track_batch(wps, inits, cfg)  # compile
-    # perturb the timed call's inputs (identical-repeat hazard, CLAUDE.md)
-    inits2 = inits + rng.normal(0, 1e-3, inits.shape)
+    # perturb the timed call's inputs with OS-entropy noise — a fixed-seed
+    # perturbation repeats identical values every invocation, and the
+    # tunnel's result cache is cross-process (CLAUDE.md hazards)
+    inits2 = inits + np.random.default_rng().normal(0, 1e-3, inits.shape)
     t0 = time.time()
     _, states, _, steps = track_batch(wps, inits2, cfg)
     dt = time.time() - t0
@@ -465,10 +531,11 @@ def bench_generation(windows, n=4096):
         params = init_params(jax.random.PRNGKey(0), cfg)
         starts = np.tile(windows[0, 0, 1:3], (n, 1))
         generate_trajectories(params, cfg, starts, seed=0)  # compile
+        gbase = _fresh_seed()  # cross-process identical-repeat hazard
         t0 = time.time()
         # generate_trajectories materializes to host numpy internally, so
         # this timing already awaits execution through the axon tunnel
-        generate_trajectories(params, cfg, starts, seed=1)
+        generate_trajectories(params, cfg, starts, seed=gbase)
         dt = time.time() - t0
         # sustained device throughput: pipeline K batches with
         # materialize=False, sync once on the last (RTT + the ~0.5 MB host
@@ -489,7 +556,7 @@ def bench_generation(windows, n=4096):
         dt_pipe = float("inf")
         for rep in range(1, 4):  # best-of-3 to damp tunnel/host jitter
             t0 = time.time()
-            _k_batches(100 * rep)
+            _k_batches(gbase + 100 * rep)
             dt_pipe = min(dt_pipe, (time.time() - t0) / K)
         _log(f"generation: {n} trajectories in {dt*1e3:.0f} ms → {n/dt:,.0f} traj/s "
              f"(sustained {n/dt_pipe:,.0f} traj/s device-resident)")
@@ -509,7 +576,7 @@ def main():
         # for wall-clock-constrained driver rounds; the persistent
         # .jax_cache keeps even the 'cold' compile cheap on repeats
         torch_rate = RECORDED_TORCH_CPU_RATE
-    dnda_s = mpc_s = grid_s = grid_ok = scale = None
+    dnda_s = mpc_s = grid_s = grid_ok = scale = scale_bf16 = None
     if not warm_only:
         bench_generation(windows)
         # a convergence regression must be VISIBLE, not fatal: record
@@ -542,6 +609,10 @@ def main():
             scale = bench_scale()
         except Exception as e:
             _log(f"scale bench failed ({e})")
+        try:
+            scale_bf16 = bench_scale(compute_dtype="bfloat16")
+        except Exception as e:
+            _log(f"bf16 scale bench failed ({e})")
         try:
             torch_rate = bench_torch_baseline(windows)
         except Exception as e:  # torch missing/broken → recorded rate
@@ -593,6 +664,21 @@ def main():
         result["scale_windows_per_sec"] = round(scale[0], 1)
         result["scale_tflops_sustained"] = round(scale[1], 3)
         result["scale_mfu_pct"] = round(100 * scale[1] * 1e12 / V5E_PEAK_FLOPS, 3)
+        if scale[2]:
+            # the workload is HBM-bandwidth-bound: achieved GB/s vs HBM
+            # peak is the honest speed-of-light anchor at this shape
+            result["scale_gbps"] = round(scale[2], 1)
+            result["scale_hbm_pct"] = round(
+                100 * scale[2] * 1e9 / V5E_HBM_BYTES_PER_S, 1
+            )
+    if scale_bf16 is not None:
+        # mixed-precision (TrainConfig.compute_dtype="bfloat16") variant:
+        # bf16 forward/backward halves activation traffic — the throughput
+        # lever for a bandwidth-bound MLP
+        result["scale_bf16_windows_per_sec"] = round(scale_bf16[0], 1)
+        result["scale_bf16_tflops_sustained"] = round(scale_bf16[1], 3)
+        if scale_bf16[2]:
+            result["scale_bf16_gbps"] = round(scale_bf16[2], 1)
     print(json.dumps(result))
 
 

@@ -52,12 +52,18 @@ def _cmd_train(args):
     weights = LossWeights(kld=args.kld)
     tc = TrainConfig(
         epochs=args.epochs, lr=args.lr, seed=args.seed, weights=weights,
+        compute_dtype=args.dtype,
     )
     if args.fused:
         if args.mesh:
             raise SystemExit(
                 "--fused runs single-chip (VMEM-resident kernel); "
                 "drop --mesh or use the scan trainer"
+            )
+        if args.dtype:
+            raise SystemExit(
+                "--dtype applies to the scan trainer (the fused kernel is "
+                "f32 VMEM-resident); drop --fused or --dtype"
             )
         from .ops import fused_train
 
@@ -79,6 +85,7 @@ def _cmd_train(args):
             "epochs": args.epochs, "lr": args.lr, "kld_weight": args.kld,
             "seed": args.seed, "windows": os.path.basename(args.windows),
             "trainer": "fused" if args.fused else "scan",
+            **({"compute_dtype": args.dtype} if args.dtype else {}),
         }},
     )
     print(
@@ -431,6 +438,9 @@ def main(argv=None):
                    "Training_VAE.py:299-306; the sce4 checkpoint recipe "
                    "uses 0.2 — see its manifest)")
     t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--dtype", default=None, choices=["bfloat16"],
+                   help="mixed-precision compute dtype (bf16 fwd/bwd, f32 "
+                        "master params + Adam); default pure f32")
     t.add_argument("--mesh", action="store_true", help="data-parallel mesh")
     t.add_argument(
         "--fused", action="store_true",

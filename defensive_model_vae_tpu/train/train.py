@@ -40,6 +40,13 @@ class TrainConfig:
     lr: float = 1e-3
     weights: LossWeights = LossWeights()
     seed: int = 0
+    # mixed precision: run the CVAE forward/backward in this dtype (e.g.
+    # "bfloat16") while master params, loss reductions, and Adam stay
+    # float32.  None (default) = pure float32, bit-identical to the
+    # reference-parity path.  The MLP at production batch sizes is
+    # HBM-bandwidth-bound (see bench.py's scale roofline), so halving
+    # activation bytes is the throughput lever, not extra MXU passes.
+    compute_dtype: Optional[str] = None
 
 
 def make_train_step(model_cfg: CVAEConfig, train_cfg: TrainConfig, optimizer):
@@ -49,6 +56,9 @@ def make_train_step(model_cfg: CVAEConfig, train_cfg: TrainConfig, optimizer):
     extra condition features appended to the start point (the conditioned
     variant); ``mask`` excludes padded rows from every loss mean."""
 
+    cdt = (None if train_cfg.compute_dtype is None
+           else jnp.dtype(train_cfg.compute_dtype))
+
     def loss_fn(params, key, batch, mask, extra):
         batch_rel, start_points = to_relative(batch)
         cond = (
@@ -56,7 +66,21 @@ def make_train_step(model_cfg: CVAEConfig, train_cfg: TrainConfig, optimizer):
             if extra is None
             else jnp.concatenate([start_points, extra], axis=1)
         )
-        recon, mu, logvar, _ = forward(params, key, batch_rel, cond, model_cfg)
+        fwd_in = (params, batch_rel, cond)
+        if cdt is not None:
+            # cast params + activations down for the forward/backward; the
+            # cast's VJP casts gradients back up, so grads land in float32
+            # against the float32 master params
+            fwd_in = jax.tree_util.tree_map(
+                lambda a: a.astype(cdt), fwd_in
+            )
+        p, x, c = fwd_in
+        recon, mu, logvar, _ = forward(p, key, x, c, model_cfg)
+        if cdt is not None:
+            # loss terms (means, exp, squared errors) reduce in float32
+            recon, mu, logvar = (
+                a.astype(jnp.float32) for a in (recon, mu, logvar)
+            )
         total, comps = cvae_loss(recon, batch_rel, mu, logvar, train_cfg.weights, mask)
         return total, comps
 

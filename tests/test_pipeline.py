@@ -147,6 +147,47 @@ def test_cli_train_kld_weight(tmp_path, all_windows):
     assert finals["0.1"] != finals["0.4"]
 
 
+def test_cli_train_dtype(tmp_path, all_windows):
+    """--dtype bfloat16 reaches the trainer (mixed-precision run differs
+    from f32 but still converges), lands in the manifest recipe, and is
+    rejected for the f32-only fused kernel."""
+    import json
+
+    import pytest
+
+    from defensive_model_vae_tpu.cli import main
+
+    w = tmp_path / "w.npy"
+    np.save(w, all_windows["sce2"])
+    ck = tmp_path / "ckpt_bf16"
+    main([
+        "train", "--scenario", "sce2", "--windows", str(w),
+        "--ckpt", str(ck), "--epochs", "50", "--dtype", "bfloat16",
+    ])
+    hist = np.load(ck / "history.npz")
+    assert np.isfinite(hist["total"][-1])
+    with open(ck / "manifest.json") as f:
+        recipe = json.load(f)["recipe"]
+    assert recipe["compute_dtype"] == "bfloat16"
+
+    ck32 = tmp_path / "ckpt_f32"
+    main([
+        "train", "--scenario", "sce2", "--windows", str(w),
+        "--ckpt", str(ck32), "--epochs", "50",
+    ])
+    with open(ck32 / "manifest.json") as f:
+        assert "compute_dtype" not in json.load(f)["recipe"]
+    hist32 = np.load(ck32 / "history.npz")
+    assert hist["total"][-1] != hist32["total"][-1]  # bf16 actually took effect
+
+    with pytest.raises(SystemExit, match="fused"):
+        main([
+            "train", "--scenario", "sce2", "--windows", str(w),
+            "--ckpt", str(tmp_path / "x"), "--epochs", "10",
+            "--fused", "--dtype", "bfloat16",
+        ])
+
+
 def test_reg157():
     """Both branches of the fixed TTC trigger (the reference's own condition
     is inverted — see the preserved-quirk note in driver_models.py)."""

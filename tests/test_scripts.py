@@ -169,11 +169,18 @@ def test_bench_scale_smoke_tiny():
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
 
-    rate, tflops = bench.bench_scale(n=64, epochs=8)
-    assert rate > 0 and tflops > 0
     import numpy as np
 
+    rate, tflops, _ = bench.bench_scale(n=64, epochs=8)
+    assert rate > 0 and tflops > 0
     assert np.isfinite(rate) and np.isfinite(tflops)
+
+    # the mixed-precision variant must run and converge too (bf16
+    # forward/backward over f32 master params — TrainConfig.compute_dtype)
+    rate16, tflops16, _ = bench.bench_scale(
+        n=64, epochs=8, compute_dtype="bfloat16"
+    )
+    assert rate16 > 0 and np.isfinite(tflops16)
 
 
 def test_multiseed_default_band_matches_committed_artifact():
