@@ -114,6 +114,9 @@ def main():
                     default=",".join(map(str, list(range(5)) + list(range(10, 75)))),
                     help="reporting-band gen seeds for --band-eval-top (default "
                          "the n=70 unselected band)")
+    ap.add_argument("--track-chunk", type=int, default=0,
+                    help="gen seeds per tracking program (0 = all in one; "
+                         "smaller chunks ride out TPU-worker restarts)")
     ap.add_argument("--data-root", default="/root/reference/DefensiveData")
     ap.add_argument("--windows", default=None,
                     help="windows npy (default fixtures/trajectory_<sce>_cond.npy)")
@@ -165,13 +168,20 @@ def main():
         return train(corpora[mode], train_cfg=tc)
 
     def eval_candidate(params, gen_seeds):
-        # all gen seeds in ONE tracking program (ulp-equivalent to per-seed
-        # calls — test_pipeline.py::test_generate_and_track_multi_matches_per_seed)
-        tracked = generate_and_track_multi(params, cfg, sce, csvs, seeds=gen_seeds)
+        # all gen seeds in ONE tracking program by default (ulp-equivalent
+        # to per-seed calls —
+        # test_pipeline.py::test_generate_and_track_multi_matches_per_seed);
+        # --track-chunk N splits into N-seed programs — shorter device
+        # executions ride out TPU-worker restarts (same rationale as
+        # multiseed_validate.py --chunk)
+        chunk = args.track_chunk or len(gen_seeds)
         per_gen = {}
-        for g in gen_seeds:
-            rep = validate(tracked[g][0], humans, sce)
-            per_gen[g] = {m: rep[m] for m in METRICS}
+        for i in range(0, len(gen_seeds), chunk):
+            part = gen_seeds[i:i + chunk]
+            tracked = generate_and_track_multi(params, cfg, sce, csvs, seeds=part)
+            for g in part:
+                rep = validate(tracked[g][0], humans, sce)
+                per_gen[g] = {m: rep[m] for m in METRICS}
         return per_gen
 
     results = []
