@@ -38,6 +38,11 @@ def main():
     from defensive_model_vae_tpu.data.features import build_conditioned_corpus
     from defensive_model_vae_tpu.generate import generate_trajectories
     from defensive_model_vae_tpu.models import CVAEConfig
+    # timed reps draw their seeds from OS entropy: the tunnel's
+    # identical-repeat result elision is CROSS-PROCESS, so a fixed seed
+    # re-times the cache on every rerun (CLAUDE.md measurement hazards);
+    # each drawn seed is recorded in the report for provenance
+    from bench import _fresh_seed
     from defensive_model_vae_tpu.train import TrainConfig, train_conditioned, train_conv
 
     windows = {
@@ -55,13 +60,14 @@ def main():
 
     # ---- config 1: dense VAE on sce1 (fused kernel; scan fallback) ----
     t0 = time.time()
+    s1 = _fresh_seed()
     try:
-        from defensive_model_vae_tpu.ops import fused_train as _train1
+        from defensive_model_vae_tpu.ops import fused_train as _train1a
 
-        _train1(windows["sce1"], epochs=args.epochs)  # warm-up + compile
+        _train1a(windows["sce1"], epochs=args.epochs)  # warm-up + compile
         warmup = time.time() - t0
         t0 = time.time()
-        params1, hist1 = _train1(windows["sce1"], epochs=args.epochs, seed=1)
+        params1, hist1 = _train1a(windows["sce1"], epochs=args.epochs, seed=s1)
         trainer = "pallas-fused"
     except Exception:
         from defensive_model_vae_tpu.train import train as _scan
@@ -73,7 +79,7 @@ def main():
         warmup = time.time() - t0
         t0 = time.time()
         params1, hist1 = _scan(
-            windows["sce1"], train_cfg=TrainConfig(epochs=args.epochs, seed=1)
+            windows["sce1"], train_cfg=TrainConfig(epochs=args.epochs, seed=s1)
         )
         trainer = "xla-scan"
     report["config1_dense_sce1"] = {
@@ -81,19 +87,23 @@ def main():
         "warmup_and_compile_s": round(warmup, 2),
         "seconds_warm": round(time.time() - t0, 2),
         "final_loss": float(hist1["total"][-1]),
+        "timing_seed": s1,
     }
 
     # ---- config 2: four-scenario corpus, one program ----
     t0 = time.time()
+    s2 = _fresh_seed()
     try:
         from defensive_model_vae_tpu.ops import fused_train_multi
 
-        params_by, hist_by = fused_train_multi(windows, epochs=args.epochs)
+        params_by, hist_by = fused_train_multi(windows, epochs=args.epochs, seed=s2)
         mode = "pallas-grid (one kernel launch)"
     except Exception:
         from defensive_model_vae_tpu.train import train_multi_scenario
 
-        params_by, hist_by = train_multi_scenario(windows, TrainConfig(epochs=args.epochs))
+        params_by, hist_by = train_multi_scenario(
+            windows, TrainConfig(epochs=args.epochs, seed=s2)
+        )
         mode = "vmap (one device program)"
     cfg = CVAEConfig()
     gen = generate_trajectories(
@@ -104,17 +114,20 @@ def main():
         "seconds_incl_compile": round(time.time() - t0, 2),
         "final_losses": {k: float(h["total"][-1]) for k, h in hist_by.items()},
         "generated_shape": list(np.asarray(gen).shape),
+        "timing_seed": s2,
     }
 
     # ---- config 3: Conv1D VAE over long windows ----
     t0 = time.time()
+    s3 = _fresh_seed()
     long_windows = generate_random_trajectories(256, 50, 5.0, seed=0).astype(np.float32)
-    _, hist3, cfg3 = train_conv(long_windows, train_cfg=TrainConfig(epochs=500))
+    _, hist3, cfg3 = train_conv(long_windows, train_cfg=TrainConfig(epochs=500, seed=s3))
     report["config3_conv_long_windows"] = {
         "window_shape": [50, 2],
         "seconds_incl_compile": round(time.time() - t0, 2),
         "loss_first": float(hist3["total"][0]),
         "loss_final": float(hist3["total"][-1]),
+        "timing_seed": s3,
     }
 
     # ---- config 4: scenario-class + THW conditioned corpus ----
@@ -137,12 +150,16 @@ def main():
     corpus, extra = build_conditioned_corpus(
         windows, suffixes_by_scenario=suffixes
     )
-    _, hist4, cfg4 = train_conditioned(corpus, extra, TrainConfig(epochs=args.epochs))
+    s4 = _fresh_seed()
+    _, hist4, cfg4 = train_conditioned(
+        corpus, extra, TrainConfig(epochs=args.epochs, seed=s4)
+    )
     report["config4_conditioned"] = {
         "corpus_size": int(corpus.shape[0]),
         "cond_dim": cfg4.cond_dim,
         "seconds_incl_compile": round(time.time() - t0, 2),
         "final_loss": float(hist4["total"][-1]),
+        "timing_seed": s4,
     }
 
     # ---- config 5: end-to-end generate → track → validate ----
@@ -152,12 +169,14 @@ def main():
         from defensive_model_vae_tpu.pipeline import generate_and_track, load_humans, validate
 
         t0 = time.time()
+        s5 = _fresh_seed()
         sce = scenarios.get("sce2")
         csvs = collect_csv_files(os.path.join(args.data_root, sce.town))
-        traces, _ = generate_and_track(params_by["sce2"], cfg, sce, csvs, seed=3)
+        traces, _ = generate_and_track(params_by["sce2"], cfg, sce, csvs, seed=s5)
         humans = load_humans(sce, csvs)
         rep = validate(traces, humans, sce)
         rep["seconds"] = round(time.time() - t0, 2)
+        rep["timing_seed"] = s5
         report["config5_end_to_end_sce2"] = rep
     else:
         report["config5_end_to_end_sce2"] = "skipped (data root absent)"
