@@ -75,13 +75,18 @@ def _load_windows():
 def bench_jax(windows, epochs=3000):
     """Fused-Pallas whole-run kernel (falls back to the scan trainer if the
     kernel can't compile on this backend)."""
+    # entropy seeds for the COLD and WARM-UP calls too: an identical repeat
+    # can be served from the tunnel's cross-process result cache, and an
+    # elided warm-up never loads the executable — leaving the load cost to
+    # be charged to the first timed rep (CLAUDE.md measurement hazards)
+    cbase = _fresh_seed()
     t0 = time.time()
     try:
         from defensive_model_vae_tpu.ops import fused_train
 
-        _, hist = fused_train(windows, epochs=epochs)  # includes compile
+        _, hist = fused_train(windows, epochs=epochs, seed=cbase)  # incl. compile
         cold = time.time() - t0
-        fused_train(windows, epochs=epochs, seed=99)  # untimed warm-up
+        fused_train(windows, epochs=epochs, seed=cbase + 7)  # untimed warm-up
         warm = float("inf")
         base = _fresh_seed()  # never repeat a seed the tunnel has seen
         for s in range(base, base + 5):  # best-of-5 to damp tunnel jitter
@@ -93,9 +98,8 @@ def bench_jax(windows, epochs=3000):
         _log(f"fused kernel unavailable ({type(e).__name__}); scan trainer")
         from defensive_model_vae_tpu.train import TrainConfig, train
 
-        tc = TrainConfig(epochs=epochs)
         t0 = time.time()  # time ONLY the scan trainer, not the failed fused run
-        _, hist = train(windows, train_cfg=tc)
+        _, hist = train(windows, train_cfg=TrainConfig(epochs=epochs, seed=cbase))
         cold = time.time() - t0
         t0 = time.time()
         # fresh seed: an identical repeat can be served from the tunnel's
@@ -391,7 +395,10 @@ def bench_multi_kernel():
         _log("multi-kernel check skipped (fixtures missing)")
         return None
     t0 = time.time()
-    _, hist_by = fused_train_multi(corpora, epochs=300, seed=3)
+    # entropy seed: an identical repeat would be served from the tunnel's
+    # cross-process result cache without loading the executable; the
+    # convergence assertion below is seed-generic (relative loss drop)
+    _, hist_by = fused_train_multi(corpora, epochs=300, seed=_fresh_seed())
     dt = time.time() - t0
     for key, h in hist_by.items():
         first, last = float(h["total"][0]), float(h["total"][-1])
@@ -411,7 +418,10 @@ def bench_seed_grid(windows, n_seeds=32, epochs=3000):
     workload.  Asserts every seed converges; returns warm seconds."""
     from defensive_model_vae_tpu.ops import fused_train_seeds
 
-    fused_train_seeds(windows, list(range(n_seeds)), epochs=epochs)  # compile
+    # compile/warm-up with entropy seeds too — an elided warm-up would
+    # leave the executable load charged to the timed launch
+    wbase = _fresh_seed()
+    fused_train_seeds(windows, list(range(wbase, wbase + n_seeds)), epochs=epochs)
     # fresh seed values for the timed run (identical-repeat hazard is
     # cross-process — CLAUDE.md; a fixed literal range can time the cache)
     base = _fresh_seed()
@@ -477,10 +487,11 @@ def bench_dnda_sweep():
     with tempfile.TemporaryDirectory() as tmp:
         _jittered_sut_copy(d, os.path.join(tmp, "warm"))
         score_directory(os.path.join(tmp, "warm"))
-        import secrets
-
+        # 2^30 distinct eps values, structurally distinct from the warm
+        # copy's 1e-3 (a small discrete space can collide with the warm
+        # copy or the cross-process result cache)
         timed = os.path.join(tmp, "timed")
-        _jittered_sut_copy(d, timed, eps=1e-4 * (1 + secrets.randbelow(1000)))
+        _jittered_sut_copy(d, timed, eps=2e-3 + 1e-12 * _fresh_seed())
         t0 = time.time()
         rows = score_directory(timed)
         dt = time.time() - t0
@@ -505,11 +516,13 @@ def bench_mpc_corpus():
         axis=1,
     )
     cfg = MPCConfig(prediction_horizon=30, control_horizon=20, dt=0.02)
-    track_batch(wps, inits, cfg)  # compile
-    # perturb the timed call's inputs with OS-entropy noise — a fixed-seed
-    # perturbation repeats identical values every invocation, and the
-    # tunnel's result cache is cross-process (CLAUDE.md hazards)
-    inits2 = inits + np.random.default_rng().normal(0, 1e-3, inits.shape)
+    # compile/warm-up AND timed inputs both perturbed with OS-entropy
+    # noise — fixed values repeat identical calls every invocation, and
+    # the tunnel's result cache is cross-process: an elided warm-up would
+    # leave the executable load charged to the timed call (CLAUDE.md)
+    erng = np.random.default_rng()
+    track_batch(wps, inits + erng.normal(0, 1e-3, inits.shape), cfg)
+    inits2 = inits + erng.normal(0, 1e-3, inits.shape)
     t0 = time.time()
     _, states, _, steps = track_batch(wps, inits2, cfg)
     dt = time.time() - t0
@@ -530,8 +543,8 @@ def bench_generation(windows, n=4096):
         cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
         params = init_params(jax.random.PRNGKey(0), cfg)
         starts = np.tile(windows[0, 0, 1:3], (n, 1))
-        generate_trajectories(params, cfg, starts, seed=0)  # compile
         gbase = _fresh_seed()  # cross-process identical-repeat hazard
+        generate_trajectories(params, cfg, starts, seed=gbase + 999)  # compile
         t0 = time.time()
         # generate_trajectories materializes to host numpy internally, so
         # this timing already awaits execution through the axon tunnel
@@ -552,7 +565,7 @@ def bench_generation(windows, n=4096):
             ]
             jax.block_until_ready(outs[-1])
 
-        _k_batches(2)  # untimed warm rep
+        _k_batches(gbase + 5000)  # untimed warm rep (entropy: see gbase)
         dt_pipe = float("inf")
         for rep in range(1, 4):  # best-of-3 to damp tunnel/host jitter
             t0 = time.time()

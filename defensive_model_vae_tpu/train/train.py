@@ -260,10 +260,14 @@ def train_multi_scenario(
 
     step = make_train_step(model_cfg, train_cfg, optimizer)
 
-    def run(params, opt_state, batch, mask):
+    # the key is a runtime ARGUMENT, not a closed-over constant: a closure
+    # would bake the seed into the HLO, so every new seed value would mint
+    # a never-before-compiled program (defeating the persistent cache —
+    # the scan trainer's run() threads its key the same way)
+    def run(params, opt_state, key, batch, mask):
         def body(carry, epoch):
             params, opt_state = carry
-            ks = jax.random.split(jax.random.fold_in(base_key, epoch), len(keys))
+            ks = jax.random.split(jax.random.fold_in(key, epoch), len(keys))
             params, opt_state, comps = jax.vmap(step)(
                 params, opt_state, ks, batch, mask
             )
@@ -276,7 +280,7 @@ def train_multi_scenario(
         )
         return params, metrics
 
-    params, metrics = jax.jit(run)(params, opt_state, batch, mask)
+    params, metrics = jax.jit(run)(params, opt_state, base_key, batch, mask)
     metrics = np.asarray(metrics)  # (epochs, S, 5)
 
     params_by = {
@@ -331,7 +335,9 @@ def train_conv(
         kld = -0.5 * jnp.mean(1 + lv - mu**2 - jnp.exp(lv))
         return recon_l + kld_weight * kld, (recon_l, kld)
 
-    def run(params, opt_state):
+    # key threaded as a runtime argument (a closure would bake the seed
+    # into the HLO and defeat the persistent compilation cache)
+    def run(params, opt_state, key):
         def body(carry, epoch):
             params, opt_state = carry
             k = jax.random.fold_in(key, epoch)
@@ -347,7 +353,7 @@ def train_conv(
         )
         return params, metrics
 
-    params, metrics = jax.jit(run)(params, opt_state)
+    params, metrics = jax.jit(run)(params, opt_state, key)
     metrics = np.asarray(metrics)
     history = {
         "total": metrics[:, 0],

@@ -64,7 +64,10 @@ def main():
     try:
         from defensive_model_vae_tpu.ops import fused_train as _train1a
 
-        _train1a(windows["sce1"], epochs=args.epochs)  # warm-up + compile
+        # warm-up + compile with an entropy seed too: an elided warm-up
+        # would never load the executable, charging the load to the timed
+        # rep and zeroing the recorded warmup_and_compile_s
+        _train1a(windows["sce1"], epochs=args.epochs, seed=s1 + 7)
         warmup = time.time() - t0
         t0 = time.time()
         params1, hist1 = _train1a(windows["sce1"], epochs=args.epochs, seed=s1)
@@ -75,7 +78,7 @@ def main():
         # time ONLY the scan warm-up: t0 may predate a failed fused
         # attempt (warm-up or timed), which must not inflate warmup
         t0 = time.time()
-        _scan(windows["sce1"], train_cfg=TrainConfig(epochs=args.epochs))
+        _scan(windows["sce1"], train_cfg=TrainConfig(epochs=args.epochs, seed=s1 + 7))
         warmup = time.time() - t0
         t0 = time.time()
         params1, hist1 = _scan(

@@ -55,11 +55,13 @@ def main():
         params, cfg, _ = load_checkpoint(os.path.join(args.ckpt_root, key))
         csvs = collect_csv_files(os.path.join(args.data_root, sce.town))
         humans = load_humans(sce, csvs)
-        # warm rep (compile + tunnel), then the timed rep with an
-        # OS-entropy generation seed: the tunnel's identical-repeat result
-        # elision is cross-process, and fixed seeds for the committed
-        # checkpoints have certainly run before (CLAUDE.md hazards)
-        generate_and_track(params, cfg, sce, csvs, seed=1)
+        # warm rep (compile + tunnel), then the timed rep — BOTH with
+        # OS-entropy generation seeds: the tunnel's identical-repeat
+        # result elision is cross-process, fixed seeds for the committed
+        # checkpoints have certainly run before, and an elided warm rep
+        # would leave the executable load charged to the timed rep
+        # (CLAUDE.md hazards)
+        generate_and_track(params, cfg, sce, csvs, seed=_fresh_seed())
         with timer.stage(f"pipeline_{key}"):
             traces, _ = generate_and_track(
                 params, cfg, sce, csvs, seed=_fresh_seed()
@@ -72,27 +74,25 @@ def main():
     }
     from defensive_model_vae_tpu.ops import fused_train_multi
 
-    fused_train_multi(corpora, epochs=300, seed=3)
+    fused_train_multi(corpora, epochs=300, seed=_fresh_seed())  # warm
     with timer.stage("multi_kernel_train_4x300"):
         fused_train_multi(corpora, epochs=300, seed=_fresh_seed())
 
     if os.path.isdir(args.sut_dir):
-        import secrets
         import tempfile
 
         from defensive_model_vae_tpu.dnda import score_directory
 
         # warm on one value-jittered copy, TIME a copy jittered with an
-        # OS-entropy eps — the real corpus is byte-identical every
-        # invocation and the tunnel's result cache is cross-process
-        # (CLAUDE.md hazards); shapes/executables/per-frame compute match
+        # OS-entropy eps (2^30 values, structurally distinct from the warm
+        # 1e-3) — the real corpus is byte-identical every invocation and
+        # the tunnel's result cache is cross-process (CLAUDE.md hazards);
+        # shapes/executables/per-frame compute match
         with tempfile.TemporaryDirectory() as tmp:
             _jittered_sut_copy(args.sut_dir, os.path.join(tmp, "warm"))
             score_directory(os.path.join(tmp, "warm"))
             timed = os.path.join(tmp, "timed")
-            _jittered_sut_copy(
-                args.sut_dir, timed, eps=1e-4 * (1 + secrets.randbelow(1000))
-            )
+            _jittered_sut_copy(args.sut_dir, timed, eps=2e-3 + 1e-12 * _fresh_seed())
             with timer.stage("dnda_sweep_21_episodes"):
                 score_directory(timed)
 

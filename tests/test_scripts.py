@@ -257,19 +257,40 @@ def test_multiseed_chunked_resume(tmp_path, monkeypatch):
     for i, m in enumerate(mv.METRICS):
         assert doc["sce1"][m]["values"] == [s + i for s in range(7)], m
     assert any("chunked" in n for n in doc["provenance"]["sce1"]["notes"])
+    # success must CLEAR the scenario's progress block — a later run
+    # (possibly against a reselected checkpoint) must never resume from
+    # finished work
+    assert "sce1" not in json.loads(prog.read_text())
 
-    # simulate a crash after the first two chunks: drop seeds 5,6 from the
-    # progress file and rerun — only the missing seeds are re-tracked
-    progress = json.loads(prog.read_text())
-    assert sorted(map(int, progress["sce1"])) == list(range(7))
-    for s in ("5", "6"):
-        del progress["sce1"][s]
-    prog.write_text(json.dumps(progress))
+    # simulate a crash after the first two chunks: a progress block with
+    # the MATCHING fingerprint and seeds 0-4 → only 5,6 are re-tracked
+    fp = mv.progress_fingerprint({}, [0, 1, 2, 3, 4, 5, 6],
+                                 "/root/reference/DefensiveData")
+    reports = {
+        str(s): {m: s + i for i, m in enumerate(mv.METRICS)} for s in range(5)
+    }
+    prog.write_text(json.dumps(
+        {"sce1": {"fingerprint": fp, "reports": reports}}
+    ))
     calls.clear()
     out.unlink()
 
     mv.main()
     assert calls == [[5, 6]]
+    doc = json.loads(out.read_text())
+    for i, m in enumerate(mv.METRICS):
+        assert doc["sce1"][m]["values"] == [s + i for s in range(7)], m
+
+    # a STALE fingerprint (reselected checkpoint / different band) must be
+    # discarded: every seed re-runs instead of silently reusing old metrics
+    prog.write_text(json.dumps(
+        {"sce1": {"fingerprint": "stale", "reports": reports}}
+    ))
+    calls.clear()
+    out.unlink()
+
+    mv.main()
+    assert calls == [[0, 1, 2], [3, 4, 5], [6]]
     doc = json.loads(out.read_text())
     for i, m in enumerate(mv.METRICS):
         assert doc["sce1"][m]["values"] == [s + i for s in range(7)], m
