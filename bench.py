@@ -578,6 +578,10 @@ def bench_generation(windows, n=4096):
 
 
 def main():
+    # deterministic Mosaic lowering -> persistent-cache hits for the
+    # fused kernels (re-execs once if hash randomization is live)
+    from defensive_model_vae_tpu.utils.cache import ensure_deterministic_hash_seed
+    ensure_deterministic_hash_seed()
     warm_only = "--warm-only" in sys.argv
     windows = _load_windows()
     _log(f"corpus: {windows.shape}")

@@ -15,6 +15,38 @@ import os
 _enabled = False
 
 
+def ensure_deterministic_hash_seed() -> None:
+    """Re-exec the current process with ``PYTHONHASHSEED=0`` if unset.
+
+    The Pallas/Mosaic kernel lowering serializes hash-ordered structures,
+    so the SAME kernel program lowers to a slightly different HLO in every
+    process under Python hash randomization — each fresh process then
+    MISSES the persistent compilation cache for the fused kernels,
+    re-pays the ~20–40 s tunnel compile, and mints another ~200 KB
+    near-duplicate ``.jax_cache`` entry (35 variants of the multi kernel
+    had accumulated across rounds).  Measured: a ``PYTHONHASHSEED=0``
+    process cache-HITS the entry an unpinned process misses; the non-
+    Pallas programs (scan trainer, tracking, SAT sweep) are deterministic
+    either way.
+
+    Call this FIRST in ``main()`` of a benchmark/evidence entry point —
+    never at import time (library importers must not be re-exec'd).  The
+    child sees the env var and returns immediately, so this cannot loop.
+    """
+    import sys
+
+    if os.environ.get("PYTHONHASHSEED") == "0":
+        return
+    argv0 = sys.argv[0] if sys.argv else ""
+    if not argv0 or not os.path.exists(argv0):
+        # not invoked as `python <script>` (e.g. python -c, embedded):
+        # argv cannot reconstruct the command, so re-exec would fail —
+        # proceed unpinned (only the evidence entry points need the pin)
+        return
+    env = dict(os.environ, PYTHONHASHSEED="0")
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
 def enable_persistent_cache(cache_dir: str | None = None) -> str:
     """Point jax at the repo-local compilation cache (idempotent).
 

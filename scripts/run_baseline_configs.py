@@ -24,6 +24,10 @@ FIXTURES = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__
 
 
 def main():
+    # deterministic Mosaic lowering -> persistent-cache hits for the
+    # fused kernels (re-execs once if hash randomization is live)
+    from defensive_model_vae_tpu.utils.cache import ensure_deterministic_hash_seed
+    ensure_deterministic_hash_seed()
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="results/baseline_configs.json")
     ap.add_argument("--epochs", type=int, default=3000)

@@ -92,6 +92,10 @@ def rank_candidates(results: list[dict]) -> list[dict]:
 
 
 def main():
+    # deterministic Mosaic lowering -> persistent-cache hits for the
+    # fused kernels (re-execs once if hash randomization is live)
+    from defensive_model_vae_tpu.utils.cache import ensure_deterministic_hash_seed
+    ensure_deterministic_hash_seed()
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenario", required=True)
     ap.add_argument("--train-seeds", default="0:70",

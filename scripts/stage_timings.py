@@ -27,6 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    # deterministic Mosaic lowering -> persistent-cache hits for the
+    # fused kernels (re-execs once if hash randomization is live)
+    from defensive_model_vae_tpu.utils.cache import ensure_deterministic_hash_seed
+    ensure_deterministic_hash_seed()
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="results/stage_timings.json")
     ap.add_argument("--data-root", default="/root/reference/DefensiveData")

@@ -294,3 +294,47 @@ def test_multiseed_chunked_resume(tmp_path, monkeypatch):
     doc = json.loads(out.read_text())
     for i, m in enumerate(mv.METRICS):
         assert doc["sce1"][m]["values"] == [s + i for s in range(7)], m
+
+
+def test_ensure_deterministic_hash_seed_reexec(tmp_path):
+    """The helper re-execs once into PYTHONHASHSEED=0 (deterministic Mosaic
+    lowering → fused-kernel cache hits), is a no-op when already pinned
+    (never an exec loop), and declines to re-exec a non-file invocation
+    (python -c) where argv cannot reconstruct the command."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import os\n"
+        "from defensive_model_vae_tpu.utils.cache import "
+        "ensure_deterministic_hash_seed\n"
+        "ensure_deterministic_hash_seed()\n"
+        "print('HASHSEED=' + os.environ.get('PYTHONHASHSEED', 'unset'))\n"
+    )
+    script = tmp_path / "probe.py"
+    script.write_text(code)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONHASHSEED"}
+    out = subprocess.run(
+        [sys.executable, str(script)], env=env, capture_output=True,
+        text=True, timeout=120, cwd=str(REPO_ROOT),
+    )
+    assert out.returncode == 0, out.stderr
+    assert "HASHSEED=0" in out.stdout
+
+    # already pinned → no re-exec needed, still reports 0
+    env2 = dict(env, PYTHONHASHSEED="0")
+    out2 = subprocess.run(
+        [sys.executable, str(script)], env=env2, capture_output=True,
+        text=True, timeout=120, cwd=str(REPO_ROOT),
+    )
+    assert out2.returncode == 0 and "HASHSEED=0" in out2.stdout
+
+    # python -c: argv can't reconstruct the command — must proceed
+    # unpinned rather than crash
+    out3 = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True,
+        text=True, timeout=120, cwd=str(REPO_ROOT),
+    )
+    assert out3.returncode == 0, out3.stderr
+    assert "HASHSEED=unset" in out3.stdout
