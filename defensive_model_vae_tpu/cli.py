@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 
 import numpy as np
 
@@ -64,6 +65,17 @@ def _cmd_train(args):
             raise SystemExit(
                 "--dtype applies to the scan trainer (the fused kernel is "
                 "f32 VMEM-resident); drop --fused or --dtype"
+            )
+        if os.environ.get("PYTHONHASHSEED") != "0":
+            # the Mosaic lowering is hash-order-dependent: without a
+            # pinned hash seed this process compiles a fresh HLO variant
+            # instead of hitting the primed persistent cache (CLAUDE.md).
+            # Not auto-re-exec'd here: `python -m` invocations cannot be
+            # reconstructed from argv (relative imports would break).
+            print(
+                "note: run with PYTHONHASHSEED=0 to reuse the primed "
+                "fused-kernel compilation cache (see CLAUDE.md)",
+                file=sys.stderr,
             )
         from .ops import fused_train
 
