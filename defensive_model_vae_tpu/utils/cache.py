@@ -35,16 +35,32 @@ def ensure_deterministic_hash_seed() -> None:
     """
     import sys
 
-    if os.environ.get("PYTHONHASHSEED") == "0":
+    if not sys.flags.hash_randomization:
+        # hashing already deterministic (PYTHONHASHSEED=0 honored, or
+        # randomization disabled at build/flag level) — nothing to do.
+        # sys.flags is the truth; the env var alone is not (python -E
+        # ignores it)
         return
-    argv0 = sys.argv[0] if sys.argv else ""
-    if not argv0 or not os.path.exists(argv0):
-        # not invoked as `python <script>` (e.g. python -c, embedded):
-        # argv cannot reconstruct the command, so re-exec would fail —
-        # proceed unpinned (only the evidence entry points need the pin)
+    orig = list(getattr(sys, "orig_argv", []) or [])
+    if not orig or sys.flags.ignore_environment:
+        # cannot reconstruct the command (embedded interpreter) or the
+        # child would ignore PYTHONHASHSEED anyway (python -E): proceed
+        # unpinned, but say so — an unpinned fused-kernel run re-pays the
+        # tunnel compile and mints a fresh cache variant
+        print(
+            "note: hash randomization is live and cannot be pinned from "
+            "here; fused-kernel compiles will miss the primed cache "
+            "(run with PYTHONHASHSEED=0 — see CLAUDE.md)",
+            file=sys.stderr,
+        )
         return
     env = dict(os.environ, PYTHONHASHSEED="0")
-    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+    # orig_argv reconstructs the real command line (interpreter flags,
+    # -m/-c forms) that sys.argv cannot; flush before the image is
+    # replaced so block-buffered output isn't discarded
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.execve(sys.executable, orig, env)
 
 
 def enable_persistent_cache(cache_dir: str | None = None) -> str:

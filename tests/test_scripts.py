@@ -239,6 +239,10 @@ def test_multiseed_chunked_resume(tmp_path, monkeypatch):
         return {m: s + i for i, m in enumerate(mv.METRICS)}
 
     monkeypatch.setattr(cache_mod, "enable_persistent_cache", lambda: None)
+    # the re-exec helper would replace the PYTEST process image
+    monkeypatch.setattr(
+        cache_mod, "ensure_deterministic_hash_seed", lambda: None
+    )
     monkeypatch.setattr(ckpt_mod, "load_checkpoint",
                         lambda d: (None, None, {}))
     monkeypatch.setattr(data_mod, "collect_csv_files", lambda d: [])
@@ -330,11 +334,21 @@ def test_ensure_deterministic_hash_seed_reexec(tmp_path):
     )
     assert out2.returncode == 0 and "HASHSEED=0" in out2.stdout
 
-    # python -c: argv can't reconstruct the command — must proceed
-    # unpinned rather than crash
+    # python -c: sys.orig_argv reconstructs even this form faithfully,
+    # so the pin applies here too
     out3 = subprocess.run(
         [sys.executable, "-c", code], env=env, capture_output=True,
         text=True, timeout=120, cwd=str(REPO_ROOT),
     )
     assert out3.returncode == 0, out3.stderr
-    assert "HASHSEED=unset" in out3.stdout
+    assert "HASHSEED=0" in out3.stdout
+
+    # python -E ignores env vars: the helper must decline (re-exec would
+    # be futile) and warn on stderr instead of looping
+    out4 = subprocess.run(
+        [sys.executable, "-E", str(script)], env=env, capture_output=True,
+        text=True, timeout=120, cwd=str(REPO_ROOT),
+    )
+    assert out4.returncode == 0, out4.stderr
+    assert "HASHSEED=unset" in out4.stdout
+    assert "cannot be pinned" in out4.stderr
