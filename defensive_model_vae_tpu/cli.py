@@ -416,6 +416,137 @@ def _cmd_writeback(args):
     print(f"saved {out}")
 
 
+def _cmd_doctor(args):
+    """Environment health check: backend, cache, native libs, data,
+    checkpoints.  Exit 1 on any FAIL; WARNs are degraded-but-working
+    states (e.g. pandas fallback when the native loader is absent)."""
+    rows = []  # (status, name, detail)
+
+    def check(name, fn, warn_only=False):
+        try:
+            detail = fn()
+            rows.append(("ok", name, detail or ""))
+        except Exception as e:
+            rows.append(("WARN" if warn_only else "FAIL", name,
+                         f"{type(e).__name__}: {e}"))
+
+    def _backend():
+        import jax
+
+        devs = jax.devices()
+        return f"{devs[0].platform} x{len(devs)}"
+
+    check("jax backend", _backend)
+
+    def _probe():
+        if args.no_device:
+            return "skipped (--no-device)"
+        import jax.numpy as jnp
+
+        v = float(jnp.arange(8.0).sum())
+        assert v == 28.0, v
+        return "jit+execute ok"
+
+    check("device probe", _probe)
+
+    def _hashseed():
+        if sys.flags.hash_randomization:
+            raise RuntimeError(
+                "hash randomization live — fused-kernel compiles will "
+                "miss the primed cache (PYTHONHASHSEED=0, see CLAUDE.md)"
+            )
+        return "PYTHONHASHSEED pinned"
+
+    check("hash-seed pin", _hashseed, warn_only=True)
+
+    def _cache():
+        from .utils.cache import enable_persistent_cache
+
+        d = enable_persistent_cache()
+        if not d:
+            return "disabled (CPU-only platform — by design)"
+        n = len([f for f in os.listdir(d) if f.endswith("-cache")])
+        if not os.access(d, os.W_OK):
+            raise RuntimeError(f"{d} not writable")
+        return f"{d} ({n} entries)"
+
+    check("persistent compilation cache", _cache)
+
+    def _csvloader():
+        from .data.csv_io import _load_lib
+
+        lib = _load_lib()
+        if lib is None:
+            raise RuntimeError("native loader unavailable → pandas fallback")
+        return "native C++ loader"
+
+    check("csv loader", _csvloader, warn_only=True)
+
+    def _spline():
+        from .dnda.spline import _load_native
+
+        lib = _load_native()
+        if lib is None:
+            raise RuntimeError("native kernels unavailable → numpy fallback")
+        return "native C++ spline/Frenet/curvature"
+
+    check("dnda native kernels", _spline, warn_only=True)
+
+    def _data():
+        if not os.path.isdir(args.data_root):
+            raise RuntimeError(f"{args.data_root} absent (fixtures still work)")
+        from .data import collect_csv_files
+        from . import scenarios
+
+        n = sum(
+            len(collect_csv_files(os.path.join(args.data_root, s.town)))
+            for s in (scenarios.get(k) for k in scenarios.REGISTRY)
+        )
+        return f"{args.data_root} ({n} episode CSVs)"
+
+    check("raw CARLA corpus", _data, warn_only=True)
+
+    def _fixtures():
+        from . import scenarios
+
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        missing = [
+            k for k in scenarios.REGISTRY
+            if not os.path.exists(
+                os.path.join(here, "fixtures", f"trajectory_{k}_cond.npy")
+            )
+        ]
+        if missing:
+            raise RuntimeError(f"missing fixtures: {missing}")
+        return f"{len(scenarios.REGISTRY)} scenario corpora"
+
+    check("fixture corpora", _fixtures, warn_only=True)
+
+    def _ckpts():
+        from . import scenarios
+
+        found = []
+        for k in scenarios.REGISTRY:
+            mf = os.path.join(args.ckpt_root, k, "manifest.json")
+            if os.path.exists(mf):
+                with open(mf) as f:
+                    json.load(f)
+                found.append(k)
+        if not found:
+            raise RuntimeError(f"no checkpoints under {args.ckpt_root}")
+        return f"{len(found)}/{len(scenarios.REGISTRY)} manifests readable"
+
+    check("checkpoints", _ckpts, warn_only=True)
+
+    width = max(len(n) for _, n, _ in rows)
+    failed = False
+    for status, name, detail in rows:
+        print(f"{status:>4}  {name:<{width}}  {detail}")
+        failed |= status == "FAIL"
+    if failed:
+        raise SystemExit(1)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="defvae", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -597,6 +728,16 @@ def main(argv=None):
     wb.add_argument("--data-root", required=True)
     wb.add_argument("--out-dir", required=True)
     wb.set_defaults(fn=_cmd_writeback)
+
+    dr = sub.add_parser(
+        "doctor", help="environment health check (backend, cache, native "
+                       "libs, data mounts, checkpoints)"
+    )
+    dr.add_argument("--data-root", default="/root/reference/DefensiveData")
+    dr.add_argument("--ckpt-root", default="results/checkpoints")
+    dr.add_argument("--no-device", action="store_true",
+                    help="skip the jit/execute probe (host-only check)")
+    dr.set_defaults(fn=_cmd_doctor)
 
     args = p.parse_args(argv)
     args.fn(args)

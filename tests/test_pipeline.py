@@ -454,3 +454,21 @@ def test_registry_published_best_and_jsonable():
         assert set(pb) == keys and all(v > 0 for v in pb.values())
     out = jsonable({"a": math.nan, "b": [math.inf, 1.0], "c": (2.0,), "d": "x"})
     assert out == {"a": None, "b": [None, 1.0], "c": [2.0], "d": "x"}
+
+
+def test_cli_doctor(tmp_path, capsys):
+    """defvae doctor: all environment rows report, WARN-only degradations
+    don't fail the exit code, and every expected check row is present."""
+    from defensive_model_vae_tpu.cli import main
+
+    main(["doctor", "--no-device", "--ckpt-root", str(tmp_path / "none")])
+    out = capsys.readouterr().out
+    for row in ("jax backend", "device probe", "hash-seed pin",
+                "persistent compilation cache", "csv loader",
+                "dnda native kernels", "raw CARLA corpus",
+                "fixture corpora", "checkpoints"):
+        assert row in out, row
+    # absent checkpoints degrade to WARN (fixtures/pipeline still work),
+    # never FAIL
+    assert "FAIL" not in out
+    assert "skipped (--no-device)" in out
