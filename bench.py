@@ -694,8 +694,14 @@ def main():
         # lever for a bandwidth-bound MLP
         result["scale_bf16_windows_per_sec"] = round(scale_bf16[0], 1)
         result["scale_bf16_tflops_sustained"] = round(scale_bf16[1], 3)
+        result["scale_bf16_mfu_pct"] = round(
+            100 * scale_bf16[1] * 1e12 / V5E_PEAK_FLOPS, 3
+        )
         if scale_bf16[2]:
             result["scale_bf16_gbps"] = round(scale_bf16[2], 1)
+            result["scale_bf16_hbm_pct"] = round(
+                100 * scale_bf16[2] * 1e9 / V5E_HBM_BYTES_PER_S, 1
+            )
     print(json.dumps(result))
 
 
