@@ -548,6 +548,17 @@ def _cmd_doctor(args):
 
 
 def main(argv=None):
+    # every device-heavy subcommand (pipeline/train/serve/dnda-sweep/…)
+    # must hit the primed .jax_cache instead of re-paying multi-minute
+    # tunnel compiles; the helper is idempotent and fails closed on
+    # CPU-only platforms (CLAUDE.md entry-point rule)
+    try:
+        from .utils.cache import enable_persistent_cache
+
+        enable_persistent_cache()
+    except Exception:
+        pass
+
     p = argparse.ArgumentParser(prog="defvae", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -231,6 +231,16 @@ def make_serve_fn(params, model_cfg, mpc_cfg, num_steps: int,
     the math (asserted in ``__graft_entry__.dryrun_multichip``).  B must be
     a multiple of the data-axis size.
     """
+    if getattr(mpc_cfg, "raw_jump_guard", False):
+        # the device reference implements only the wrapped (published-
+        # artifact) jump-guard semantics; silently serving a raw-guard
+        # config would return different trajectories than track() for the
+        # identical config on westbound paths
+        raise ValueError(
+            "make_serve_fn implements the wrapped jump-guard only; "
+            "raw_jump_guard=True (the in-tree differential-test variant) "
+            "is host-path-only — use control.track/track_batch"
+        )
     from ..models import sample
     from ..models.cvae import decode, encode_condition
     from .mpc import _simulate

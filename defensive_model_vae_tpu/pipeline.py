@@ -86,6 +86,24 @@ def _valid_waypoint_times(gen: np.ndarray) -> np.ndarray:
     return np.all(np.diff(gen[:, 1:, 0], axis=1) > 0, axis=1) & (gen[:, 1, 0] > 0)
 
 
+def _validated_trace_names(scenario_key: str, csv_files: Sequence[str]):
+    """Trace names for every CSV, failing loudly on malformed names AND on
+    collisions: same-numbered episodes in different maneuver subfolders
+    would map to the same ``tracked_trajectory_*`` file and silently
+    overwrite each other in :func:`save_tracked`."""
+    names = [_csv_trace_name(scenario_key, c) for c in csv_files]
+    seen: Dict[str, str] = {}
+    for name, c in zip(names, csv_files):
+        if name in seen:
+            raise ValueError(
+                f"trace-name collision: {seen[name]!r} and {c!r} both map "
+                f"to {name!r} (exp number + trial suffix must be unique "
+                "across a scenario's maneuver folders)"
+            )
+        seen[name] = c
+    return names
+
+
 def generate_and_track(
     params,
     model_cfg: CVAEConfig,
@@ -93,8 +111,21 @@ def generate_and_track(
     csv_files: Sequence[str],
     seed: int = 0,
     mpc_cfg: Optional[MPCConfig] = None,
+    shift_start: bool = True,
 ) -> Tuple[List[np.ndarray], List[str]]:
     """Generate one tracked trajectory per CSV, batched on device.
+
+    ``shift_start=False`` is the legacy non-offset decoder convention
+    (checkpoint manifests record it as ``offset_mode: False`` — the
+    decoder emits absolute [t, x, y], so no start shift is applied;
+    :func:`run_scenario` threads the manifest value automatically).
+
+    Note the tracking program uses the EXACT surviving batch width (no
+    64-bucket like :func:`generate_and_track_multi`): the committed
+    validation artifacts and their `reproduce --check` byte-stability are
+    baselined on this program, and the four scenario widths are fixed and
+    already cached — re-bucketing would shift every committed metric by
+    ulps for no compile saving in practice.
 
     Returns (state traces [N_b, 4] clipped to each path's own step count,
     trace names)."""
@@ -102,12 +133,12 @@ def generate_and_track(
     if mpc_cfg is None:
         mpc_cfg = default_mpc_cfg(sce)
 
-    for c in csv_files:  # validate trace names before any device work
-        _csv_trace_name(sce.key, c)
+    # validate trace names (format + collisions) before any device work
+    _validated_trace_names(sce.key, csv_files)
     conds = [get_start_conditions(c, sce) for c in csv_files]
     starts = np.array([[c.x, c.y] for c in conds], np.float32)
 
-    gen, ok = _draw_valid_samples(params, model_cfg, starts, seed)
+    gen, ok = _draw_valid_samples(params, model_cfg, starts, seed, shift_start)
 
     # [t, x, y] → [x, y, t] waypoints, first timestamp zeroed
     wps = gen[:, :, [1, 2, 0]].astype(float)
@@ -128,15 +159,21 @@ def generate_and_track(
     return traces, names
 
 
-def _draw_valid_samples(params, model_cfg, starts: np.ndarray, seed: int):
+def _draw_valid_samples(params, model_cfg, starts: np.ndarray, seed: int,
+                        shift_start: bool = True):
     """One z-sample per start point with the degenerate re-draw loop.
 
     Re-draws non-monotone-time samples with a folded seed (up to 3 times) —
     the reference simply skips failed CSVs (``Distribution.py:109-111``),
-    losing coverage.  Returns (gen (B, T, D) host array, ok mask (B,))."""
+    losing coverage.  The ``seed + 1000*retry`` fold is part of the
+    committed artifacts' byte-reproduction contract; it requires band
+    seed SETS to stay below 1000 so no seed's redraw stream aliases
+    another's base stream (guarded in :func:`generate_and_track_multi`).
+    Returns (gen (B, T, D) host array, ok mask (B,))."""
 
     def _draw(s):
-        g = generate_trajectories(params, model_cfg, starts, n_samples=1, seed=s)
+        g = generate_trajectories(params, model_cfg, starts, n_samples=1,
+                                  seed=s, shift_start=shift_start)
         # writable host copy — the degenerate-sample re-draw below assigns
         # into it (np.asarray of a jax array is a read-only view)
         return np.array(g).reshape(len(starts), model_cfg.seq_len, model_cfg.dim)
@@ -190,8 +227,20 @@ def generate_and_track_multi(
     if mpc_cfg is None:
         mpc_cfg = default_mpc_cfg(sce)
 
-    for c in csv_files:  # validate trace names before any device work
-        _csv_trace_name(sce.key, c)
+    # the redraw fold is seed + 1000*retry (retry 1..3): a seed set
+    # spanning that arithmetic would alias one seed's redraw stream onto
+    # another's base z-draws, silently collapsing the band's claimed seed
+    # diversity — fail loudly instead (committed bands use seeds < 1000)
+    base = set(int(s) for s in seeds)
+    alias = base & {s + 1000 * r for s in base for r in (1, 2, 3)}
+    if alias:
+        raise ValueError(
+            f"seed set aliases the degenerate-redraw streams (seeds {sorted(alias)} "
+            "equal another seed + 1000*retry); keep band seeds < 1000"
+        )
+
+    # validate trace names (format + collisions) before any device work
+    _validated_trace_names(sce.key, csv_files)
     conds = [get_start_conditions(c, sce) for c in csv_files]
     starts = np.array([[c.x, c.y] for c in conds], np.float32)
     inits = np.stack([c.as_state() for c in conds])
@@ -242,9 +291,15 @@ def save_tracked(traces: Sequence[np.ndarray], names: Sequence[str], out_dir: st
 
 
 def load_tracked(directory: str, scenario_key: str) -> List[np.ndarray]:
+    """Load every tracked trace for one scenario from a GeneratedData dir.
+
+    Matches the exact generated prefix, not a bare substring: a substring
+    match would pull a hypothetical 'sce10' into every 'sce1' sweep and
+    np.load any stray file with the key in its name."""
+    prefix = f"tracked_trajectory_{scenario_key}_"
     out = []
     for f in sorted(os.listdir(directory)):
-        if scenario_key in f and f.endswith(".npy"):
+        if f.startswith(prefix) and f.endswith(".npy"):
             out.append(np.load(os.path.join(directory, f)))
     return out
 
@@ -524,10 +579,27 @@ def run_scenario(
     from .train.checkpoint import load_checkpoint
 
     sce = scenarios.get(scenario)
-    params, cfg, _ = load_checkpoint(checkpoint_dir)
+    params, cfg, manifest = load_checkpoint(checkpoint_dir)
     csvs = collect_csv_files(os.path.join(data_root, sce.town))
-    traces, names = generate_and_track(params, cfg, sce, csvs, seed=seed)
-    save_tracked(traces, names, os.path.join(out_dir, "GeneratedData"))
+    # legacy non-offset checkpoints decode ABSOLUTE [t,x,y] — their
+    # manifests record offset_mode False and the generator must not shift
+    # by the start point (same handling as generate.load_and_generate and
+    # the serve CLI)
+    traces, names = generate_and_track(
+        params, cfg, sce, csvs, seed=seed,
+        shift_start=manifest.get("offset_mode", True),
+    )
+    gen_dir = os.path.join(out_dir, "GeneratedData")
+    # clear this scenario's stale traces first: a CSV whose draw stays
+    # degenerate (or was removed) would otherwise leave an old-seed file
+    # behind, and load_tracked consumers would silently score a mixed set
+    if os.path.isdir(gen_dir):
+        fresh = set(names)
+        prefix = f"tracked_trajectory_{sce.key}_"
+        for f in os.listdir(gen_dir):
+            if f.startswith(prefix) and f.endswith(".npy") and f not in fresh:
+                os.remove(os.path.join(gen_dir, f))
+    save_tracked(traces, names, gen_dir)
     humans = load_humans(sce, csvs)
     report = validate(traces, humans, sce)
     report["provenance"] = provenance(sce, seed, n_csvs=len(csvs))

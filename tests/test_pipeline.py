@@ -472,3 +472,112 @@ def test_cli_doctor(tmp_path, capsys):
     # never FAIL
     assert "FAIL" not in out
     assert "skipped (--no-device)" in out
+
+
+def test_trace_name_collision_fails_loudly():
+    """Same-numbered episodes in different maneuver folders map to the same
+    tracked_trajectory_* file; generate+track must refuse BEFORE any device
+    work rather than let save_tracked silently overwrite one of them."""
+    from defensive_model_vae_tpu.pipeline import (
+        generate_and_track, generate_and_track_multi,
+    )
+
+    dup = ["left/exp_11_control_Town05_3.csv", "right/exp_11_control_Town05_3.csv"]
+    with pytest.raises(ValueError, match="collision"):
+        generate_and_track(None, None, "sce2", dup)
+    with pytest.raises(ValueError, match="collision"):
+        generate_and_track_multi(None, None, "sce2", dup, seeds=[0, 1])
+
+
+def test_multi_seed_alias_guard():
+    """A seed set spanning the seed+1000*retry redraw fold would alias one
+    seed's redraw stream onto another's base draws — rejected up front."""
+    from defensive_model_vae_tpu.pipeline import generate_and_track_multi
+
+    with pytest.raises(ValueError, match="alias"):
+        generate_and_track_multi(None, None, "sce2", [], seeds=[0, 1000])
+    with pytest.raises(ValueError, match="alias"):
+        generate_and_track_multi(None, None, "sce2", [], seeds=[5, 3005])
+
+
+def test_load_tracked_exact_prefix(tmp_path):
+    """load_tracked must match the exact generated prefix: a substring
+    match would pull 'sce10' traces (or any stray npy naming the key) into
+    every 'sce1' sweep."""
+    from defensive_model_vae_tpu.pipeline import load_tracked
+
+    good = np.zeros((4, 4), np.float32)
+    np.save(tmp_path / "tracked_trajectory_sce1_exp1_1.npy", good)
+    np.save(tmp_path / "tracked_trajectory_sce10_exp1_1.npy", np.ones((4, 4)))
+    np.save(tmp_path / "debug_sce1_notes.npy", np.ones((2, 2)))
+    out = load_tracked(str(tmp_path), "sce1")
+    assert len(out) == 1 and np.array_equal(out[0], good)
+
+
+def test_serve_rejects_raw_jump_guard():
+    """The device serve path implements the wrapped jump-guard only; a
+    raw-guard config must be rejected, not silently served with different
+    semantics than track()."""
+    from defensive_model_vae_tpu.control import MPCConfig, make_serve_fn
+
+    cfg = MPCConfig(prediction_horizon=5, control_horizon=3, dt=0.1,
+                    raw_jump_guard=True)
+    with pytest.raises(ValueError, match="raw_jump_guard"):
+        make_serve_fn(None, None, cfg, num_steps=4)
+
+
+@requires_reference
+def test_run_scenario_offset_mode_and_stale_cleanup(tmp_path, all_windows):
+    """run_scenario must (a) honor the manifest's offset_mode=False (legacy
+    non-offset decoders emit absolute coordinates — generating with the
+    default shift would double-offset every trajectory) and (b) remove
+    stale traces from earlier runs so load_tracked consumers never score a
+    mixed set."""
+    import shutil
+
+    from defensive_model_vae_tpu.pipeline import (
+        generate_and_track, run_scenario,
+    )
+    from defensive_model_vae_tpu.train.checkpoint import load_checkpoint
+
+    # tiny corpus: 2 real sce2 CSVs in the expected <town>/<maneuver> layout
+    src = sorted(
+        (REFERENCE_ROOT / "DefensiveData" / "DynamicBlindTown05").rglob("exp_*.csv")
+    )[:2]
+    from defensive_model_vae_tpu import scenarios as _scen
+
+    town = tmp_path / "data" / "DynamicBlindTown05" / _scen.ACTIONS[0]
+    town.mkdir(parents=True)
+    for c in src:
+        shutil.copy(c, town / c.name)
+
+    params, hist = train(all_windows["sce2"], train_cfg=TrainConfig(epochs=100))
+    ck = tmp_path / "ckpt"
+    save_checkpoint(str(ck), params, CVAEConfig(), "sce2", hist,
+                    extra_manifest={"offset_mode": False})
+
+    out = tmp_path / "out"
+    stale_dir = out / "GeneratedData"
+    stale_dir.mkdir(parents=True)
+    stale = stale_dir / "tracked_trajectory_sce2_exp99_9.npy"
+    np.save(stale, np.zeros((3, 4), np.float32))
+
+    run_scenario(str(ck), "sce2", str(tmp_path / "data"), str(out), seed=2)
+    assert not stale.exists()  # (b) stale trace cleared
+
+    # (a) saved traces equal the explicit shift_start=False path, and
+    # differ from the default-shift path
+    p2, cfg2, _ = load_checkpoint(str(ck))
+    csvs = sorted(str(p) for p in town.glob("*.csv"))
+    want, names = generate_and_track(p2, cfg2, "sce2", csvs, seed=2,
+                                     shift_start=False)
+    shifted, _ = generate_and_track(p2, cfg2, "sce2", csvs, seed=2)
+    assert len(want) and len(names)
+    for t, n in zip(want, names):
+        np.testing.assert_array_equal(
+            t, np.load(out / "GeneratedData" / n)
+        )
+    assert any(
+        a.shape != b.shape or not np.allclose(a, b)
+        for a, b in zip(want, shifted)
+    )
