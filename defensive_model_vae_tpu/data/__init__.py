@@ -1,5 +1,6 @@
 from .windows import (
     process_csv,
+    iter_windows,
     collect_trajectories,
     save_windows,
     generate_random_trajectories,
@@ -16,6 +17,7 @@ from .conditions import (
 
 __all__ = [
     "process_csv",
+    "iter_windows",
     "collect_trajectories",
     "save_windows",
     "generate_random_trajectories",

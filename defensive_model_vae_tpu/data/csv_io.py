@@ -110,8 +110,11 @@ def read_csv(path: str) -> pd.DataFrame:
         key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
     except OSError:
         key = None
-    if key is not None and key in _parse_cache:
-        names, data = _parse_cache[key]
+    # single .get: a check-then-index pair races the clear()-based
+    # eviction under concurrent read_csv calls (KeyError)
+    entry = _parse_cache.get(key) if key is not None else None
+    if entry is not None:
+        names, data = entry
         return pd.DataFrame(data.copy(), columns=names)
     parsed = read_csv_native(path)
     if parsed is None:

@@ -8,7 +8,6 @@ enabling ONE model over the combined four-scenario corpus.
 
 from __future__ import annotations
 
-import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -24,8 +23,18 @@ def window_start_speed(window: np.ndarray) -> float:
 
 
 def window_thw(window: np.ndarray, scenario, trial_suffix: str = "") -> float:
-    """Trigger THW = scenario distance / start speed (``Get_THW.py:66-104``);
-    scenarios without a registered distance fall back to 60 m."""
+    """Trigger THW = scenario distance / start speed (``Get_THW.py:66-104``).
+
+    Note the divergence from the cited reference: the reference takes the
+    INSTANTANEOUS speed sqrt(vx²+vy²) at the trigger row, while here the
+    speed is the chord-average over the window's first subsampled segment
+    (the window arrays are all the conditioned corpus carries).  During a
+    braking maneuver the chord average sits below the trigger-row speed,
+    so these THWs skew slightly high vs reference THW distributions —
+    self-consistent as a conditioning feature, not comparable 1:1.
+
+    The distance comes from the scenario registry; an unregistered
+    scenario fails loudly instead of silently inventing a distance."""
     sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
     v = window_start_speed(window)
     if sce.thw_distance is not None:
@@ -35,34 +44,47 @@ def window_thw(window: np.ndarray, scenario, trial_suffix: str = "") -> float:
             trial_suffix, sce.thw_distance_by_suffix["default"]
         )
     else:
-        d = 60.0
+        raise ValueError(
+            f"{sce.key}: no THW distance registered (set thw_distance or "
+            "thw_distance_by_suffix in scenarios.py)"
+        )
     return d / v if v > 0 else 0.0
 
 
-def window_trial_suffixes(data_root: str, scenario) -> List[str]:
+def window_trial_suffixes(
+    data_root: str,
+    scenario,
+    target_points: int = 10,
+    point_mode: str = "normal",
+    dataset_variant: str = "shipped",
+) -> List[str]:
     """Per-window trial suffixes, row-aligned with ``build_dataset``'s
-    output (same enumeration: ``scenarios.DATASET_ACTIONS`` + sorted
-    per-folder files; a window is emitted exactly when ``process_csv``
-    yields a full-length extraction).  Needed because sce4's THW distance
-    depends on the source trial suffix (``Get_THW.py:72-82``) and the
-    window arrays carry no file provenance."""
-    from .windows import process_csv
+    output for the SAME corpus parameters.  Needed because sce4's THW
+    distance depends on the source trial suffix (``Get_THW.py:72-82``) and
+    the window arrays carry no file provenance.
+
+    Alignment holds by construction: this consumes the same
+    ``windows.iter_windows`` walker ``build_dataset`` does, and for
+    ``extend_mid`` (which appends the midpoint-augmented corpus after the
+    normal one — the same file yields a window in both modes or neither,
+    the emission check being mode-independent) the suffix list is the
+    normal list twice."""
+    from .windows import iter_windows
 
     sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
-    out: List[str] = []
-    for action in scenarios.DATASET_ACTIONS:
-        path = os.path.join(data_root, sce.town, action)
-        if not os.path.isdir(path):
-            continue
-        for fname in sorted(os.listdir(path)):
-            if not fname.endswith(".csv"):
-                continue
-            w = process_csv(
-                os.path.join(path, fname), sce, time_interval=sce.dt
+
+    def _suffixes(mode):
+        return [
+            fname.rsplit(".", 1)[0].rsplit("_", 1)[-1]
+            for fname, _ in iter_windows(
+                data_root, sce, target_points=target_points,
+                point_mode=mode, dataset_variant=dataset_variant,
             )
-            if w is not None and len(w) == 10:
-                out.append(fname.rsplit(".", 1)[0].rsplit("_", 1)[-1])
-    return out
+        ]
+
+    if point_mode == "extend_mid":
+        return _suffixes("normal") + _suffixes("extend_mid")
+    return _suffixes(point_mode)
 
 
 def build_conditioned_corpus(

@@ -26,7 +26,7 @@ def process_csv(
     scenario: "scenarios.Scenario | str",
     target_points: int = 10,
     point_mode: str = "normal",
-    time_interval: float = 0.015,
+    time_interval: Optional[float] = None,
     dataset_variant: str = "shipped",
 ) -> Optional[np.ndarray]:
     """Extract one ``(target_points, 3)`` [t, x, y] window from a CSV log.
@@ -39,12 +39,19 @@ def process_csv(
     - ``extend_mid`` mode replaces interior samples by ceil-midpoints
     - time column: ``arange(P) * time_interval * (len(window)-1)/(P-1)``
 
+    ``time_interval=None`` (the default) resolves the SCENARIO's registered
+    ``dt`` — per-scenario constants live in the registry, never as literal
+    defaults here (CLAUDE.md; the reference hand-sets 0.02/0.025/0.015/0.02
+    per scenario, ``Traj_Data_Process.py:165-166``).
+
     ``dataset_variant``: "shipped" uses the in-tree Traj_Data_Process
     predicate (reproduces the shipped npy datasets); "artifact" uses the
     predicate the published results were trained with where it differs
     (``Scenario.artifact_dataset_start`` — currently sce1's ego_y>=40).
     """
     sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
+    if time_interval is None:
+        time_interval = sce.dt
     if dataset_variant not in ("shipped", "artifact"):
         # the shipped/artifact fork IS the stale-predicate quirk this
         # parameter selects — a typo must not silently pick "shipped"
@@ -61,14 +68,17 @@ def process_csv(
     start_idx = int(start_hits[0])
 
     sub_df = df.iloc[start_idx:]
-    # scan for the end row strictly after the start row
-    end_label = None
-    for label, row in sub_df.iloc[1:].iterrows():
-        if sce.dataset_end_row(row):
-            end_label = label
-            break
-    if end_label is not None:
-        sub_df = sub_df.loc[: end_label - 1]  # end row excluded
+    # end row = first hit strictly after the start row (vectorized: the
+    # registry predicates apply elementwise to the whole tail — the old
+    # per-row iterrows scan dominated host time once the native parser
+    # made parsing ~free; semantics identical, proven by the byte-exact
+    # shipped-npy parity tests)
+    tail = sub_df.iloc[1:]
+    if len(tail):
+        end_hits = np.flatnonzero(np.asarray(sce.dataset_end_row(tail)))
+        if len(end_hits):
+            end_label = tail.index[end_hits[0]]
+            sub_df = sub_df.loc[: end_label - 1]  # end row excluded
 
     if "ego_x" not in sub_df.columns or "ego_y" not in sub_df.columns:
         return None
@@ -94,13 +104,52 @@ def process_csv(
     return np.column_stack((times, sampled))
 
 
+def iter_windows(
+    data_root: str,
+    scenario: "scenarios.Scenario | str",
+    actions: Sequence[str] = scenarios.DATASET_ACTIONS,
+    target_points: int = 10,
+    point_mode: str = "normal",
+    time_interval: Optional[float] = None,
+    dataset_variant: str = "shipped",
+):
+    """Yield ``(csv_filename, window)`` for one scenario, in the canonical
+    enumeration order (action order of the dataset ``__main__``,
+    lexicographically sorted per-folder files).
+
+    The SINGLE walker behind both :func:`collect_trajectories` (windows)
+    and ``features.window_trial_suffixes`` (per-window provenance): the
+    two must enumerate identically for suffix↔window row alignment, so
+    the loop exists exactly once.
+    """
+    sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
+    scene_path = os.path.join(data_root, sce.town)
+    for action in actions:
+        action_path = os.path.join(scene_path, action)
+        if not os.path.exists(action_path):
+            continue
+        for fname in sorted(os.listdir(action_path)):
+            if not fname.endswith(".csv"):
+                continue
+            traj = process_csv(
+                os.path.join(action_path, fname),
+                sce,
+                target_points,
+                point_mode,
+                time_interval,
+                dataset_variant,
+            )
+            if traj is not None and len(traj) == target_points:
+                yield fname, traj
+
+
 def collect_trajectories(
     data_root: str,
     scenario_keys: Sequence[str],
     actions: Sequence[str] = scenarios.DATASET_ACTIONS,
     target_points: int = 10,
     point_mode: str = "normal",
-    time_interval: float = 0.015,
+    time_interval: Optional[float] = None,
     dataset_variant: str = "shipped",
 ) -> List[np.ndarray]:
     """Walk ``data_root/<town>/<action>/*.csv`` and extract all windows.
@@ -110,29 +159,17 @@ def collect_trajectories(
     lexicographically sorted per-folder files — the effective enumeration
     the shipped npy artifacts were generated with (the reference's bare
     ``os.listdir`` returned sorted names on its NTFS filesystem), proven by
-    the row-for-row byte-exact parity test.
+    the row-for-row byte-exact parity test.  ``time_interval=None``
+    resolves each scenario's registered ``dt`` (see :func:`process_csv`).
     """
     all_trajs: List[np.ndarray] = []
     for key in scenario_keys:
-        sce = scenarios.get(key)
-        scene_path = os.path.join(data_root, sce.town)
-        for action in actions:
-            action_path = os.path.join(scene_path, action)
-            if not os.path.exists(action_path):
-                continue
-            for fname in sorted(os.listdir(action_path)):
-                if not fname.endswith(".csv"):
-                    continue
-                traj = process_csv(
-                    os.path.join(action_path, fname),
-                    sce,
-                    target_points,
-                    point_mode,
-                    time_interval,
-                    dataset_variant,
-                )
-                if traj is not None and len(traj) == target_points:
-                    all_trajs.append(traj)
+        all_trajs.extend(
+            w for _, w in iter_windows(
+                data_root, key, actions, target_points, point_mode,
+                time_interval, dataset_variant,
+            )
+        )
     return all_trajs
 
 

@@ -74,6 +74,8 @@ class Scenario:
 
     # --- dataset extraction (reference Traj_Data_Process.py:8-28) ---
     dataset_start: Predicate
+    # accepts a single row Series OR a whole DataFrame (use `&`, never
+    # `and`): process_csv evaluates it vectorized over the post-start tail
     dataset_end_row: Callable[["pandas.Series"], bool]  # noqa: F821
 
     # --- start-condition mask (reference Tools.py:84-97) ---
@@ -106,6 +108,9 @@ class Scenario:
     thw_distance_by_suffix: Optional[Dict[str, float]]
 
     # --- SUT episode slicing (reference Metrics_Calculation.py:143-210) ---
+    # NOTE: only the jerk axis lives here; the rest of the SUT fields sit
+    # in the defaulted block below (dataclass ordering: non-default fields
+    # cannot follow defaulted ones)
     sut_jerk_axis: str  # 'ax' | 'ay'
 
     # --- DNDA (reference DNDA_calculator.py) ---
@@ -130,7 +135,7 @@ class Scenario:
     # sweeps and parity scoreboards compare against these.
     published_best: Optional[Dict[str, float]] = None
 
-    # --- SUT episode slicing (reference Metrics_Calculation.py:143-210) ---
+    # --- SUT episode slicing, continued (see sut_jerk_axis above) ---
     sut_episode_start: Optional[Predicate] = None
     sut_episode_end: Optional[Predicate] = None
     # 1-D TTC configuration (reference ``:213-249``): lead-vehicle column
@@ -405,6 +410,11 @@ REGISTRY: Dict[str, Scenario] = {
         human_end_mask=_sce2_human_end,
         n_background_vehicles=2,
         human_trim_mode="first_index",
+        # PRESERVED QUIRK: x >= 40 is never true on this town (sce2's x
+        # spans ~-200..-100) so the trim keeps the whole track — an exact
+        # mirror of reference Distribution.py:230, almost certainly a
+        # copy-paste of sce1's y>=40.  It is load-bearing for the sce2
+        # velocity statistics / JS parity; do NOT "fix" it.
         human_trim_mask=lambda traj: traj[:, 0] >= 40,
         grid_x=(-200, -120),
         grid_y=(-8, 6),
@@ -416,7 +426,11 @@ REGISTRY: Dict[str, Scenario] = {
             LaneLine("y", 1.2, "solid", (-177, -50)),
         ),
         axis_flip="x",
-        thw_distance=None,
+        # the reference's Get_THW has NO sce2 branch (it would KeyError);
+        # 60 m is this framework's documented default for the conditioned-
+        # corpus THW feature (BASELINE config 4) — registered here so the
+        # constant lives in the registry, not in features.py
+        thw_distance=60.0,
         thw_distance_by_suffix=None,
         sut_jerk_axis="ax",
         dnda=DndaConfig(
@@ -485,7 +499,9 @@ REGISTRY: Dict[str, Scenario] = {
         index=4,
         dt=0.02,
         dataset_start=_sce4_dataset_start,
-        dataset_end_row=lambda row: (row["sv1_x"] > 15) and (row["sv1_yaw"] < -85),
+        # & (not `and`) so the predicate vectorizes: process_csv applies it
+        # to the whole tail DataFrame as well as to single rows
+        dataset_end_row=lambda row: (row["sv1_x"] > 15) & (row["sv1_yaw"] < -85),
         start_condition_mask=_sce4_dataset_start,
         start_fallback=(11.0, 0.0, -np.pi / 2),
         human_start_mask=_sce4_human_start,

@@ -291,3 +291,56 @@ def test_sce1_artifact_dataset_variant():
     w0 = build_dataset(str(REFERENCE_ROOT / "DefensiveData"), "sce1", 10)
     assert w0.shape == (38, 10, 3)
     assert np.all(w0[:, 0, 2] < 20)
+
+
+@requires_reference
+def test_trial_suffixes_align_with_corpus_variants():
+    """window_trial_suffixes must stay row-aligned with build_dataset for
+    EVERY corpus variant: the sce4 checkpoint's extend_mid recipe doubles
+    the corpus (normal windows then midpoint windows), and the sce1
+    artifact variant changes which files yield windows — the old
+    hardcoded-default walker raised IndexError / silently mispaired."""
+    from defensive_model_vae_tpu.data.features import window_trial_suffixes
+
+    root = str(REFERENCE_ROOT / "DefensiveData")
+
+    w = build_dataset(root, "sce4", point_mode="extend_mid")
+    s = window_trial_suffixes(root, "sce4", point_mode="extend_mid")
+    assert len(s) == len(w)
+    half = len(s) // 2
+    assert s[:half] == s[half:]  # appended corpus repeats the enumeration
+
+    w1 = build_dataset(root, "sce1", dataset_variant="artifact")
+    s1 = window_trial_suffixes(root, "sce1", dataset_variant="artifact")
+    assert len(s1) == len(w1)
+
+    # default time resolution: omitting time_interval uses the scenario dt
+    from defensive_model_vae_tpu.data import process_csv as _pc
+
+    csvs = sorted(
+        (REFERENCE_ROOT / "DefensiveData" / "StaticBlindTown05").rglob("exp_*.csv")
+    )
+    got = _pc(str(csvs[0]), "sce1")
+    want = _pc(str(csvs[0]), "sce1", time_interval=0.02)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_window_thw_requires_registered_distance():
+    """An unregistered THW distance fails loudly instead of silently
+    inventing one (the old 60 m fallback hid missing registration)."""
+    import dataclasses
+
+    import pytest
+
+    from defensive_model_vae_tpu import scenarios
+    from defensive_model_vae_tpu.data.features import window_thw
+
+    win = np.array([[0.0, 0.0, 0.0], [1.0, 5.0, 0.0]], np.float32)
+    bare = dataclasses.replace(
+        scenarios.get("sce2"), thw_distance=None, thw_distance_by_suffix=None
+    )
+    with pytest.raises(ValueError, match="THW distance"):
+        window_thw(win, bare)
+    # sce2's 60 m now lives in the registry (beyond-reference default —
+    # the reference Get_THW has no sce2 branch), same value as before
+    assert window_thw(win, scenarios.get("sce2")) == 60.0 / 5.0
