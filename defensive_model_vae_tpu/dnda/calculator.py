@@ -108,12 +108,18 @@ def _sur_input(row: Dict[str, float], max_sv: int, sce) -> np.ndarray:
             L, W = 2.0, 0.7
         else:
             L, W = 4.0, 2.0
+        # plain indexing, not .get-with-default: _rotate_row writes the
+        # full x/y/vx/vy/ax/ay/yaw set per vehicle or nothing, so the
+        # sv{i}_x membership check above already guarantees the rest —
+        # defaults here would fake a missing-column tolerance the
+        # pipeline does not have (a CSV lacking sv1_ax KeyErrors in
+        # _rotate_row long before this point)
         rows.append(
             [
                 row[f"sv{i}_x"], row[f"sv{i}_y"], L, W,
                 row[f"sv{i}_vx"], row[f"sv{i}_vy"],
-                row.get(f"sv{i}_ax", 0.0), row.get(f"sv{i}_ay", 0.0),
-                row.get(f"sv{i}_yaw", 0.0),
+                row[f"sv{i}_ax"], row[f"sv{i}_ay"],
+                row[f"sv{i}_yaw"],
             ]
         )
     return np.asarray(rows) if rows else np.zeros((0, 9))
@@ -226,7 +232,13 @@ def score_directory(
                 "trial": int(m.group("trial")),
                 "max_dnda": max_d,
                 "frames": n,
-                "file_path": Path(path).name,
+                # path RELATIVE to the scanned root (reference
+                # ``DNDA_calculator.py:433``): rglob descends into
+                # subfolders, and a bare basename would collide for
+                # same-named episodes in different subfolders (for the
+                # flat SUT corpus, relative == basename, so the committed
+                # summary is unchanged)
+                "file_path": str(Path(path).relative_to(directory)),
             }
         )
     if out_csv:

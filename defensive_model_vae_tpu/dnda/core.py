@@ -68,7 +68,15 @@ def prepare_frame(
     base = np.asarray(baseline_xy, float) @ R.T  # rotated baseline
     ego_xy = R @ np.array([ego.x, ego.y])
 
-    # crop basepoint_num points starting at the nearest baseline point
+    # crop basepoint_num points starting at the nearest baseline point.
+    # DELIBERATE DEVIATION on short crops (4..basepoint_num-1 points
+    # remaining): the reference's copy loop (``:678-688``) silently
+    # yields an all-zeros 400-point crop there, which degenerates into a
+    # NaN chord rotation or the Cartesian_trans_Frenet infinite loop
+    # (SURVEY §5 latent defects) — it can never score such a frame.  We
+    # score against the truncated baseline instead (a real, if shorter,
+    # drivable corridor); only crops with <4 points (no cubic spline
+    # possible) are rejected for the episode driver to skip.
     d2 = np.sum((base - ego_xy) ** 2, axis=1)
     min_idx = int(np.argmin(d2))
     end = min(min_idx + basepoint_num, len(base))

@@ -32,14 +32,22 @@ from .spline import (
 
 
 def _cubic_lateral_profile(ego: Vehicle, cdnt_arc, seg_end: int, qf: float):
-    """Solve for (a, b) of q(s) with the four boundary conditions."""
+    """Solve for (a, b) of q(s) with the four boundary conditions.
+
+    ``inv(A) @ B`` — NOT ``solve`` — mirrors the reference's exact
+    arithmetic (``dnda_functions.py:963``): the two differ bitwise on
+    ~84% of these 2×2 systems (measured), and a ~1-ulp drift in (a, b)
+    can flip the curvature-lengthening threshold on a boundary frame.
+    The NaN→0 sanitization is the reference's own (``:965-971``); the
+    LinAlgError catch is a robustness fix (exactly-singular A would crash
+    the reference uncaught)."""
     d = ego.init_q
     c = math.tan(ego.relative_theta)
     L = cdnt_arc[seg_end] - cdnt_arc[0]
     A = np.array([[L**3, L**2], [3 * L**2, 2 * L]])
     B = np.array([qf - d - c * L, -c])
     try:
-        ab = np.linalg.solve(A, B)
+        ab = np.linalg.inv(A) @ B
     except np.linalg.LinAlgError:
         ab = np.zeros(2)
     a, b = (0.0 if np.isnan(v) else float(v) for v in ab)
@@ -47,37 +55,13 @@ def _cubic_lateral_profile(ego: Vehicle, cdnt_arc, seg_end: int, qf: float):
 
 
 def _cubic_lateral_profiles(ego: Vehicle, cdnt_arc, seg_ends, qfs):
-    """Batched :func:`_cubic_lateral_profile`: one stacked LAPACK solve for
-    many paths (per-slice gesv — results identical to the scalar calls)."""
-    d = ego.init_q
-    c = math.tan(ego.relative_theta)
-    k = len(seg_ends)
-    A = np.empty((k, 2, 2))
-    B = np.empty((k, 2))
-    # entries built with the SAME scalar arithmetic as the per-path helper
-    # (vectorized `L**3` etc. round differently at ~1 ulp)
-    for j, (s, q) in enumerate(zip(seg_ends, qfs)):
-        L = cdnt_arc[s] - cdnt_arc[0]
-        A[j, 0, 0] = L**3
-        A[j, 0, 1] = L**2
-        A[j, 1, 0] = 3 * L**2
-        A[j, 1, 1] = 2 * L
-        B[j, 0] = q - d - c * L
-        B[j, 1] = -c
-    try:
-        # (k, 2, 1) rhs: numpy 2.x only vector-dispatches 1-D b
-        ab = np.linalg.solve(A, B[..., None])[..., 0]
-    except np.linalg.LinAlgError:
-        # singular slice — fall back to the scalar path (zeros there)
-        return [
-            _cubic_lateral_profile(ego, cdnt_arc, s, q)
-            for s, q in zip(seg_ends, qfs)
-        ]
-    out = []
-    for row in ab:
-        a, b = (0.0 if np.isnan(v) else float(v) for v in row)
-        out.append((a, b, c, d))
-    return out
+    """Per-path :func:`_cubic_lateral_profile` calls (a cluster has ~14
+    paths of 2×2 systems — microseconds; a stacked LAPACK dispatch would
+    round differently than the reference's per-path ``inv(A) @ B``)."""
+    return [
+        _cubic_lateral_profile(ego, cdnt_arc, s, q)
+        for s, q in zip(seg_ends, qfs)
+    ]
 
 
 def _path_xy(way: Way, cdnt_arc, seg_end: int, a, b, c, d):

@@ -115,5 +115,11 @@ def risk_level(
     u = np.asarray(unit_arc_paths, float)
     non_collision = np.ceil(ego_speed * time_horizon / u).astype(int)
     total = np.sum(w * (non_collision + 1) * u)
+    if total == 0.0:
+        # no usable path (or fully degenerate weights): the reference's
+        # Python-int division raises ZeroDivisionError here, which the
+        # episode driver catches to SKIP the frame — numpy's silent 0/0
+        # NaN would instead poison max() over the episode's DNDA values
+        raise ZeroDivisionError("risk_level: zero weighted total length")
     free = np.sum(w * (np.asarray(collision_index) + 1) * u)
     return float((total - free) / total)

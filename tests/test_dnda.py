@@ -758,3 +758,17 @@ def test_device_sweep_fuzz_vs_host():
         dev = sweep_frames(preps, device=True, sat_dtype=dtype)
         for i, (h, d) in enumerate(zip(host, dev)):
             assert np.array_equal(h, d), (dtype, i, h, d)
+
+
+def test_risk_level_no_usable_paths_raises():
+    """With no usable path the weighted total length is 0: numpy's silent
+    0/0 would emit NaN, which the episode driver cannot skip and which
+    poisons max() over an episode's DNDA values.  The reference's
+    Python-int division raises ZeroDivisionError here — which IS in the
+    driver's (ValueError, ZeroDivisionError) skip set — so we must too."""
+    import pytest
+
+    from defensive_model_vae_tpu.dnda.risk import risk_level
+
+    with pytest.raises(ZeroDivisionError):
+        risk_level([], [0.1, 0.2], np.array([]), [], 5.0, 3.0)
