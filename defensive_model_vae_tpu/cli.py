@@ -405,7 +405,7 @@ def _cmd_metrics(args):
 def _cmd_import(args):
     from .train.torch_import import import_to_checkpoint
 
-    d = import_to_checkpoint(args.pth, args.ckpt)
+    d = import_to_checkpoint(args.pth, args.ckpt, dim=args.dim)
     print(f"imported {args.pth} -> {d}")
 
 
@@ -732,6 +732,9 @@ def main(argv=None):
     im = sub.add_parser("import", help="convert a reference .pth checkpoint")
     im.add_argument("--pth", required=True)
     im.add_argument("--ckpt", required=True)
+    im.add_argument("--dim", type=int, default=None,
+                    help="trajectory dim when ambiguous (a dim=2 model "
+                         "whose 2*seq_len divides by 3 defaults to dim=3)")
     im.set_defaults(fn=_cmd_import)
 
     wb = sub.add_parser("writeback", help="inject tracked npy into source CSV")

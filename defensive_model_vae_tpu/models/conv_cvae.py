@@ -138,7 +138,13 @@ def conv_forward(params, key, x_rel, condition, cfg: ConvCVAEConfig):
 def conv_sample(params, key, start_xy, cfg: ConvCVAEConfig):
     start_xy = jnp.atleast_2d(start_xy)
     z = jax.random.normal(key, (start_xy.shape[0], cfg.latent_dim), jnp.float32)
-    h_cond = encode_condition(params, start_xy)
+    # zero-pad the condition to cond_dim, mirroring train_conv — a
+    # cond_dim>2 model's cond_0 weight is (cond_dim, H) and the raw
+    # (B, 2) start would fail the matmul
+    cond = start_xy
+    if cond.shape[1] < cfg.cond_dim:
+        cond = jnp.pad(cond, ((0, 0), (0, cfg.cond_dim - cond.shape[1])))
+    h_cond = encode_condition(params, cond)
     rel = conv_decode(params, z, h_cond, cfg)
     if cfg.dim >= 3:
         return rel.at[:, :, 1:3].add(start_xy[:, None, :])

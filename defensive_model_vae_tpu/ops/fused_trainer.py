@@ -322,8 +322,6 @@ def fused_inputs(windows: np.ndarray) -> Tuple[jax.Array, jax.Array]:
     scan trainer uses (reference ``Training_VAE.py:343-348``), so the two
     trainer tiers — and bench.py's pipelined throughput measurement —
     consume byte-identical inputs by construction."""
-    from ..models import to_relative
-
     batch = jnp.asarray(windows, jnp.float32)
     rel, start = to_relative(batch)
     return rel.reshape(batch.shape[0], -1), start

@@ -18,6 +18,10 @@ __all__ = [
     "train",
     "make_train_step",
     "train_multi_scenario",
+    "train_conditioned",
+    "train_conv",
     "save_checkpoint",
     "load_checkpoint",
+    "save_opt_state",
+    "load_opt_state",
 ]

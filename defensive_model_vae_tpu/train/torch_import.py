@@ -20,8 +20,9 @@ import.
 
 from __future__ import annotations
 
+import os
 import re
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -44,8 +45,18 @@ _NAME_MAP = {
 }
 
 
-def load_torch_checkpoint(path: str) -> Tuple[Params, CVAEConfig]:
-    """Load a reference .pth state_dict → (params, model config)."""
+def load_torch_checkpoint(
+    path: str, dim: Optional[int] = None
+) -> Tuple[Params, CVAEConfig]:
+    """Load a reference .pth state_dict → (params, model config).
+
+    ``dim`` disambiguates the flattened trajectory width when needed: the
+    state_dict only exposes ``seq_len * dim``, and a dim=2 model whose
+    ``2*seq_len`` happens to be divisible by 3 (e.g. the legacy (6, 2)
+    window family, flat=12) is indistinguishable from a dim=3 one.  The
+    default heuristic assumes dim=3 when divisible (every shipped
+    ``vae*_<sce>`` checkpoint is [t, x, y]); pass ``dim=2`` explicitly
+    for non-time windows."""
     import torch
 
     state = torch.load(path, map_location="cpu", weights_only=True)
@@ -63,8 +74,12 @@ def load_torch_checkpoint(path: str) -> Tuple[Params, CVAEConfig]:
     flat = params["enc_0"]["w"].shape[0]
     out_flat = params["dec_3"]["w"].shape[1]
     assert flat == out_flat, "encoder/decoder dims disagree"
-    # infer (seq_len, dim): the reference always uses dim=3
-    dim = 3 if flat % 3 == 0 else 2
+    if dim is None:
+        dim = 3 if flat % 3 == 0 else 2
+    elif flat % dim:
+        raise ValueError(
+            f"flat width {flat} is not divisible by requested dim={dim}"
+        )
     cfg = CVAEConfig(
         seq_len=flat // dim,
         dim=dim,
@@ -75,21 +90,33 @@ def load_torch_checkpoint(path: str) -> Tuple[Params, CVAEConfig]:
     return params, cfg
 
 
-def import_to_checkpoint(pth_path: str, out_dir: str) -> str:
+def import_to_checkpoint(
+    pth_path: str, out_dir: str, dim: Optional[int] = None
+) -> str:
     """Convert a .pth into a native checkpoint directory.
 
-    The reference encodes the coordinate mode in the filename:
+    The reference encodes the coordinate mode in the FILENAME:
     ``vae_offset_*`` models decode relative [t, dx, dy] (shifted by the
     start condition at generation time), plain ``vae_*`` legacy models
     decode absolute [t, x, y].  Recorded as ``offset_mode`` in the
-    manifest; ``generate.load_and_generate`` honors it.
+    manifest; ``generate.load_and_generate`` honors it.  Both the offset
+    marker and the scenario id are parsed from the basename only — a
+    directory named ``offset_experiments/`` or ``sce2_backup/`` must not
+    leak into the manifest — and the scenario pattern comes from the
+    registry, never a hardcoded id list.
     """
     from .checkpoint import save_checkpoint
+    from .. import scenarios
 
-    params, cfg = load_torch_checkpoint(pth_path)
-    m = re.search(r"sce[1-4]", str(pth_path))
+    params, cfg = load_torch_checkpoint(pth_path, dim=dim)
+    base = os.path.basename(str(pth_path))
+    # longest-first so a hypothetical 'sce10' never half-matches as 'sce1'
+    pat = "|".join(
+        re.escape(k) for k in sorted(scenarios.REGISTRY, key=len, reverse=True)
+    )
+    m = re.search(pat, base)
     scenario = m.group(0) if m else None
-    offset_mode = "offset" in str(pth_path)
+    offset_mode = "offset" in base
     return save_checkpoint(
         out_dir, params, cfg, scenario,
         extra_manifest={

@@ -313,10 +313,10 @@ def train_conv(
     x_abs = jnp.asarray(windows, jnp.float32)
     # RELATIVE targets + absolute-start condition, mirroring the dense CVAE
     # (and conv_sample, which decodes relative and shifts by start_xy):
-    # dim>=3 windows are [t, x, y] → shift columns 1:3; dim==2 are [x, y]
+    # dim>=3 windows are [t, x, y] → the ONE shared to_relative transform;
+    # dim==2 are [x, y] (no time column, outside to_relative's contract)
     if x_abs.shape[2] >= 3:
-        start = x_abs[:, 0, 1:3]
-        x = x_abs.at[:, :, 1:3].add(-start[:, None, :])
+        x, start = to_relative(x_abs)
     else:
         start = x_abs[:, 0, :2]
         x = x_abs - start[:, None, :]

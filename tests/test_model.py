@@ -235,3 +235,69 @@ def test_mixed_precision_training(windows_sce1, trained_sce1):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         params_none, params_default,
     )
+
+
+def test_import_parses_basename_not_directory(tmp_path):
+    """offset_mode and the scenario id must come from the FILENAME: a
+    directory named offset_experiments/ or sce2_backup/ leaking into the
+    manifest would flip generation semantics (double-shifted starts) or
+    mislabel the scenario."""
+    import json
+
+    import torch
+
+    from defensive_model_vae_tpu.models import init_params
+    from defensive_model_vae_tpu.train.torch_import import (
+        _NAME_MAP, import_to_checkpoint, load_torch_checkpoint,
+    )
+
+    # synthesize a reference-layout state_dict from our own params
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    state = {}
+    for tname, ours in _NAME_MAP.items():
+        state[f"{tname}.weight"] = torch.tensor(
+            np.asarray(params[ours]["w"]).T.copy()
+        )
+        state[f"{tname}.bias"] = torch.tensor(np.asarray(params[ours]["b"]))
+    d = tmp_path / "offset_experiments" / "sce2_backup"
+    d.mkdir(parents=True)
+    pth = d / "vae_sce1_ld8_epoch3000.pth"  # NON-offset sce1 model
+    torch.save(state, pth)
+
+    out = import_to_checkpoint(str(pth), str(tmp_path / "ck"))
+    with open(tmp_path / "ck" / "manifest.json") as f:
+        mf = json.load(f)
+    assert mf["offset_mode"] is False  # 'offset' only in the DIRECTORY
+    assert mf["scenario"] == "sce1"    # 'sce2' only in the DIRECTORY
+
+    # explicit dim override for ambiguous flat widths: synthesize an
+    # 18-wide model (dim=2 seq=9 vs the heuristic's dim=3 seq=6)
+    from defensive_model_vae_tpu.models import CVAEConfig
+
+    cfg2 = CVAEConfig(seq_len=9, dim=2)
+    p2 = init_params(jax.random.PRNGKey(1), cfg2)
+    state2 = {}
+    for tname, ours in _NAME_MAP.items():
+        state2[f"{tname}.weight"] = torch.tensor(np.asarray(p2[ours]["w"]).T.copy())
+        state2[f"{tname}.bias"] = torch.tensor(np.asarray(p2[ours]["b"]))
+    pth2 = tmp_path / "vae_sce1_amb.pth"
+    torch.save(state2, pth2)
+    _, c_default = load_torch_checkpoint(str(pth2))
+    assert (c_default.seq_len, c_default.dim) == (6, 3)  # documented default
+    _, c_dim2 = load_torch_checkpoint(str(pth2), dim=2)
+    assert (c_dim2.seq_len, c_dim2.dim) == (9, 2)
+
+
+def test_conv_sample_pads_extra_condition_dims():
+    """conv_sample must zero-pad the (B,2) start to cond_dim like
+    train_conv does — a cond_dim>2 ConvCVAE was trainable but crashed at
+    generation."""
+    from defensive_model_vae_tpu.models import ConvCVAEConfig, init_conv_params
+    from defensive_model_vae_tpu.models.conv_cvae import conv_sample
+
+    cfg = ConvCVAEConfig(seq_len=20, dim=2, cond_dim=4)
+    params = init_conv_params(jax.random.PRNGKey(0), cfg)
+    out = conv_sample(params, jax.random.PRNGKey(1),
+                      np.array([[1.0, 2.0]], np.float32), cfg)
+    assert out.shape == (1, 20, 2)
+    assert np.all(np.isfinite(np.asarray(out)))
