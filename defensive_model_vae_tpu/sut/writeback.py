@@ -21,9 +21,11 @@ from .. import scenarios
 
 _EGO_COLS = ("ego_x", "ego_y", "ego_vx", "ego_vy", "ego_ax", "ego_ay", "ego_yaw")
 
-# scenario keys are validated by scenarios.get downstream — matching any
-# sce\d+ here keeps the regex registry-agnostic (CLAUDE.md: no hardcoded
-# scenario sets outside scenarios.py)
+# match any sce\d+ (registry-agnostic per CLAUDE.md), but VALIDATE the
+# parsed key against the registry strictly: scenarios.get's fuzzy
+# substring fallback would silently resolve an unknown 'sce10' to sce1
+# and write back into the wrong town's CSV (the reference raises on
+# unknown keys — Defensive_Testing.py:40-52)
 _NPY_RE = re.compile(
     r"tracked_trajectory_(sce\d+)_exp(\d+)_(\d+)\.npy$", re.IGNORECASE
 )
@@ -36,7 +38,12 @@ def parse_tracked_npy_name(filename: Union[str, Path]) -> Tuple[str, str, str]:
     m = _NPY_RE.match(name)
     if not m:
         raise ValueError(f"cannot parse tracked npy name: {name}")
-    return m.group(1).lower(), m.group(2), m.group(3)
+    key = m.group(1).lower()
+    if key not in scenarios.REGISTRY:
+        raise ValueError(
+            f"unknown scenario key {key!r} in tracked npy name {name!r}"
+        )
+    return key, m.group(2), m.group(3)
 
 
 def expected_csv_name(sce_key: str, exp_num: str, suffix_num: str) -> str:

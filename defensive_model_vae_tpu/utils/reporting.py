@@ -11,6 +11,8 @@ import json
 import os
 from typing import Any, Dict
 
+import numpy as np
+
 
 class MetricWriter:
     """Append-only JSONL metric log."""
@@ -70,8 +72,15 @@ def jsonable(obj: Any) -> Any:
     break non-Python consumers; every artifact writer in the repo routes
     its payload through this before ``json.dump``.
     """
-    if isinstance(obj, float) and not (obj == obj and abs(obj) != float("inf")):
-        return None
+    if isinstance(obj, (float, np.floating)):
+        # np.floating too: a raw np.float32 metric is NOT a Python float
+        # (np.float64 subclasses float; float32 does not) — it would sail
+        # past a float-only check and crash json.dumps instead of
+        # becoming null
+        f = float(obj)
+        return None if (f != f or abs(f) == float("inf")) else f
+    if isinstance(obj, np.integer):
+        return int(obj)
     if isinstance(obj, dict):
         return {k: jsonable(v) for k, v in obj.items()}
     if isinstance(obj, (list, tuple)):

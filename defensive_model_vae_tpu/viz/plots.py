@@ -114,18 +114,20 @@ def plot_spatial_distribution(
     if trajectories is not None:
         from ..metrics import count_trajectories_per_grid
 
-        Ht, _, _ = count_trajectories_per_grid(trajectories, sce, grid_size)
-        H = Ht.T  # count matrix is (ny, nx); transpose back to (nx, ny)
+        # count matrix is already (ny, nx) — exactly pcolormesh's layout,
+        # no transpose round-trip
+        H_plot, _, _ = count_trajectories_per_grid(trajectories, sce, grid_size)
     else:
         H, _, _ = np.histogram2d(
             coordinates[:, 0], coordinates[:, 1], bins=[x_edges, y_edges]
         )
+        H_plot = H.T  # histogram2d returns (nx, ny)
     cmap = LinearSegmentedColormap.from_list(
         "sky_to_darkred",
         ["#87CEEB", "#D4E8F0", "#FFFFE0", "#FFD260", "#FF6E30", "#F04228", "#CD2626"],
     )
     fig, ax = plt.subplots(figsize=(10, 10))
-    im = ax.pcolormesh(x_edges, y_edges, H.T, cmap=cmap, vmin=vmin, vmax=vmax, shading="flat")
+    im = ax.pcolormesh(x_edges, y_edges, H_plot, cmap=cmap, vmin=vmin, vmax=vmax, shading="flat")
     fig.colorbar(im, ax=ax, label="Number of Points")
     draw_lane_lines(ax, sce)
     ax.set_title(title)
@@ -255,8 +257,12 @@ def plot_histogram(values, save_path, title, xlabel, bin_width=0.5, x_max=None):
         x_max = float(finite.max()) * 1.1 if finite.size else bin_width
     x_max = max(float(x_max), bin_width)  # guarantee >= 1 valid bin
     fig, ax = plt.subplots(figsize=(10, 6))
-    ax.hist(values, bins=np.arange(0, x_max, bin_width), alpha=0.8,
-            color="skyblue", edgecolor="black", density=True)
+    # + bin_width: np.arange's exclusive stop would drop the last edge,
+    # silently excluding data above it (and a bare [0.] single-edge case
+    # draws nothing) — the reference never hit this only because its
+    # hardcoded x_max (Get_THW.py:15,66) was generous
+    ax.hist(values, bins=np.arange(0, x_max + bin_width, bin_width),
+            alpha=0.8, color="skyblue", edgecolor="black", density=True)
     ax.set_xlim(0, x_max)
     ax.set_title(title); ax.set_xlabel(xlabel); ax.set_ylabel("Density")
     ax.grid(alpha=0.3)

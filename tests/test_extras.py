@@ -293,3 +293,19 @@ def test_conv_train_sample_consistency_nonorigin():
     out = np.asarray(conv_sample(params, jax.random.PRNGKey(1), start, cfg))
     # sampled trajectory must begin near the conditioned start point
     assert np.linalg.norm(out[0, 0] - start[0]) < 3.0, out[0, 0]
+
+
+def test_jsonable_numpy_scalars():
+    """np.float32 is NOT a Python float (unlike np.float64): a float-only
+    check let it crash json.dumps; NaN float32 must become null and numpy
+    ints must serialize."""
+    import json
+
+    from defensive_model_vae_tpu.utils.reporting import jsonable
+
+    doc = jsonable({
+        "a": np.float32("nan"), "b": np.float32(1.5), "c": np.int64(7),
+        "d": float("inf"), "e": [np.float32("-inf"), 2.0],
+    })
+    assert doc == {"a": None, "b": 1.5, "c": 7, "d": None, "e": [None, 2.0]}
+    json.dumps(doc)  # must not raise

@@ -189,3 +189,10 @@ def test_writeback_differential_vs_live_reference():
             np.asarray(my_out[col], float),
             rtol=1e-12, atol=1e-12, equal_nan=True,
         ), col
+
+
+def test_parse_tracked_npy_unknown_scenario_raises():
+    """'sce10' must raise, not fuzzy-resolve to sce1 via scenarios.get's
+    substring fallback and write back into the wrong town's CSV."""
+    with pytest.raises(ValueError, match="sce10"):
+        parse_tracked_npy_name("tracked_trajectory_sce10_exp1_2.npy")
