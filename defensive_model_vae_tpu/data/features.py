@@ -22,7 +22,12 @@ def window_start_speed(window: np.ndarray) -> float:
     return float(d / dt) if dt > 0 else 0.0
 
 
-def window_thw(window: np.ndarray, scenario, trial_suffix: str = "") -> float:
+def window_thw(
+    window: np.ndarray,
+    scenario,
+    trial_suffix: str = "",
+    default_distance: Optional[float] = None,
+) -> float:
     """Trigger THW = scenario distance / start speed (``Get_THW.py:66-104``).
 
     Note the divergence from the cited reference: the reference takes the
@@ -33,8 +38,12 @@ def window_thw(window: np.ndarray, scenario, trial_suffix: str = "") -> float:
     so these THWs skew slightly high vs reference THW distributions —
     self-consistent as a conditioning feature, not comparable 1:1.
 
-    The distance comes from the scenario registry; an unregistered
-    scenario fails loudly instead of silently inventing a distance."""
+    The distance comes from the scenario registry; a scenario without one
+    (sce2 — the reference's Get_THW has no branch for it) uses
+    ``default_distance`` when given, else fails loudly.  The default is a
+    CROSS-scenario constant owned by the conditioned-corpus builder, not
+    a registry entry — registering it would wrongly activate the
+    reference-mirroring ``defvae thw`` output for sce2."""
     sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
     v = window_start_speed(window)
     if sce.thw_distance is not None:
@@ -43,10 +52,13 @@ def window_thw(window: np.ndarray, scenario, trial_suffix: str = "") -> float:
         d = sce.thw_distance_by_suffix.get(
             trial_suffix, sce.thw_distance_by_suffix["default"]
         )
+    elif default_distance is not None:
+        d = default_distance
     else:
         raise ValueError(
             f"{sce.key}: no THW distance registered (set thw_distance or "
-            "thw_distance_by_suffix in scenarios.py)"
+            "thw_distance_by_suffix in scenarios.py, or pass "
+            "default_distance)"
         )
     return d / v if v > 0 else 0.0
 
@@ -83,13 +95,18 @@ def window_trial_suffixes(
         ]
 
     if point_mode == "extend_mid":
-        return _suffixes("normal") + _suffixes("extend_mid")
+        # the emission check is mode-independent (same files yield a
+        # window in both modes), so the appended corpus's suffixes are
+        # the normal list again — no second corpus walk needed
+        s = _suffixes("normal")
+        return s + s
     return _suffixes(point_mode)
 
 
 def build_conditioned_corpus(
     windows_by_scenario: Dict[str, np.ndarray],
     suffixes_by_scenario: Optional[Dict[str, Sequence[str]]] = None,
+    default_thw_distance: float = 60.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Stack all scenario corpora with [one-hot, THW] extra conditions.
 
@@ -98,6 +115,9 @@ def build_conditioned_corpus(
     per-window trial suffixes (:func:`window_trial_suffixes`) so sce4's
     suffix-dependent THW distance (40 m for trial '3', else 30 m) is
     honored; without them every window uses the scenario default.
+    ``default_thw_distance`` covers scenarios with no reference THW
+    branch (sce2) — a conditioned-corpus convention, not a registry
+    constant (see :func:`window_thw`).
     """
     keys = sorted(windows_by_scenario.keys())
     n_sce = len(scenarios.REGISTRY)  # one-hot width from the registry
@@ -110,7 +130,8 @@ def build_conditioned_corpus(
         onehot[sce.index - 1] = 1.0
         for i, win in enumerate(w):
             suffix = suffixes[i] if suffixes is not None else ""
-            thw = window_thw(win, sce, suffix)
+            thw = window_thw(win, sce, suffix,
+                             default_distance=default_thw_distance)
             all_w.append(win)
             all_c.append(np.concatenate([onehot, [thw]]))
     return np.stack(all_w), np.stack(all_c).astype(np.float32)

@@ -426,11 +426,12 @@ REGISTRY: Dict[str, Scenario] = {
             LaneLine("y", 1.2, "solid", (-177, -50)),
         ),
         axis_flip="x",
-        # the reference's Get_THW has NO sce2 branch (it would KeyError);
-        # 60 m is this framework's documented default for the conditioned-
-        # corpus THW feature (BASELINE config 4) — registered here so the
-        # constant lives in the registry, not in features.py
-        thw_distance=60.0,
+        # None on purpose: the reference's Get_THW has NO sce2 branch, and
+        # `defvae thw` / metrics.thw must keep skipping sce2 to match it.
+        # The conditioned corpus (BASELINE config 4) supplies its own
+        # cross-scenario default via build_conditioned_corpus's
+        # default_distance — not a per-scenario constant, so not here.
+        thw_distance=None,
         thw_distance_by_suffix=None,
         sut_jerk_axis="ax",
         dnda=DndaConfig(

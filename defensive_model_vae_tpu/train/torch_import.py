@@ -110,9 +110,16 @@ def import_to_checkpoint(
 
     params, cfg = load_torch_checkpoint(pth_path, dim=dim)
     base = os.path.basename(str(pth_path))
-    # longest-first so a hypothetical 'sce10' never half-matches as 'sce1'
-    pat = "|".join(
-        re.escape(k) for k in sorted(scenarios.REGISTRY, key=len, reverse=True)
+    # digit-boundary anchors: an UNREGISTERED 'sce10' in the filename must
+    # yield scenario=None, not substring-match the registered 'sce1'
+    # (longest-first only helps when the longer key is itself registered)
+    pat = (
+        r"(?<!\d)(?:"
+        + "|".join(
+            re.escape(k)
+            for k in sorted(scenarios.REGISTRY, key=len, reverse=True)
+        )
+        + r")(?!\d)"
     )
     m = re.search(pat, base)
     scenario = m.group(0) if m else None

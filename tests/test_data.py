@@ -328,19 +328,19 @@ def test_trial_suffixes_align_with_corpus_variants():
 def test_window_thw_requires_registered_distance():
     """An unregistered THW distance fails loudly instead of silently
     inventing one (the old 60 m fallback hid missing registration)."""
-    import dataclasses
-
     import pytest
 
     from defensive_model_vae_tpu import scenarios
     from defensive_model_vae_tpu.data.features import window_thw
 
     win = np.array([[0.0, 0.0, 0.0], [1.0, 5.0, 0.0]], np.float32)
-    bare = dataclasses.replace(
-        scenarios.get("sce2"), thw_distance=None, thw_distance_by_suffix=None
-    )
+    # sce2 has NO registered distance on purpose (the reference's Get_THW
+    # has no sce2 branch, and `defvae thw` must keep skipping it): the
+    # conditioned-corpus path supplies the cross-scenario default
     with pytest.raises(ValueError, match="THW distance"):
-        window_thw(win, bare)
-    # sce2's 60 m now lives in the registry (beyond-reference default —
-    # the reference Get_THW has no sce2 branch), same value as before
-    assert window_thw(win, scenarios.get("sce2")) == 60.0 / 5.0
+        window_thw(win, scenarios.get("sce2"))
+    assert window_thw(win, scenarios.get("sce2"),
+                      default_distance=60.0) == 60.0 / 5.0
+    # registered scenarios ignore the default
+    assert window_thw(win, scenarios.get("sce1"),
+                      default_distance=1.0) == 60.0 / 5.0

@@ -309,3 +309,17 @@ def test_jsonable_numpy_scalars():
     })
     assert doc == {"a": None, "b": 1.5, "c": 7, "d": None, "e": [None, 2.0]}
     json.dumps(doc)  # must not raise
+
+
+def test_jsonable_numpy_bool_and_array():
+    """np.bool_ and ndarrays crash json.dumps just like np.float32 did."""
+    import json
+
+    from defensive_model_vae_tpu.utils.reporting import jsonable
+
+    doc = jsonable({
+        "ok": np.bool_(True),
+        "arr": np.array([1.5, np.nan], np.float32),
+    })
+    assert doc == {"ok": True, "arr": [1.5, None]}
+    json.dumps(doc)

@@ -270,6 +270,14 @@ def test_import_parses_basename_not_directory(tmp_path):
     assert mf["offset_mode"] is False  # 'offset' only in the DIRECTORY
     assert mf["scenario"] == "sce1"    # 'sce2' only in the DIRECTORY
 
+    # an UNREGISTERED sce10 must record scenario None, not substring-match
+    # the registered sce1
+    pth10 = d / "vae_sce10_ld8.pth"
+    torch.save(state, pth10)
+    import_to_checkpoint(str(pth10), str(tmp_path / "ck10"))
+    with open(tmp_path / "ck10" / "manifest.json") as f:
+        assert json.load(f)["scenario"] is None
+
     # explicit dim override for ambiguous flat widths: synthesize an
     # 18-wide model (dim=2 seq=9 vs the heuristic's dim=3 seq=6)
     from defensive_model_vae_tpu.models import CVAEConfig
