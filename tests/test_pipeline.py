@@ -581,3 +581,23 @@ def test_run_scenario_offset_mode_and_stale_cleanup(tmp_path, all_windows):
         a.shape != b.shape or not np.allclose(a, b)
         for a, b in zip(want, shifted)
     )
+
+
+def test_cli_doctor_fail_exit_code(tmp_path, monkeypatch, capsys):
+    """A hard failure (backend unreachable) must print FAIL and exit 1 —
+    the health check's contract for scripting (`defvae doctor && ...`)."""
+    import jax
+
+    import pytest
+
+    from defensive_model_vae_tpu.cli import main
+
+    def boom():
+        raise RuntimeError("backend down")
+
+    monkeypatch.setattr(jax, "devices", boom)
+    with pytest.raises(SystemExit) as e:
+        main(["doctor", "--no-device", "--ckpt-root", str(tmp_path / "x")])
+    assert e.value.code == 1
+    out = capsys.readouterr().out
+    assert "FAIL" in out and "backend down" in out
