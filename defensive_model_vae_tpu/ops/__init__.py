@@ -4,10 +4,12 @@ from .fused_trainer import (
     fused_train_seeds,
     FUSED_METRIC_KEYS,
 )
+from .fused_scale import fused_train_scale
 
 __all__ = [
     "fused_train",
     "fused_train_multi",
     "fused_train_seeds",
+    "fused_train_scale",
     "FUSED_METRIC_KEYS",
 ]

@@ -1,0 +1,382 @@
+"""Fused Pallas trainer for PRODUCTION-SCALE corpora: the whole run in one
+kernel launch, with the corpus streamed through VMEM tile by tile.
+
+The whole-run kernel in :mod:`.fused_trainer` owns the reference-sized
+regime (≤136 windows resident in VMEM; its win is deleting per-epoch
+dispatch).  At production batch sizes (``bench.py``'s scale bench: 131072
+windows) the corpus no longer fits in VMEM and the binding resource flips
+to HBM bandwidth: the XLA scan trainer materializes every layer activation
+to HBM between ops (~14% MFU measured in bf16).  This kernel keeps the
+model on-core instead:
+
+- **grid = (epochs, batch tiles)**, iterated sequentially (epochs outer);
+- the packed corpus is streamed from HBM one ``(tile, F)`` block per grid
+  step — Pallas double-buffers the DMA behind the compute — and is read
+  EXACTLY ONCE per epoch: activations never touch HBM;
+- parameters live in the output blocks (constant index map → VMEM-resident
+  for the whole grid, written back once at the end); Adam moments and the
+  gradient accumulator live in VMEM scratch, which persists across grid
+  steps;
+- each grid step computes the tile's forward + backward (``value_and_grad``
+  traced inside the kernel) and accumulates gradients; the last tile of an
+  epoch applies one Adam update — bit-for-bit the full-batch objective,
+  because per-tile losses are scaled by the GLOBAL valid-row count
+  (``_forward_loss(n_valid=N)``) so grads/metrics sum across tiles to the
+  full-batch means;
+- reparameterization noise comes from the on-core PRNG, re-seeded per grid
+  step from ``seed + e·n_tiles + i`` (i.i.d. across epochs AND tiles —
+  fresh noise every epoch, like the scan trainer; the explicit-``eps``
+  escape hatch holds noise constant across epochs, like the other fused
+  kernels, and is what lets interpret mode cover this kernel on CPU).
+
+Mixed precision (default ``compute_dtype="bfloat16"``) stores the streamed
+corpus in bf16 (halving HBM traffic) and runs the forward/backward in bf16
+over the f32 master params — the same recipe as
+``train.TrainConfig.compute_dtype``, with the one documented delta that the
+recon target is the bf16-rounded corpus.
+
+Arithmetic-intensity note (why this kernel exists): at hidden=128 the MLP
+moves ~64 FLOPs per activation byte — far under the ~240 needed to feed
+the MXU from HBM — so the scan trainer is bandwidth-bound.  Streaming only
+the corpus (~80 B/window in bf16 vs ~4.4 KB/window of activations) raises
+the intensity to ~10k FLOP/B, retiring HBM as the binding resource.
+Measured outcome (131072 windows × 200 epochs, on-chip tile sweep): the
+kernel then hits a NEW ceiling at ~14% MFU — per-tile VPU/relayout work
+(dtype casts, lane-sliced unpacking of the packed block, transposed dW
+matmuls), not the MXU — landing at parity-to-slightly-above the scan
+trainer (36.4M vs 35.7M windows/s bf16 at tile=2048), with the structural
+win that the entire run is ONE dispatch instead of one per epoch.
+
+Unlike the VMEM-resident kernels this one has no epoch cap (the metrics
+block is (1, 8) per grid step) and no corpus-size cap (tiles stream from
+HBM) — the remaining limit is params+Adam fitting in VMEM
+(``_check_vmem_budget``, shared).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import CVAEConfig, LossWeights, init_params
+from ..models.cvae import Params
+from .fused_trainer import (
+    FUSED_METRIC_KEYS,
+    _adam_step,
+    _check_vmem_budget,
+    _flatten_params,
+    _forward_loss,
+    _normal_noise,
+    _unflatten_params,
+    fused_inputs,
+)
+
+
+def _pack_corpus(x_flat, cond, mask, eps, latent_dim: int):
+    """Pack [x_flat | cond | mask | eps] into ONE (N, F+C+1+Z) operand.
+
+    One streamed input instead of four: the packed width (~41) still lane-
+    pads to 128 in VMEM, so the narrow side arrays ride along for free
+    instead of each paying their own (tile, 128) double-buffered block."""
+    n = x_flat.shape[0]
+    if eps is None:
+        eps = jnp.zeros((n, latent_dim), jnp.float32)
+    return jnp.concatenate(
+        [x_flat, cond, mask.reshape(n, 1), eps], axis=1
+    )
+
+
+def _make_scale_kernel(cfg: CVAEConfig, weights: LossWeights, lr: float,
+                       n_params: int, n_tiles: int, n_valid: float,
+                       eps_input: bool, compute_dtype):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    F = cfg.seq_len * cfg.dim
+    C = cfg.cond_dim
+    Z = cfg.latent_dim
+
+    def kernel(*refs):
+        # layout: [seed, packed, p_in0..] → [out_p0.., metrics] + scratch
+        # [m0.., v0.., acc0..]
+        seed_ref = refs[0]
+        x_ref = refs[1]
+        p_refs = refs[2 : 2 + n_params]
+        out_refs = refs[2 + n_params : 2 + 2 * n_params]
+        metrics_ref = refs[2 + 2 * n_params]
+        scratch = refs[3 + 2 * n_params :]
+        m_refs = scratch[:n_params]
+        v_refs = scratch[n_params : 2 * n_params]
+        acc_refs = scratch[2 * n_params : 3 * n_params]
+
+        e = pl.program_id(0)
+        i = pl.program_id(1)
+
+        @pl.when(jnp.logical_and(e == 0, i == 0))
+        def _init():
+            for dst, src in zip(out_refs, p_refs):
+                dst[:] = src[:]
+            for r in m_refs:
+                r[:] = jnp.zeros_like(r)
+            for r in v_refs:
+                r[:] = jnp.zeros_like(r)
+
+        packed = x_ref[:]
+        x = packed[:, :F]
+        cond = packed[:, F : F + C]
+        mask = packed[:, F + C : F + C + 1].astype(jnp.float32)
+        if eps_input:
+            eps = packed[:, F + C + 1 : F + C + 1 + Z]
+        else:
+            pltpu.prng_seed(seed_ref[0, 0] + e * n_tiles + i)
+            eps = _normal_noise((x.shape[0], Z))
+
+        params = [r[:] for r in out_refs]
+        (_, comps), grads = jax.value_and_grad(
+            lambda pl_: _forward_loss(
+                pl_, x, cond, eps, cfg, weights, mask,
+                n_valid=n_valid, compute_dtype=compute_dtype,
+            ),
+            has_aux=True,
+        )(params)
+        row = jnp.concatenate([comps, jnp.zeros(3)])
+
+        # metrics block = 8 epochs × 8 (Mosaic requires sublane blocks of 8
+        # or the full dim); this epoch's row inside the block:
+        mrow = e % 8
+
+        @pl.when(i == 0)
+        def _first_tile():
+            for r, g in zip(acc_refs, grads):
+                r[:] = g
+            metrics_ref[mrow, :] = row
+
+        @pl.when(i != 0)
+        def _accumulate():
+            for r, g in zip(acc_refs, grads):
+                r[:] = r[:] + g
+            metrics_ref[mrow, :] = metrics_ref[mrow, :] + row
+
+        @pl.when(i == n_tiles - 1)
+        def _adam():
+            g = [r[:] for r in acc_refs]
+            m = [r[:] for r in m_refs]
+            v = [r[:] for r in v_refs]
+            new_p, new_m, new_v = _adam_step(
+                params, g, m, v, (e + 1).astype(jnp.float32), lr
+            )
+            for r, val in zip(out_refs, new_p):
+                r[:] = val
+            for r, val in zip(m_refs, new_m):
+                r[:] = val
+            for r, val in zip(v_refs, new_v):
+                r[:] = val
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "weights", "epochs", "lr", "tile", "n_valid", "compute_dtype",
+        "eps_input", "interpret",
+    ),
+)
+def _fused_scale_call(plist, packed, seed, cfg, weights, epochs, lr, tile,
+                      n_valid, compute_dtype, eps_input, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = len(plist)
+    n_pad, width = packed.shape
+    n_tiles = n_pad // tile
+    kernel = _make_scale_kernel(
+        cfg, weights, lr, n, n_tiles, n_valid, eps_input, compute_dtype
+    )
+
+    def const_block(arr):  # whole array, VMEM-resident across the grid
+        return pl.BlockSpec(
+            arr.shape, lambda e, i: (0,) * arr.ndim, memory_space=pltpu.VMEM
+        )
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    in_specs.append(
+        pl.BlockSpec((tile, width), lambda e, i: (i, 0), memory_space=pltpu.VMEM)
+    )
+    in_specs += [const_block(p) for p in plist]
+    # metrics rows are grouped 8 epochs per block (Mosaic block-shape rule:
+    # sublane dim must be a multiple of 8 or the full array dim); callers
+    # slice the [:epochs] rows
+    e_pad = -(-epochs // 8) * 8
+    out_shape = tuple(
+        jax.ShapeDtypeStruct(p.shape, p.dtype) for p in plist
+    ) + (jax.ShapeDtypeStruct((e_pad, 8), jnp.float32),)
+    out_specs = tuple(const_block(p) for p in plist) + (
+        pl.BlockSpec((8, 8), lambda e, i: (e // 8, 0), memory_space=pltpu.VMEM),
+    )
+    scratch = [pltpu.VMEM(p.shape, jnp.float32) for p in plist] * 3
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(epochs, n_tiles),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        # the default 16 MB scoped-vmem limit is far under the v5e core's
+        # 128 MiB; raising it is what makes MXU-efficient tiles (>=1024
+        # rows) compile — measured: tile=1024 bf16 needs 16.23 MB scoped
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
+        interpret=interpret,
+    )(seed, packed, *plist)
+    return outs[:n], outs[n]
+
+
+def fused_train_scale(
+    windows: np.ndarray,
+    epochs: int = 200,
+    lr: float = 1e-3,
+    weights: LossWeights = LossWeights(),
+    seed: int = 0,
+    tile: int = 2048,
+    compute_dtype: str | None = "bfloat16",
+    eps: np.ndarray = None,
+    interpret: bool = False,
+) -> Tuple[Params, Dict[str, np.ndarray]]:
+    """Train on a production-scale corpus entirely inside ONE kernel launch.
+
+    Full-batch-Adam equivalent of ``train.train(windows, ...)`` on large
+    corpora (same init, objective, optimizer; noise stream differs as for
+    the other fused kernels): the corpus is streamed through VMEM in
+    ``tile``-row blocks with exact gradient accumulation — see the module
+    docstring for the roofline argument.
+
+    Args:
+        tile: streamed block height; must keep the tile's activations in
+            VMEM (guarded).  Rows are padded to a multiple of ``tile`` with
+            masked zero windows, so any corpus size works.
+        compute_dtype: ``"bfloat16"`` (default — stores the streamed corpus
+            and runs fwd/bwd in bf16 over f32 masters) or ``None`` (pure
+            f32, the oracle-matched mode).
+        eps: optional (N, latent) explicit noise held constant across
+            epochs — the interpret-mode escape hatch shared with the other
+            fused kernels.
+    """
+    cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
+    _check_vmem_budget(cfg)
+    _check_scale_tile(cfg, tile, compute_dtype)
+    x_flat, start = fused_inputs(windows)
+    n = x_flat.shape[0]
+    n_pad = -(-n // tile) * tile
+
+    eps_input = eps is not None
+    eps_j = None if eps is None else jnp.asarray(eps, jnp.float32)
+    packed = _pack_corpus(
+        x_flat, start, jnp.ones((n,), jnp.float32), eps_j, cfg.latent_dim
+    )
+    if n_pad != n:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((n_pad - n, packed.shape[1]), jnp.float32)]
+        )
+    cdt = None if compute_dtype is None else jnp.dtype(compute_dtype)
+    if cdt is not None:
+        packed = packed.astype(cdt)
+
+    params = init_params(jax.random.PRNGKey(seed), cfg)
+    plist = _flatten_params(params)
+    seed_arr = jnp.array([[seed]], jnp.int32)
+
+    out_plist, metrics = _fused_scale_call(
+        tuple(plist), packed, seed_arr, cfg, weights, epochs, lr, tile,
+        float(n), cdt, eps_input, interpret=interpret,
+    )
+    metrics = np.asarray(metrics)[:epochs, :5]
+    history = {k: metrics[:, i] for i, k in enumerate(FUSED_METRIC_KEYS)}
+    return _unflatten_params(list(out_plist)), history
+
+
+# scoped-vmem ceiling requested from Mosaic (v5e physical VMEM: 128 MiB /
+# core; leave headroom for the framework's own scoped use)
+_VMEM_LIMIT_BYTES = 100 * 2**20
+
+
+def _check_scale_tile(cfg: CVAEConfig, tile: int, compute_dtype):
+    """Refuse tile shapes that cannot compile: Mosaic sublane alignment (8
+    for f32, 16 for bf16) and the scoped-vmem envelope for the tile's
+    backward-pass activation set.  Calibrated against the compiler's own
+    accounting: tile=1024 bf16 measured 16.23 MB scoped → ~12.5 KB/row
+    variable part on top of ~3.5 MB fixed (params+Adam+acc+corpus
+    blocks); f32 doubles the per-row bytes."""
+    align = 16 if compute_dtype is not None else 8
+    if tile % align != 0 or tile <= 0:
+        raise ValueError(
+            f"tile must be a positive multiple of {align} for "
+            f"compute_dtype={compute_dtype} (got {tile})"
+        )
+    per_row_kb = 12.5 if compute_dtype is not None else 25.0
+    est_mb = 3.5 + tile * per_row_kb / 1024
+    if est_mb * 2**20 > _VMEM_LIMIT_BYTES:
+        raise ValueError(
+            f"tile={tile} needs ~{est_mb:.0f} MB scoped VMEM for "
+            f"backward-pass activations (> {_VMEM_LIMIT_BYTES >> 20} MB "
+            f"limit); use a smaller tile"
+        )
+
+
+def fused_scale_reference(
+    params: Params,
+    windows: np.ndarray,
+    eps: np.ndarray,
+    epochs: int,
+    lr: float = 1e-3,
+    weights: LossWeights = LossWeights(),
+    tile: int = None,
+) -> Tuple[Params, np.ndarray]:
+    """Plain-XLA mirror of the kernel's tiled accumulation — the oracle the
+    scale kernel is validated against in tests (explicit eps, f32).
+
+    ``tile=None`` runs full-batch (mathematically identical; fp summation
+    order differs); an explicit ``tile`` reproduces the kernel's exact
+    per-tile partial-sum order."""
+    cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
+    x_flat, start = fused_inputs(windows)
+    n = x_flat.shape[0]
+    eps_j = jnp.asarray(eps, jnp.float32)
+    mask = jnp.ones((n, 1), jnp.float32)
+    if tile is None:
+        tile = n
+    n_pad = -(-n // tile) * tile
+    if n_pad != n:
+        pad = n_pad - n
+        x_flat = jnp.concatenate([x_flat, jnp.zeros((pad, x_flat.shape[1]))])
+        start = jnp.concatenate([start, jnp.zeros((pad, start.shape[1]))])
+        eps_j = jnp.concatenate([eps_j, jnp.zeros((pad, eps_j.shape[1]))])
+        mask = jnp.concatenate([mask, jnp.zeros((pad, 1))])
+
+    plist = _flatten_params(params)
+    m = [jnp.zeros_like(p) for p in plist]
+    v = [jnp.zeros_like(p) for p in plist]
+    hist = []
+    for t in range(epochs):
+        acc = None
+        comps_sum = None
+        for i in range(n_pad // tile):
+            sl = slice(i * tile, (i + 1) * tile)
+            (_, comps), grads = jax.value_and_grad(
+                lambda pl_: _forward_loss(
+                    pl_, x_flat[sl], start[sl], eps_j[sl], cfg, weights,
+                    mask[sl], n_valid=float(n),
+                ),
+                has_aux=True,
+            )(plist)
+            acc = grads if acc is None else [a + g for a, g in zip(acc, grads)]
+            comps_sum = comps if comps_sum is None else comps_sum + comps
+        plist, m, v = _adam_step(plist, acc, m, v, jnp.asarray(t + 1.0), lr)
+        hist.append(np.asarray(comps_sum))
+    return _unflatten_params(plist), np.stack(hist)

@@ -59,31 +59,83 @@ def _unflatten_params(flat) -> Params:
 
 
 def _forward_loss(plist, x_flat, cond, eps, cfg: CVAEConfig, w: LossWeights,
-                  mask=None):
+                  mask=None, n_valid=None, compute_dtype=None):
     """Pure loss over the flat param list; mirrors models.cvae.forward +
     losses.cvae_loss on flattened (B, T·D) windows with explicit noise.
     ``mask`` (B,) enables padded multi-scenario batches (same semantics as
-    models.losses masked means)."""
+    models.losses masked means).
+
+    ``n_valid`` (optional, static float) overrides the masked denominator
+    ``sum(mask)``: with the GLOBAL valid-row count, per-tile losses become
+    partial sums of the full-batch mean — summing them over tiles
+    reproduces the full-batch objective exactly (the grad-accumulation
+    contract of :mod:`.fused_scale`).
+
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``) runs the forward/backward in
+    that dtype with float32 loss reductions — the same mixed-precision
+    recipe as ``train.TrainConfig.compute_dtype`` (bf16 activations halve
+    the tile's VMEM/HBM footprint and double MXU rate; grads flow back
+    through the casts and land in float32 against the f32 masters)."""
+    if compute_dtype is not None:
+        plist = [a.astype(compute_dtype) for a in plist]
+        cond = cond.astype(compute_dtype)
+        eps = eps.astype(compute_dtype)
+        x_cast = x_flat.astype(compute_dtype)
+    else:
+        x_cast = x_flat
     p = {n: (plist[2 * i], plist[2 * i + 1]) for i, n in enumerate(_LAYERS)}
 
     def lin(name, h):
         W, b = p[name]
-        return jnp.dot(h, W, preferred_element_type=jnp.float32) + b
+        # Always accumulate in f32: the MXU accumulates bf16 matmuls in
+        # f32 regardless (Mosaic REJECTS a bf16 acc — 'Expected matmul acc
+        # to be 32-bit'), and XLA's bf16 dot has the same round-after-
+        # f32-accumulate semantics, so the mixed path stays equivalent to
+        # the scan trainer's.
+        out = jnp.dot(h, W, preferred_element_type=jnp.float32)
+        if compute_dtype is not None:
+            out = out.astype(compute_dtype)
+        return out + b
 
-    relu = lambda h: jnp.maximum(h, 0.0)
+    if compute_dtype is None:
+        relu = lambda h: jnp.maximum(h, jnp.zeros((), h.dtype))
+    else:
+        # Mosaic can't cmpf bf16 vectors ('Target does not support this
+        # comparison' — jnp.maximum's VJP emits an eq in the operand
+        # dtype); compare in f32 and select instead.  Same values; the
+        # gradient mask is h>0 vs maximum's h>=0 — they differ only on
+        # exact zeros, measure-zero for training and irrelevant to the
+        # bf16 mode's descend-contract.
+        def relu(h):
+            keep = h.astype(jnp.float32) > 0.0
+            return jnp.where(keep, h, jnp.zeros((), h.dtype))
 
     hc = relu(lin("cond_1", relu(lin("cond_0", cond))))
-    h = x_flat
+    h = x_cast
     for name in ("enc_0", "enc_1", "enc_2", "enc_3"):
         h = relu(lin(name, h))
     hcat = jnp.concatenate([h, hc], axis=1)
     mu = lin("fc_mu", hcat)
     logvar = lin("fc_logvar", hcat)
-    z = mu + eps * jnp.exp(0.5 * logvar)
+    if compute_dtype is None:
+        z = mu + eps * jnp.exp(0.5 * logvar)
+    else:
+        # transcendentals run on the f32 VPU path (Mosaic's bf16
+        # exp support is spotty like cmpf); round the std back down
+        std = jnp.exp(0.5 * logvar.astype(jnp.float32)).astype(compute_dtype)
+        z = mu + eps * std
     g = jnp.concatenate([z, hc], axis=1)
     for name in ("dec_0", "dec_1", "dec_2"):
         g = relu(lin(name, g))
     recon = lin("dec_3", g)  # (B, T·D)
+
+    if compute_dtype is not None:
+        # loss terms (squared errors, exp, means) reduce in float32 —
+        # mirrors train.make_train_step's post-forward up-cast.  The recon
+        # TARGET is the compute-dtype x (the streamed corpus is stored in
+        # that dtype), so the objective is the bf16-rounded corpus's.
+        recon, mu, logvar = (a.astype(jnp.float32) for a in (recon, mu, logvar))
+        x_flat = x_cast.astype(jnp.float32)
 
     T, D = cfg.seq_len, cfg.dim
     if mask is None:
@@ -91,11 +143,15 @@ def _forward_loss(plist, x_flat, cond, eps, cfg: CVAEConfig, w: LossWeights,
     else:
         # keep the mask 2-D throughout: Mosaic rejects 1-D reductions
         m_col = mask if mask.ndim == 2 else mask[:, None]
-        n_valid = jnp.maximum(jnp.sum(m_col), 1.0)
+        denom = (
+            jnp.maximum(jnp.sum(m_col), 1.0)
+            if n_valid is None
+            else jnp.asarray(n_valid, jnp.float32)
+        )
 
         def mean_rows(arr):
             per_row_elems = arr.shape[1]
-            return jnp.sum(arr * m_col) / (n_valid * per_row_elems)
+            return jnp.sum(arr * m_col) / (denom * per_row_elems)
 
     recon_loss = mean_rows((recon - x_flat) ** 2)
     kld = -0.5 * mean_rows(1.0 + logvar - mu**2 - jnp.exp(logvar))
@@ -175,13 +231,30 @@ def _normal_noise(shape):
     return r * jnp.cos(2.0 * jnp.pi * u2)
 
 
+def _adam_step(params, grads, m, v, tf, lr):
+    """One Adam update over flat param lists (b1/b2/eps = optax defaults,
+    matching the scan trainer).  ``tf`` is the 1-based step index as f32;
+    bias correction uses ``b**t = exp(t·ln b)`` — Mosaic has no powf
+    legalization.  Shared by every fused kernel so they cannot drift."""
+    b1, b2, adam_eps = 0.9, 0.999, 1e-8
+    bc1 = 1.0 - jnp.exp(tf * np.log(b1))
+    bc2 = 1.0 - jnp.exp(tf * np.log(b2))
+    new_p, new_m, new_v = [], [], []
+    for p, g, mi, vi in zip(params, grads, m, v):
+        mi = b1 * mi + (1 - b1) * g
+        vi = b2 * vi + (1 - b2) * g * g
+        update = (mi / bc1) / (jnp.sqrt(vi / bc2) + adam_eps)
+        new_p.append(p - lr * update)
+        new_m.append(mi)
+        new_v.append(vi)
+    return new_p, new_m, new_v
+
+
 def _epoch_body(cfg, weights, lr, x, cond, mask, get_eps, write_metrics):
     """The per-epoch training step shared by BOTH Pallas kernels (single
     whole-run and grid): explicit-or-core-PRNG noise, value_and_grad over
-    the flat params, inline Adam (b**t as exp(t·ln b) — Mosaic has no powf
-    legalization), metric write.  One body → the single/grid kernels
-    cannot drift apart."""
-    b1, b2, adam_eps = 0.9, 0.999, 1e-8
+    the flat params, Adam via :func:`_adam_step`, metric write.  One body →
+    the single/grid kernels cannot drift apart."""
 
     def body(t, carry):
         params, m, v = carry
@@ -190,17 +263,9 @@ def _epoch_body(cfg, weights, lr, x, cond, mask, get_eps, write_metrics):
             lambda pl_: _forward_loss(pl_, x, cond, eps, cfg, weights, mask),
             has_aux=True,
         )(params)
-        tf = (t + 1).astype(jnp.float32)
-        bc1 = 1.0 - jnp.exp(tf * np.log(b1))
-        bc2 = 1.0 - jnp.exp(tf * np.log(b2))
-        new_p, new_m, new_v = [], [], []
-        for p, g, mi, vi in zip(params, grads, m, v):
-            mi = b1 * mi + (1 - b1) * g
-            vi = b2 * vi + (1 - b2) * g * g
-            update = (mi / bc1) / (jnp.sqrt(vi / bc2) + adam_eps)
-            new_p.append(p - lr * update)
-            new_m.append(mi)
-            new_v.append(vi)
+        new_p, new_m, new_v = _adam_step(
+            params, grads, m, v, (t + 1).astype(jnp.float32), lr
+        )
         write_metrics(t, comps)
         return new_p, new_m, new_v
 

@@ -1,0 +1,119 @@
+"""Scale-kernel tests (interpreter mode on CPU; the compiled path is
+exercised on real TPU by bench.py's ``scale_fused_*`` measurement).
+
+The oracle chain: ``fused_scale_reference`` with an explicit ``tile``
+reproduces the kernel's exact per-tile partial-sum order in plain XLA, and
+with ``tile=None`` it is the full-batch objective — so the tests pin both
+(a) kernel == tiled oracle (same arithmetic) and (b) tiled oracle ==
+full-batch oracle (the grad-accumulation contract: per-tile losses scaled
+by the GLOBAL n_valid sum to the full-batch means)."""
+
+import jax
+import numpy as np
+import pytest
+
+from defensive_model_vae_tpu.models import CVAEConfig, init_params
+from defensive_model_vae_tpu.ops.fused_scale import (
+    fused_scale_reference,
+    fused_train_scale,
+)
+from defensive_model_vae_tpu.ops.fused_trainer import _flatten_params
+
+CFG = CVAEConfig()
+
+
+def _tiny_corpus(n, seed=3):
+    rng = np.random.default_rng(seed)
+    t = np.cumsum(rng.uniform(0.5, 2.0, (n, CFG.seq_len)), axis=1)
+    t -= t[:, :1]
+    xy = rng.normal(0.0, 5.0, (n, CFG.seq_len, 2)).cumsum(axis=1)
+    return np.concatenate([t[..., None], xy], axis=-1).astype(np.float32)
+
+
+def test_scale_kernel_matches_tiled_oracle():
+    """Kernel (interpret, f32, explicit eps) == the plain-XLA tiled oracle
+    after several epochs — params AND the per-epoch metric rows."""
+    w = _tiny_corpus(24)
+    eps = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(7), (24, CFG.latent_dim))
+    )
+    params, hist = fused_train_scale(
+        w, epochs=4, tile=8, compute_dtype=None, eps=eps, interpret=True
+    )
+    ref_params, ref_hist = fused_scale_reference(
+        init_params(jax.random.PRNGKey(0), CFG), w, eps, epochs=4, tile=8
+    )
+    # XLA fuses the kernel trace and the oracle trace differently, so f32
+    # reassociation noise compounds over the 4 feedback epochs (measured
+    # max 2.7e-6 on params) — the tolerance is fp-order, not semantics
+    for a, b in zip(_flatten_params(params), _flatten_params(ref_params)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    got = np.stack([hist[k] for k in ("total", "recon", "kld", "start", "time")], 1)
+    assert np.allclose(got, ref_hist, rtol=1e-5, atol=1e-5)
+
+
+def test_tiled_oracle_matches_full_batch():
+    """The grad-accumulation contract: tiling changes only fp summation
+    order, so the tiled oracle tracks the full-batch objective."""
+    w = _tiny_corpus(24, seed=11)
+    eps = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(2), (24, CFG.latent_dim))
+    )
+    p0 = init_params(jax.random.PRNGKey(0), CFG)
+    p_tiled, h_tiled = fused_scale_reference(p0, w, eps, epochs=3, tile=8)
+    p_full, h_full = fused_scale_reference(p0, w, eps, epochs=3, tile=None)
+    for a, b in zip(_flatten_params(p_tiled), _flatten_params(p_full)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    assert np.allclose(h_tiled, h_full, rtol=1e-4, atol=1e-5)
+
+
+def test_scale_kernel_pads_ragged_corpus():
+    """N not a multiple of tile: padded rows are masked zero windows, so
+    the result equals the unpadded oracle exactly."""
+    w = _tiny_corpus(13, seed=5)
+    eps = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(4), (13, CFG.latent_dim))
+    )
+    params, hist = fused_train_scale(
+        w, epochs=2, tile=8, compute_dtype=None, eps=eps, interpret=True
+    )
+    ref_params, ref_hist = fused_scale_reference(
+        init_params(jax.random.PRNGKey(0), CFG), w, eps, epochs=2, tile=8
+    )
+    for a, b in zip(_flatten_params(params), _flatten_params(ref_params)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert np.allclose(
+        np.stack([hist[k] for k in ("total", "recon", "kld", "start", "time")], 1),
+        ref_hist, rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_scale_kernel_bf16_descends():
+    """Mixed-precision mode in interpret: finite history that descends over
+    a short run (bit-parity is not the contract — the recon target is the
+    bf16-rounded corpus; convergence on-chip is asserted by bench.py)."""
+    w = _tiny_corpus(32, seed=9)
+    eps = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(6), (32, CFG.latent_dim))
+    )
+    params, hist = fused_train_scale(
+        w, epochs=6, tile=16, compute_dtype="bfloat16", eps=eps, interpret=True
+    )
+    assert np.all(np.isfinite(hist["total"]))
+    assert hist["total"][-1] < hist["total"][0]
+    for p in _flatten_params(params):
+        assert np.asarray(p).dtype == np.float32  # masters stay f32
+        assert np.all(np.isfinite(np.asarray(p)))
+
+
+def test_scale_tile_guards():
+    w = _tiny_corpus(16)
+    with pytest.raises(ValueError, match="multiple of 16"):
+        fused_train_scale(w, epochs=1, tile=8, compute_dtype="bfloat16",
+                          interpret=True)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        fused_train_scale(w, epochs=1, tile=12, compute_dtype=None,
+                          interpret=True)
+    with pytest.raises(ValueError, match="VMEM"):
+        fused_train_scale(w, epochs=1, tile=1 << 16, compute_dtype=None,
+                          interpret=True)
