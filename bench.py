@@ -316,12 +316,13 @@ def bench_scale_fused(n=131072, epochs=200, tile=2048, compute_dtype="bfloat16")
     never touching HBM.  That lifts the arithmetic intensity from ~64
     FLOP/activation-byte to ~10k FLOP/corpus-byte — HBM stops being the
     binding resource (``scale_fused_gbps`` shows the corpus stream is far
-    off the HBM roof).  Measured (tile sweep, 2026-08-18): the kernel then
-    hits a NEW ceiling at ~14% MFU — per-tile VPU/relayout work (casts,
-    lane-sliced unpacking, transposed dW matmuls), not the MXU — landing
-    at parity-to-slightly-above the scan trainer (36.4M vs 35.7M
-    windows/s bf16), with the structural win that the whole run is one
-    dispatch.  tile=2048 measured best (1024: 35.3M, 4096: 31.1M).
+    off the HBM roof).  Measured: the kernel then hits a NEW ceiling of
+    per-tile VPU/relayout work (casts, lane-sliced unpacking, transposed
+    dW matmuls), not the MXU — landing in the scan trainer's parity band
+    (26-36M windows/s bf16 across Mosaic lowering variants / tunnel
+    conditions, the known ~2x Pallas spread per CLAUDE.md; scan: ~35M),
+    with the structural win that the whole run is one dispatch.
+    tile=2048 measured best in the sweep (1024: 35.3M, 4096: 31.1M).
 
     Returns (windows/s, TFLOP/s, corpus-GB/s) or raises on divergence."""
     from defensive_model_vae_tpu.ops import fused_train_scale

@@ -55,16 +55,19 @@ def _cmd_train(args):
         epochs=args.epochs, lr=args.lr, seed=args.seed, weights=weights,
         compute_dtype=args.dtype,
     )
-    if args.fused:
+    if args.fused and args.fused_scale:
+        raise SystemExit("--fused and --fused-scale are mutually exclusive")
+    if args.fused or args.fused_scale:
+        flag = "--fused" if args.fused else "--fused-scale"
         if args.mesh:
             raise SystemExit(
-                "--fused runs single-chip (VMEM-resident kernel); "
+                f"{flag} runs single-chip (VMEM-resident kernel); "
                 "drop --mesh or use the scan trainer"
             )
-        if args.dtype:
+        if args.fused and args.dtype:
             raise SystemExit(
-                "--dtype applies to the scan trainer (the fused kernel is "
-                "f32 VMEM-resident); drop --fused or --dtype"
+                "--dtype applies to the scan trainer and --fused-scale "
+                "(the --fused kernel is f32 VMEM-resident); drop one"
             )
         if os.environ.get("PYTHONHASHSEED") != "0":
             # the Mosaic lowering is hash-order-dependent: without a
@@ -77,12 +80,22 @@ def _cmd_train(args):
                 "fused-kernel compilation cache (see CLAUDE.md)",
                 file=sys.stderr,
             )
-        from .ops import fused_train
+        if args.fused:
+            from .ops import fused_train
 
-        params, hist = fused_train(
-            windows, epochs=args.epochs, lr=args.lr, weights=weights,
-            seed=args.seed,
-        )
+            params, hist = fused_train(
+                windows, epochs=args.epochs, lr=args.lr, weights=weights,
+                seed=args.seed,
+            )
+        else:
+            from .ops import fused_train_scale
+
+            # --dtype None keeps CLI semantics (pure f32, the
+            # oracle-matched mode) over the library default of bf16
+            params, hist = fused_train_scale(
+                windows, epochs=args.epochs, lr=args.lr, weights=weights,
+                seed=args.seed, tile=args.tile, compute_dtype=args.dtype,
+            )
     else:
         mesh = None
         if args.mesh:
@@ -96,7 +109,8 @@ def _cmd_train(args):
         extra_manifest={"recipe": {
             "epochs": args.epochs, "lr": args.lr, "kld_weight": args.kld,
             "seed": args.seed, "windows": os.path.basename(args.windows),
-            "trainer": "fused" if args.fused else "scan",
+            "trainer": ("fused" if args.fused
+                        else "fused-scale" if args.fused_scale else "scan"),
             **({"compute_dtype": args.dtype} if args.dtype else {}),
         }},
     )
@@ -599,6 +613,16 @@ def main(argv=None):
     t.add_argument(
         "--fused", action="store_true",
         help="whole-run fused Pallas kernel (fastest on TPU)",
+    )
+    t.add_argument(
+        "--fused-scale", action="store_true",
+        help="whole-run streaming Pallas kernel for production-scale "
+             "corpora (corpus streamed through VMEM tile by tile; "
+             "supports --dtype)",
+    )
+    t.add_argument(
+        "--tile", type=int, default=2048,
+        help="--fused-scale streamed block height (measured best: 2048)",
     )
     t.set_defaults(fn=_cmd_train)
 

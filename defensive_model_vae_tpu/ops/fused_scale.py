@@ -41,11 +41,12 @@ the MXU from HBM — so the scan trainer is bandwidth-bound.  Streaming only
 the corpus (~80 B/window in bf16 vs ~4.4 KB/window of activations) raises
 the intensity to ~10k FLOP/B, retiring HBM as the binding resource.
 Measured outcome (131072 windows × 200 epochs, on-chip tile sweep): the
-kernel then hits a NEW ceiling at ~14% MFU — per-tile VPU/relayout work
-(dtype casts, lane-sliced unpacking of the packed block, transposed dW
-matmuls), not the MXU — landing at parity-to-slightly-above the scan
-trainer (36.4M vs 35.7M windows/s bf16 at tile=2048), with the structural
-win that the entire run is ONE dispatch instead of one per epoch.
+kernel then hits a NEW ceiling of per-tile VPU/relayout work (dtype
+casts, lane-sliced unpacking of the packed block, transposed dW matmuls),
+not the MXU — landing in the scan trainer's parity band (26–36M windows/s
+bf16 at tile=2048 across Mosaic lowering variants / tunnel conditions,
+the known ~2× Pallas spread; scan: ~35M), with the structural win that
+the entire run is ONE dispatch instead of one per epoch.
 
 Unlike the VMEM-resident kernels this one has no epoch cap (the metrics
 block is (1, 8) per grid step) and no corpus-size cap (tiles stream from

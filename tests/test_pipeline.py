@@ -188,6 +188,56 @@ def test_cli_train_dtype(tmp_path, all_windows):
         ])
 
 
+def test_cli_train_fused_scale_wiring(tmp_path, all_windows, monkeypatch):
+    """--fused-scale routes to ops.fused_train_scale with --tile/--dtype
+    threaded through and the manifest naming the trainer (the compiled
+    kernel itself is TPU-only — tests/test_fused_scale.py covers it in
+    interpret mode; this pins the CLI wiring)."""
+    import json
+
+    import pytest
+
+    import defensive_model_vae_tpu.ops as ops
+    from defensive_model_vae_tpu.cli import main
+
+    w = tmp_path / "w.npy"
+    np.save(w, all_windows["sce2"])
+    seen = {}
+
+    def fake_scale(windows, epochs, lr, weights, seed, tile, compute_dtype):
+        seen.update(tile=tile, compute_dtype=compute_dtype, epochs=epochs)
+        from defensive_model_vae_tpu.models import CVAEConfig, init_params
+        import jax
+        cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
+        hist = {k: np.ones(epochs) for k in
+                ("total", "recon", "kld", "start", "time")}
+        return init_params(jax.random.PRNGKey(seed), cfg), hist
+
+    monkeypatch.setattr(ops, "fused_train_scale", fake_scale)
+    ck = tmp_path / "ckpt_scale"
+    main([
+        "train", "--scenario", "sce2", "--windows", str(w),
+        "--ckpt", str(ck), "--epochs", "10", "--fused-scale",
+        "--tile", "1024", "--dtype", "bfloat16",
+    ])
+    assert seen == {"tile": 1024, "compute_dtype": "bfloat16", "epochs": 10}
+    with open(ck / "manifest.json") as f:
+        assert json.load(f)["recipe"]["trainer"] == "fused-scale"
+
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        main([
+            "train", "--scenario", "sce2", "--windows", str(w),
+            "--ckpt", str(tmp_path / "x"), "--epochs", "10",
+            "--fused", "--fused-scale",
+        ])
+    with pytest.raises(SystemExit, match="single-chip"):
+        main([
+            "train", "--scenario", "sce2", "--windows", str(w),
+            "--ckpt", str(tmp_path / "x"), "--epochs", "10",
+            "--fused-scale", "--mesh",
+        ])
+
+
 def test_reg157():
     """Both branches of the fixed TTC trigger (the reference's own condition
     is inverted — see the preserved-quirk note in driver_models.py)."""
