@@ -93,7 +93,7 @@ def _pack_corpus(x_flat, cond, mask, eps, latent_dim: int):
 
 def _make_scale_kernel(cfg: CVAEConfig, weights: LossWeights, lr: float,
                        n_params: int, n_tiles: int, n_valid: float,
-                       eps_input: bool, compute_dtype):
+                       eps_input: bool, compute_dtype, mixed_style):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -141,6 +141,7 @@ def _make_scale_kernel(cfg: CVAEConfig, weights: LossWeights, lr: float,
             lambda pl_: _forward_loss(
                 pl_, x, cond, eps, cfg, weights, mask,
                 n_valid=n_valid, compute_dtype=compute_dtype,
+                mixed_style=mixed_style,
             ),
             has_aux=True,
         )(params)
@@ -184,11 +185,12 @@ def _make_scale_kernel(cfg: CVAEConfig, weights: LossWeights, lr: float,
     jax.jit,
     static_argnames=(
         "cfg", "weights", "epochs", "lr", "tile", "n_valid", "compute_dtype",
-        "eps_input", "interpret",
+        "mixed_style", "eps_input", "interpret",
     ),
 )
 def _fused_scale_call(plist, packed, seed, cfg, weights, epochs, lr, tile,
-                      n_valid, compute_dtype, eps_input, interpret=False):
+                      n_valid, compute_dtype, mixed_style, eps_input,
+                      interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -196,7 +198,8 @@ def _fused_scale_call(plist, packed, seed, cfg, weights, epochs, lr, tile,
     n_pad, width = packed.shape
     n_tiles = n_pad // tile
     kernel = _make_scale_kernel(
-        cfg, weights, lr, n, n_tiles, n_valid, eps_input, compute_dtype
+        cfg, weights, lr, n, n_tiles, n_valid, eps_input, compute_dtype,
+        mixed_style,
     )
 
     def const_block(arr):  # whole array, VMEM-resident across the grid
@@ -247,6 +250,7 @@ def fused_train_scale(
     seed: int = 0,
     tile: int = 2048,
     compute_dtype: str | None = "bfloat16",
+    mixed_style: str = "f32_acts",
     eps: np.ndarray = None,
     interpret: bool = False,
 ) -> Tuple[Params, Dict[str, np.ndarray]]:
@@ -263,15 +267,19 @@ def fused_train_scale(
             VMEM (guarded).  Rows are padded to a multiple of ``tile`` with
             masked zero windows, so any corpus size works.
         compute_dtype: ``"bfloat16"`` (default — stores the streamed corpus
-            and runs fwd/bwd in bf16 over f32 masters) or ``None`` (pure
-            f32, the oracle-matched mode).
+            in bf16 and feeds the MXU bf16 operands over f32 masters) or
+            ``None`` (pure f32, the oracle-matched mode).
+        mixed_style: ``"f32_acts"`` (default — only matmul operands are
+            cast; activations/loss stay f32, deleting per-layer VPU casts)
+            or ``"bf16_chain"`` (the scan trainer's whole-chain recipe);
+            see ``_forward_loss``.
         eps: optional (N, latent) explicit noise held constant across
             epochs — the interpret-mode escape hatch shared with the other
             fused kernels.
     """
     cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
     _check_vmem_budget(cfg)
-    _check_scale_tile(cfg, tile, compute_dtype)
+    _check_scale_tile(cfg, tile, compute_dtype, mixed_style)
     x_flat, start = fused_inputs(windows)
     n = x_flat.shape[0]
     n_pad = -(-n // tile) * tile
@@ -295,7 +303,7 @@ def fused_train_scale(
 
     out_plist, metrics = _fused_scale_call(
         tuple(plist), packed, seed_arr, cfg, weights, epochs, lr, tile,
-        float(n), cdt, eps_input, interpret=interpret,
+        float(n), cdt, mixed_style, eps_input, interpret=interpret,
     )
     metrics = np.asarray(metrics)[:epochs, :5]
     history = {k: metrics[:, i] for i, k in enumerate(FUSED_METRIC_KEYS)}
@@ -307,20 +315,23 @@ def fused_train_scale(
 _VMEM_LIMIT_BYTES = 100 * 2**20
 
 
-def _check_scale_tile(cfg: CVAEConfig, tile: int, compute_dtype):
+def _check_scale_tile(cfg: CVAEConfig, tile: int, compute_dtype,
+                      mixed_style="f32_acts"):
     """Refuse tile shapes that cannot compile: Mosaic sublane alignment (8
     for f32, 16 for bf16) and the scoped-vmem envelope for the tile's
     backward-pass activation set.  Calibrated against the compiler's own
-    accounting: tile=1024 bf16 measured 16.23 MB scoped → ~12.5 KB/row
-    variable part on top of ~3.5 MB fixed (params+Adam+acc+corpus
-    blocks); f32 doubles the per-row bytes."""
+    accounting: tile=1024 bf16_chain measured 16.23 MB scoped → ~12.5
+    KB/row variable part on top of ~3.5 MB fixed (params+Adam+acc+corpus
+    blocks); f32 activations (pure f32 AND the f32_acts mixed style)
+    double the per-row bytes."""
     align = 16 if compute_dtype is not None else 8
     if tile % align != 0 or tile <= 0:
         raise ValueError(
             f"tile must be a positive multiple of {align} for "
             f"compute_dtype={compute_dtype} (got {tile})"
         )
-    per_row_kb = 12.5 if compute_dtype is not None else 25.0
+    bf16_acts = compute_dtype is not None and mixed_style == "bf16_chain"
+    per_row_kb = 12.5 if bf16_acts else 25.0
     est_mb = 3.5 + tile * per_row_kb / 1024
     if est_mb * 2**20 > _VMEM_LIMIT_BYTES:
         raise ValueError(

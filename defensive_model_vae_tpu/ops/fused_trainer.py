@@ -59,7 +59,8 @@ def _unflatten_params(flat) -> Params:
 
 
 def _forward_loss(plist, x_flat, cond, eps, cfg: CVAEConfig, w: LossWeights,
-                  mask=None, n_valid=None, compute_dtype=None):
+                  mask=None, n_valid=None, compute_dtype=None,
+                  mixed_style="f32_acts"):
     """Pure loss over the flat param list; mirrors models.cvae.forward +
     losses.cvae_loss on flattened (B, T·D) windows with explicit noise.
     ``mask`` (B,) enables padded multi-scenario batches (same semantics as
@@ -71,16 +72,34 @@ def _forward_loss(plist, x_flat, cond, eps, cfg: CVAEConfig, w: LossWeights,
     reproduces the full-batch objective exactly (the grad-accumulation
     contract of :mod:`.fused_scale`).
 
-    ``compute_dtype`` (e.g. ``jnp.bfloat16``) runs the forward/backward in
-    that dtype with float32 loss reductions — the same mixed-precision
-    recipe as ``train.TrainConfig.compute_dtype`` (bf16 activations halve
-    the tile's VMEM/HBM footprint and double MXU rate; grads flow back
-    through the casts and land in float32 against the f32 masters)."""
-    if compute_dtype is not None:
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``) enables mixed precision in
+    one of two styles (``mixed_style``):
+
+    - ``"f32_acts"`` (default): only the MATMUL OPERANDS are cast to the
+      compute dtype — activations, biases, transcendentals, and the loss
+      stay f32 (the dtype the MXU accumulates in anyway).  Same MXU rate,
+      but the per-layer down-casts and the f32-compare relu workaround
+      disappear, which matters inside the Pallas kernel where the VPU is
+      the ceiling.
+    - ``"bf16_chain"``: the whole forward/backward chain runs in the
+      compute dtype with f32 loss reductions — the scan trainer's
+      (``train.TrainConfig.compute_dtype``) recipe, kept for parity
+      comparisons.
+
+    Grads flow back through the casts and land in f32 against the f32
+    masters either way."""
+    f32_acts = compute_dtype is not None and mixed_style == "f32_acts"
+    if compute_dtype is not None and not f32_acts:
         plist = [a.astype(compute_dtype) for a in plist]
         cond = cond.astype(compute_dtype)
         eps = eps.astype(compute_dtype)
         x_cast = x_flat.astype(compute_dtype)
+    elif f32_acts:
+        # the streamed corpus arrives in the compute dtype; one up-cast of
+        # the narrow input columns, then everything but dot operands is f32
+        cond = cond.astype(jnp.float32)
+        eps = eps.astype(jnp.float32)
+        x_cast = x_flat.astype(jnp.float32)
     else:
         x_cast = x_flat
     p = {n: (plist[2 * i], plist[2 * i + 1]) for i, n in enumerate(_LAYERS)}
@@ -92,12 +111,18 @@ def _forward_loss(plist, x_flat, cond, eps, cfg: CVAEConfig, w: LossWeights,
         # to be 32-bit'), and XLA's bf16 dot has the same round-after-
         # f32-accumulate semantics, so the mixed path stays equivalent to
         # the scan trainer's.
+        if f32_acts:
+            out = jnp.dot(
+                h.astype(compute_dtype), W.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            return out + b  # b stays f32
         out = jnp.dot(h, W, preferred_element_type=jnp.float32)
         if compute_dtype is not None:
             out = out.astype(compute_dtype)
         return out + b
 
-    if compute_dtype is None:
+    if compute_dtype is None or f32_acts:
         relu = lambda h: jnp.maximum(h, jnp.zeros((), h.dtype))
     else:
         # Mosaic can't cmpf bf16 vectors ('Target does not support this
@@ -117,7 +142,7 @@ def _forward_loss(plist, x_flat, cond, eps, cfg: CVAEConfig, w: LossWeights,
     hcat = jnp.concatenate([h, hc], axis=1)
     mu = lin("fc_mu", hcat)
     logvar = lin("fc_logvar", hcat)
-    if compute_dtype is None:
+    if compute_dtype is None or f32_acts:
         z = mu + eps * jnp.exp(0.5 * logvar)
     else:
         # transcendentals run on the f32 VPU path (Mosaic's bf16
