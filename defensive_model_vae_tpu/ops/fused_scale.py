@@ -277,6 +277,11 @@ def fused_train_scale(
             epochs — the interpret-mode escape hatch shared with the other
             fused kernels.
     """
+    if mixed_style not in ("f32_acts", "bf16_chain"):
+        raise ValueError(
+            f"mixed_style must be 'f32_acts' or 'bf16_chain' "
+            f"(got {mixed_style!r})"
+        )
     cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
     _check_vmem_budget(cfg)
     _check_scale_tile(cfg, tile, compute_dtype, mixed_style)

@@ -117,3 +117,6 @@ def test_scale_tile_guards():
     with pytest.raises(ValueError, match="VMEM"):
         fused_train_scale(w, epochs=1, tile=1 << 16, compute_dtype=None,
                           interpret=True)
+    with pytest.raises(ValueError, match="mixed_style"):
+        fused_train_scale(w, epochs=1, tile=16, compute_dtype="bfloat16",
+                          mixed_style="f32-acts", interpret=True)
