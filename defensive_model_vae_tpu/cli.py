@@ -423,6 +423,13 @@ def _cmd_import(args):
     print(f"imported {args.pth} -> {d}")
 
 
+def _cmd_export(args):
+    from .train.torch_import import export_to_pth
+
+    out = export_to_pth(args.ckpt, args.pth)
+    print(f"exported {args.ckpt} -> {out}")
+
+
 def _cmd_writeback(args):
     from .sut import writeback_npy_to_csv
 
@@ -760,6 +767,13 @@ def main(argv=None):
                     help="trajectory dim when ambiguous (a dim=2 model "
                          "whose 2*seq_len divides by 3 defaults to dim=3)")
     im.set_defaults(fn=_cmd_import)
+
+    ex = sub.add_parser(
+        "export", help="convert a native checkpoint to a reference .pth"
+    )
+    ex.add_argument("--ckpt", required=True, help="checkpoint directory")
+    ex.add_argument("--pth", required=True, help="output .pth path")
+    ex.set_defaults(fn=_cmd_export)
 
     wb = sub.add_parser("writeback", help="inject tracked npy into source CSV")
     wb.add_argument("--npy", required=True)

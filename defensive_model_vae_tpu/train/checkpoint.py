@@ -111,7 +111,9 @@ def save_checkpoint(
     return directory
 
 
-def load_checkpoint(directory: str) -> Tuple[Dict, CVAEConfig, Dict[str, Any]]:
+def load_checkpoint(directory: str) -> Tuple[Dict, Any, Dict[str, Any]]:
+    """→ (params, model config, manifest).  The config is a ``CVAEConfig``
+    or — detected by the manifest's conv-only fields — a ``ConvCVAEConfig``."""
     with open(os.path.join(directory, "manifest.json")) as f:
         manifest = json.load(f)
     npz_path = os.path.join(directory, "params.npz")
@@ -131,7 +133,16 @@ def load_checkpoint(directory: str) -> Tuple[Dict, CVAEConfig, Dict[str, Any]]:
             params = ckptr.restore(orbax_path)
     else:
         raise FileNotFoundError(f"no params.npz or orbax/ under {directory}")
-    model_cfg = CVAEConfig(**manifest["model_config"])
+    mc = dict(manifest["model_config"])
+    if "channels" in mc:
+        # a Conv1D checkpoint (models/conv_cvae.py): the manifest carries
+        # its extra fields; JSON stores the channels tuple as a list
+        from ..models import ConvCVAEConfig
+
+        mc["channels"] = tuple(mc["channels"])
+        model_cfg: Any = ConvCVAEConfig(**mc)
+    else:
+        model_cfg = CVAEConfig(**mc)
     return params, model_cfg, manifest
 
 

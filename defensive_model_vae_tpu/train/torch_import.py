@@ -1,10 +1,13 @@
-"""Import reference torch checkpoints (.pth state_dicts).
+"""Import/export reference torch checkpoints (.pth state_dicts).
 
-Migration path for users of the reference codebase: its shipped
-``training/models/vae*.pth`` checkpoints (torch ``state_dict`` pickles,
-naming convention ``vae[_offset]_<sce>[_cond]_ld<Z>_epoch<E>.pth``) load
-directly into this framework's parameter pytree, so existing models keep
-working through the new generation/tracking/validation stack.
+Migration path for users of the reference codebase, both directions: its
+shipped ``training/models/vae*.pth`` checkpoints (torch ``state_dict``
+pickles, naming convention ``vae[_offset]_<sce>[_cond]_ld<Z>_epoch<E>.pth``)
+load directly into this framework's parameter pytree, so existing models
+keep working through the new generation/tracking/validation stack — and
+checkpoints trained here export back to the same format
+(:func:`export_to_pth`), so models trained fast on TPU keep working
+through existing torch tooling.
 
 Layer mapping (reference ``Training_VAE.ConditionalTrajectoryVAE``,
 ``:118-167`` — sequential indices of the Linear layers):
@@ -131,3 +134,47 @@ def import_to_checkpoint(
             "offset_mode": offset_mode,
         },
     )
+
+
+def export_to_pth(ckpt_dir: str, pth_path: str) -> str:
+    """Convert a native checkpoint directory back into a reference-format
+    torch ``.pth`` state_dict — the inverse of :func:`import_to_checkpoint`.
+
+    Completes the migration round-trip: a model trained here (fast, on
+    TPU) ``load_state_dict``s strictly into the reference's own
+    ``ConditionalTrajectoryVAE`` (``Training_VAE.py:118-167``) constructed
+    with this checkpoint's ``(seq_len, dim, latent_dim, hidden_dim)``, so
+    existing torch tooling keeps working.  Weights are transposed back to
+    torch's ``(out, in)`` layout; tensors are saved as plain f32 so the
+    file loads under ``torch.load(weights_only=True)``.
+
+    Only the reference MLP family exports — a Conv1D checkpoint has no
+    reference-class equivalent (clear error).  Note the reference class
+    hardcodes its condition width to 2 (``nn.Linear(2, hidden_dim)``,
+    ``Training_VAE.py:133``): a conditioned variant (cond_dim > 2) exports
+    a valid state_dict but needs a correspondingly widened torch class on
+    the consuming side.
+    """
+    import torch
+
+    from .checkpoint import load_checkpoint
+
+    params, _, _ = load_checkpoint(ckpt_dir)
+    missing = [ours for ours in _NAME_MAP.values() if ours not in params]
+    if missing:
+        raise ValueError(
+            f"checkpoint {ckpt_dir!r} is not a reference-family MLP CVAE "
+            f"(missing layers {missing}); only models/cvae.py checkpoints "
+            "export to the reference .pth format"
+        )
+    state = {}
+    for torch_name, ours in _NAME_MAP.items():
+        layer = params[ours]
+        state[f"{torch_name}.weight"] = torch.from_numpy(
+            np.ascontiguousarray(np.asarray(layer["w"], np.float32).T)
+        )
+        state[f"{torch_name}.bias"] = torch.from_numpy(
+            np.asarray(layer["b"], np.float32).copy()
+        )
+    torch.save(state, pth_path)
+    return str(pth_path)

@@ -162,6 +162,25 @@ def test_cli_serve(tmp_path, all_windows, capsys):
     assert dp.shape == (16, 17, 4) and np.all(np.isfinite(dp))
 
 
+def test_cli_export(tmp_path, capsys):
+    """defvae export: native checkpoint → reference-format .pth."""
+    import jax
+
+    from defensive_model_vae_tpu.models import CVAEConfig, init_params
+    from defensive_model_vae_tpu.train.checkpoint import save_checkpoint
+    from defensive_model_vae_tpu.train.torch_import import load_torch_checkpoint
+
+    cfg = CVAEConfig()
+    d = save_checkpoint(
+        str(tmp_path / "ck"), init_params(jax.random.PRNGKey(0), cfg), cfg, "sce1"
+    )
+    pth = str(tmp_path / "model.pth")
+    main(["export", "--ckpt", d, "--pth", pth])
+    assert "exported" in capsys.readouterr().out
+    _, cfg2 = load_torch_checkpoint(pth)
+    assert cfg2 == cfg
+
+
 def test_jsonsafe():
     """CLI JSON outputs must be strict JSON: non-finite floats → null
     (e.g. max_dnda = -inf on an episode with no scorable frame, THW = NaN

@@ -296,6 +296,89 @@ def test_import_parses_basename_not_directory(tmp_path):
     assert (c_dim2.seq_len, c_dim2.dim) == (9, 2)
 
 
+def test_export_to_pth_roundtrips(tmp_path):
+    """export_to_pth is the exact inverse of the importer: a native
+    checkpoint exports to a weights_only-loadable .pth that re-imports to
+    bit-identical params and config; non-MLP checkpoints error clearly."""
+    import torch
+
+    from defensive_model_vae_tpu.train.torch_import import (
+        export_to_pth, load_torch_checkpoint,
+    )
+
+    params = init_params(jax.random.PRNGKey(3), CFG)
+    d = save_checkpoint(str(tmp_path / "ck"), params, CFG, "sce1")
+    pth = str(tmp_path / "exported.pth")
+    assert export_to_pth(d, pth) == pth
+
+    # plain-tensor state_dict: loads under the safe weights_only path
+    state = torch.load(pth, weights_only=True)
+    assert state["condition_encoder.0.weight"].shape == (128, 2)
+
+    p2, cfg2 = load_torch_checkpoint(pth)
+    assert cfg2 == CFG
+    for name, layer in params.items():
+        np.testing.assert_array_equal(p2[name]["w"], np.asarray(layer["w"]))
+        np.testing.assert_array_equal(p2[name]["b"], np.asarray(layer["b"]))
+
+    # a Conv1D checkpoint has no reference-class equivalent — but it must
+    # roundtrip through the native store (ConvCVAEConfig reconstruction,
+    # channels list→tuple) and error CLEARLY on export
+    ccfg = ConvCVAEConfig(seq_len=20, dim=2)
+    cparams = init_conv_params(jax.random.PRNGKey(0), ccfg)
+    dc = save_checkpoint(str(tmp_path / "conv"), cparams, ccfg, None)
+    _, cfg3, _ = load_checkpoint(dc)
+    assert cfg3 == ccfg
+    with pytest.raises(ValueError, match="not a reference-family"):
+        export_to_pth(dc, str(tmp_path / "conv.pth"))
+
+
+@requires_reference
+def test_export_loads_into_live_reference_class(tmp_path):
+    """The exported state_dict must load STRICTLY into the reference's own
+    ConditionalTrajectoryVAE (Training_VAE.py:118-167) and decode
+    identically — the migration round-trip's behavioral contract."""
+    import sys
+
+    import torch
+
+    from defensive_model_vae_tpu.models.cvae import decode, encode_condition
+    from defensive_model_vae_tpu.train.torch_import import export_to_pth
+
+    params = init_params(jax.random.PRNGKey(11), CFG)
+    d = save_checkpoint(str(tmp_path / "ck"), params, CFG, "sce1")
+    pth = str(tmp_path / "exported.pth")
+    export_to_pth(d, pth)
+
+    sys.path.insert(0, str(REFERENCE_ROOT))
+    try:
+        # Tools↔Training_VAE import circularly; only the Tools-first order
+        # resolves (Training_VAE's `from Tools import *` tolerates the
+        # partially-initialized module, Tools' named import does not)
+        import Tools  # noqa: F401
+        from Training_VAE import ConditionalTrajectoryVAE
+    finally:
+        sys.path.pop(0)
+
+    model = ConditionalTrajectoryVAE(
+        seq_len=CFG.seq_len, dim=CFG.dim,
+        latent_dim=CFG.latent_dim, hidden_dim=CFG.hidden_dim,
+    )
+    model.load_state_dict(torch.load(pth, weights_only=True), strict=True)
+    model.eval()
+
+    z = np.random.default_rng(0).normal(size=(4, CFG.latent_dim))
+    start = np.array([[-193.3, 50.0]] * 4)
+    with torch.no_grad():
+        h_ref = model.condition_encoder(torch.tensor(start, dtype=torch.float32))
+        out_ref = model.decode(torch.tensor(z, dtype=torch.float32), h_ref)
+    h_ours = encode_condition(params, jnp.asarray(start, jnp.float32))
+    out_ours = decode(params, jnp.asarray(z, jnp.float32), h_ours, CFG)
+    np.testing.assert_allclose(
+        np.asarray(out_ours), out_ref.numpy(), rtol=0, atol=1e-5
+    )
+
+
 def test_conv_sample_pads_extra_condition_dims():
     """conv_sample must zero-pad the (B,2) start to cond_dim like
     train_conv does — a cond_dim>2 ConvCVAE was trainable but crashed at
