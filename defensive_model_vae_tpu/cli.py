@@ -349,16 +349,16 @@ def _cmd_mpc_sweep(args):
 
 
 def _cmd_serve(args):
-    """One-shot serving demo: condition → sample → reference → MPC on
-    device (no reference counterpart — the framework's deployment path)."""
+    """Serving: condition → sample → reference → MPC on device (no
+    reference counterpart — the framework's deployment path).  One-shot by
+    default; ``--listen PORT`` keeps the compiled program warm behind a
+    local HTTP endpoint (``serving.py``)."""
     import jax
 
     from .control import MPCConfig
     from .control.device_reference import make_serve_fn
     from .train.checkpoint import load_checkpoint
 
-    params, cfg, manifest = load_checkpoint(args.ckpt)
-    mpc = MPCConfig(prediction_horizon=30, control_horizon=20, dt=args.dt)
     mesh = None
     if args.data_parallel:
         from .parallel import create_mesh
@@ -369,6 +369,28 @@ def _cmd_serve(args):
                 f"--batch {args.batch} must be a multiple of the "
                 f"{mesh.devices.size}-device data axis"
             )
+    if args.listen is not None:
+        from .serving import serve_checkpoint
+
+        server = serve_checkpoint(
+            args.ckpt, args.batch, args.steps, dt=args.dt,
+            host=args.host, port=args.listen, mesh=mesh,
+        )
+        h, p = server.server_address[:2]
+        print(f"serving on http://{h}:{p} (batch {args.batch}, "
+              f"steps {args.steps}); POST /serve, GET /healthz", flush=True)
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.server_close()
+        return
+
+    if args.start_x is None or args.start_y is None:
+        raise SystemExit("--start-x/--start-y are required without --listen")
+    params, cfg, manifest = load_checkpoint(args.ckpt)
+    mpc = MPCConfig(prediction_horizon=30, control_horizon=20, dt=args.dt)
     serve = make_serve_fn(
         params, cfg, mpc, num_steps=args.steps,
         offset_mode=manifest.get("offset_mode", True), mesh=mesh,
@@ -742,8 +764,9 @@ def main(argv=None):
                     help="shard the request batch over all devices "
                     "(mesh 'data' axis; batch must divide evenly)")
     sv.add_argument("--ckpt", required=True)
-    sv.add_argument("--start-x", type=float, required=True)
-    sv.add_argument("--start-y", type=float, required=True)
+    sv.add_argument("--start-x", type=float, default=None,
+                    help="required unless --listen (requests carry starts)")
+    sv.add_argument("--start-y", type=float, default=None)
     sv.add_argument("--heading", type=float, default=1.57)
     sv.add_argument("--vx", type=float, default=0.0)
     sv.add_argument("--vy", type=float, default=10.0)
@@ -752,6 +775,11 @@ def main(argv=None):
     sv.add_argument("--seed", type=int, default=0)
     sv.add_argument("--dt", type=float, default=0.02)
     sv.add_argument("--out", default=None)
+    sv.add_argument("--listen", type=int, default=None, metavar="PORT",
+                    help="stay up: serve requests over local HTTP (0 = "
+                         "ephemeral port) instead of the one-shot demo")
+    sv.add_argument("--host", default="127.0.0.1",
+                    help="bind address for --listen")
     sv.set_defaults(fn=_cmd_serve)
 
     m = sub.add_parser("metrics", help="TTC/PET/JERK on an episode CSV")

@@ -1,0 +1,177 @@
+"""Persistent local serving for the deployment path.
+
+The reference has no serving story (every use is a hand-run script); the
+framework's one-shot program (``control.device_reference.make_serve_fn``:
+condition → sample → reference → MPC, all on device) is here wrapped in a
+long-lived local HTTP endpoint so the compiled executable is paid for ONCE
+and every request hits a warm program — the deployment shape the one-shot
+``defvae serve`` CLI can't provide (a fresh process pays compile + tunnel
+warm-up per invocation; see CLAUDE.md).
+
+TPU-idiomatic request handling: the program is compiled at ONE static
+batch size and incoming requests are padded up to it (padding rows repeat
+the first request; per-request PRNG keys are derived positionally inside
+the program, so padding never changes a real row's result).  A request
+larger than the compiled batch is rejected with 400 rather than silently
+re-compiling — shape churn through the remote-compile tunnel costs minutes
+(CLAUDE.md), so the batch is an explicit deployment choice.
+
+Endpoints:
+
+- ``GET /healthz`` → ``{"ok": true, "batch": B, "steps": N}``
+- ``POST /serve`` with ``{"requests": [{"start_x", "start_y",
+  "heading"?, "vx"?, "vy"?}, ...], "seed"?: int}`` →
+  ``{"seed": int, "n": k, "states": (k, steps+1, 4), "controls":
+  (k, steps, 2)}`` — states are ``[x, y, theta, v]`` rows, controls
+  ``[accel, steer]``, exactly the arrays the one-shot CLI saves.
+
+The server is single-threaded by design: requests serialize through the
+one device anyway, and a single dispatch queue keeps latency honest.
+"""
+
+from __future__ import annotations
+
+import json
+import secrets
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from typing import Optional
+
+import numpy as np
+
+_DEFAULTS = {"heading": 1.57, "vx": 0.0, "vy": 10.0}
+
+
+def _parse_requests(rows, batch: int):
+    """Validate + pad a request list to the compiled batch size.
+
+    Returns (starts (B, 2) f32, inits (B, 5) f32, k) — rows beyond k are
+    copies of row 0 (discarded from the response)."""
+    if not isinstance(rows, list) or not rows:
+        raise ValueError("'requests' must be a non-empty list")
+    if len(rows) > batch:
+        raise ValueError(
+            f"{len(rows)} requests exceed the compiled batch {batch}; "
+            "split the call or restart the server with a larger --batch"
+        )
+    starts = np.zeros((batch, 2), np.float32)
+    inits = np.zeros((batch, 5), np.float32)
+    for i, r in enumerate(rows):
+        try:
+            x, y = float(r["start_x"]), float(r["start_y"])
+        except (KeyError, TypeError, ValueError):
+            raise ValueError(
+                f"request {i}: 'start_x'/'start_y' must be numbers"
+            ) from None
+        extras = [float(r.get(k, v)) for k, v in _DEFAULTS.items()]
+        starts[i] = (x, y)
+        inits[i] = (x, y, *extras)
+    k = len(rows)
+    starts[k:] = starts[0]
+    inits[k:] = inits[0]
+    return starts, inits, k
+
+
+def make_http_server(
+    serve_fn,
+    batch: int,
+    num_steps: int,
+    host: str = "127.0.0.1",
+    port: int = 0,
+) -> HTTPServer:
+    """Wrap a compiled ``serve_fn(key, starts, inits)`` in an HTTPServer.
+
+    ``port=0`` binds an ephemeral port (read it back from
+    ``server.server_address``).  The caller owns the lifecycle:
+    ``serve_forever()`` to run, ``shutdown()`` + ``server_close()`` to stop
+    (tests run it on a thread)."""
+    import jax
+
+    class Handler(BaseHTTPRequestHandler):
+        # stderr request logging off: the server's stdout/stderr contract
+        # is one line per lifecycle event, not per request
+        def log_message(self, fmt, *args):  # noqa: D102
+            pass
+
+        def _json(self, code: int, payload) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (http.server API)
+            if self.path == "/healthz":
+                self._json(
+                    200, {"ok": True, "batch": batch, "steps": num_steps}
+                )
+            else:
+                self._json(404, {"error": f"unknown path {self.path!r}"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/serve":
+                return self._json(404, {"error": f"unknown path {self.path!r}"})
+            try:
+                n = int(self.headers.get("Content-Length") or 0)
+                req = json.loads(self.rfile.read(n) or b"{}")
+                starts, inits, k = _parse_requests(req.get("requests"), batch)
+                seed = req.get("seed")
+                if seed is None:
+                    # entropy default: two identical anonymous requests
+                    # should draw fresh trajectories (pass "seed" to pin)
+                    seed = secrets.randbelow(1 << 31)
+                seed = int(seed)
+            except (ValueError, TypeError, json.JSONDecodeError) as e:
+                return self._json(400, {"error": str(e)})
+            states, controls = serve_fn(jax.random.PRNGKey(seed), starts, inits)
+            self._json(
+                200,
+                {
+                    "seed": seed,
+                    "n": k,
+                    "states": np.asarray(states)[:k].tolist(),
+                    "controls": np.asarray(controls)[:k].tolist(),
+                },
+            )
+
+    return HTTPServer((host, port), Handler)
+
+
+def serve_checkpoint(
+    ckpt_dir: str,
+    batch: int,
+    num_steps: int,
+    dt: float = 0.02,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    mesh=None,
+    warm_seed: Optional[int] = None,
+) -> HTTPServer:
+    """Build + WARM the serve program for a checkpoint, return the server.
+
+    The warm-up call (entropy-seeded unless ``warm_seed`` pins it) absorbs
+    compile + executable load before the first request arrives, so request
+    latency is steady-state from request one."""
+    import jax
+
+    from .control import MPCConfig
+    from .control.device_reference import make_serve_fn
+    from .train.checkpoint import load_checkpoint
+
+    params, cfg, manifest = load_checkpoint(ckpt_dir)
+    mpc = MPCConfig(prediction_horizon=30, control_horizon=20, dt=dt)
+    serve_fn = make_serve_fn(
+        params, cfg, mpc, num_steps=num_steps,
+        offset_mode=manifest.get("offset_mode", True), mesh=mesh,
+    )
+    if warm_seed is None:
+        warm_seed = secrets.randbelow(1 << 31)
+    starts = np.zeros((batch, 2), np.float32)
+    inits = np.tile(
+        np.array([[0.0, 0.0, _DEFAULTS["heading"], 0.0, _DEFAULTS["vy"]]],
+                 np.float32),
+        (batch, 1),
+    )
+    out = serve_fn(jax.random.PRNGKey(warm_seed), starts, inits)
+    jax.block_until_ready(out)
+    return make_http_server(serve_fn, batch, num_steps, host=host, port=port)

@@ -1,0 +1,149 @@
+"""Persistent HTTP serving tests (``serving.py``).
+
+The serve PROGRAM's math is covered by ``test_cli_serve`` and the
+multichip dryrun; these tests pin the endpoint semantics around it:
+static-batch padding, seed handling, request validation, and that the
+HTTP path returns exactly what a direct ``serve_fn`` call returns.
+"""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from defensive_model_vae_tpu.control import MPCConfig
+from defensive_model_vae_tpu.control.device_reference import make_serve_fn
+from defensive_model_vae_tpu.models import CVAEConfig, init_params
+from defensive_model_vae_tpu.serving import _parse_requests, make_http_server
+
+BATCH, STEPS = 4, 6
+
+
+@pytest.fixture(scope="module")
+def served():
+    cfg = CVAEConfig()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    mpc = MPCConfig(prediction_horizon=5, control_horizon=3, dt=0.1)
+    serve_fn = make_serve_fn(params, cfg, mpc, num_steps=STEPS)
+    server = make_http_server(serve_fn, BATCH, STEPS)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield server, serve_fn
+    server.shutdown()
+    server.server_close()
+    t.join(timeout=10)
+
+
+def _call(server, payload=None, path="/serve", method="POST"):
+    host, port = server.server_address[:2]
+    data = None if payload is None else json.dumps(payload).encode()
+    req = urllib.request.Request(
+        f"http://{host}:{port}{path}", data=data, method=method,
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_healthz(served):
+    server, _ = served
+    code, body = _call(server, path="/healthz", method="GET")
+    assert code == 200 and body == {"ok": True, "batch": BATCH, "steps": STEPS}
+
+
+def test_serve_matches_direct_call_and_pads(served):
+    server, serve_fn = served
+    rows = [
+        {"start_x": -193.3, "start_y": 50.0},
+        {"start_x": -192.8, "start_y": 42.0, "heading": 1.5, "vy": 8.0},
+    ]
+    code, body = _call(server, {"requests": rows, "seed": 7})
+    assert code == 200 and body["seed"] == 7 and body["n"] == 2
+    states = np.asarray(body["states"], np.float32)
+    controls = np.asarray(body["controls"], np.float32)
+    assert states.shape == (2, STEPS + 1, 4)
+    assert controls.shape == (2, STEPS, 2)
+    assert np.all(np.isfinite(states)) and np.all(np.isfinite(controls))
+
+    # the HTTP path is a pure transport: same arrays as calling the
+    # compiled program directly on the padded batch
+    starts, inits, k = _parse_requests(rows, BATCH)
+    d_states, d_controls = serve_fn(jax.random.PRNGKey(7), starts, inits)
+    np.testing.assert_allclose(states, np.asarray(d_states)[:k], atol=1e-6)
+    np.testing.assert_allclose(controls, np.asarray(d_controls)[:k], atol=1e-6)
+
+    # padding rows must not perturb real rows: the same first request
+    # alone (3 pad rows) reproduces row 0 of the 2-request call exactly
+    code1, body1 = _call(server, {"requests": rows[:1], "seed": 7})
+    assert code1 == 200 and body1["n"] == 1
+    np.testing.assert_array_equal(
+        np.asarray(body1["states"][0]), np.asarray(body["states"][0])
+    )
+
+
+def test_serve_entropy_seed_and_pinned_seed(served):
+    server, _ = served
+    rows = [{"start_x": -193.3, "start_y": 50.0}]
+    _, a = _call(server, {"requests": rows, "seed": 3})
+    _, b = _call(server, {"requests": rows, "seed": 3})
+    assert a["states"] == b["states"]  # pinned seed → reproducible
+    _, c = _call(server, {"requests": rows})
+    _, d = _call(server, {"requests": rows})
+    assert c["seed"] != d["seed"]  # entropy default → fresh draws
+
+
+def test_serve_checkpoint_end_to_end(tmp_path):
+    """The --listen CLI path: checkpoint → warmed program → live endpoint
+    (manifest offset_mode honored via make_serve_fn, same as one-shot)."""
+    from defensive_model_vae_tpu.serving import serve_checkpoint
+    from defensive_model_vae_tpu.train.checkpoint import save_checkpoint
+
+    cfg = CVAEConfig()
+    d = save_checkpoint(
+        str(tmp_path / "ck"), init_params(jax.random.PRNGKey(1), cfg),
+        cfg, "sce1",
+    )
+    server = serve_checkpoint(d, batch=2, num_steps=4, dt=0.1, warm_seed=1)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        code, body = _call(server, path="/healthz", method="GET")
+        assert code == 200 and body["batch"] == 2 and body["steps"] == 4
+        code, body = _call(
+            server,
+            {"requests": [{"start_x": -193.3, "start_y": 50.0}], "seed": 2},
+        )
+        assert code == 200
+        assert np.asarray(body["states"]).shape == (1, 5, 4)
+    finally:
+        server.shutdown()
+        server.server_close()
+        t.join(timeout=10)
+
+
+def test_serve_request_validation(served):
+    server, _ = served
+    over = [{"start_x": 0.0, "start_y": 0.0}] * (BATCH + 1)
+    code, body = _call(server, {"requests": over})
+    assert code == 400 and "exceed the compiled batch" in body["error"]
+
+    code, body = _call(server, {"requests": [{"start_y": 1.0}]})
+    assert code == 400 and "start_x" in body["error"]
+
+    code, body = _call(server, {"requests": []})
+    assert code == 400
+
+    code, body = _call(server, {})
+    assert code == 400
+
+    code, body = _call(server, {"requests": over[:1]}, path="/nope")
+    assert code == 404
+    code, body = _call(server, path="/nope", method="GET")
+    assert code == 404
