@@ -32,6 +32,7 @@ one device anyway, and a single dispatch queue keeps latency honest.
 from __future__ import annotations
 
 import json
+import math
 import secrets
 from http.server import BaseHTTPRequestHandler, HTTPServer
 from typing import Optional
@@ -58,13 +59,20 @@ def _parse_requests(rows, batch: int):
     for i, r in enumerate(rows):
         try:
             x, y = float(r["start_x"]), float(r["start_y"])
+            extras = [float(r.get(k, v)) for k, v in _DEFAULTS.items()]
         except (KeyError, TypeError, ValueError):
             raise ValueError(
-                f"request {i}: 'start_x'/'start_y' must be numbers"
+                f"request {i}: 'start_x'/'start_y' (and optional "
+                f"{sorted(_DEFAULTS)}) must be numbers"
             ) from None
-        extras = [float(r.get(k, v)) for k, v in _DEFAULTS.items()]
+        vals = (x, y, *extras)
+        if not all(math.isfinite(v) for v in vals):
+            # a NaN/inf input would poison the whole padded batch's device
+            # program AND make the JSON response non-strict (Infinity
+            # tokens) — the repo's artifact policy is strict JSON
+            raise ValueError(f"request {i}: values must be finite, got {vals}")
         starts[i] = (x, y)
-        inits[i] = (x, y, *extras)
+        inits[i] = vals
     k = len(rows)
     starts[k:] = starts[0]
     inits[k:] = inits[0]
@@ -121,18 +129,26 @@ def make_http_server(
                     # should draw fresh trajectories (pass "seed" to pin)
                     seed = secrets.randbelow(1 << 31)
                 seed = int(seed)
+                if not 0 <= seed < 1 << 63:
+                    raise ValueError(f"seed {seed} outside [0, 2**63)")
             except (ValueError, TypeError, json.JSONDecodeError) as e:
                 return self._json(400, {"error": str(e)})
-            states, controls = serve_fn(jax.random.PRNGKey(seed), starts, inits)
-            self._json(
-                200,
-                {
+            try:
+                states, controls = serve_fn(
+                    jax.random.PRNGKey(seed), starts, inits
+                )
+                payload = {
                     "seed": seed,
                     "n": k,
                     "states": np.asarray(states)[:k].tolist(),
                     "controls": np.asarray(controls)[:k].tolist(),
-                },
-            )
+                }
+            except Exception as e:  # an unhandled error must come back as
+                # a JSON 500, not a dropped connection + stderr traceback
+                return self._json(
+                    500, {"error": f"{type(e).__name__}: {e}"}
+                )
+            self._json(200, payload)
 
     return HTTPServer((host, port), Handler)
 

@@ -137,6 +137,24 @@ def test_serve_request_validation(served):
     code, body = _call(server, {"requests": [{"start_y": 1.0}]})
     assert code == 400 and "start_x" in body["error"]
 
+    # non-finite inputs would poison the padded batch and emit non-strict
+    # JSON (Infinity tokens) — rejected up front
+    code, body = _call(
+        server, {"requests": [{"start_x": float("nan"), "start_y": 0.0}]}
+    )
+    assert code == 400 and "finite" in body["error"]
+    code, body = _call(
+        server, {"requests": [{"start_x": 0.0, "start_y": 0.0, "vy": 1e999}]}
+    )
+    assert code == 400 and "finite" in body["error"]
+
+    # out-of-range seed → 400, not a dropped connection
+    ok = [{"start_x": 0.0, "start_y": 0.0}]
+    code, body = _call(server, {"requests": ok, "seed": 1 << 64})
+    assert code == 400 and "seed" in body["error"]
+    code, body = _call(server, {"requests": ok, "seed": -1})
+    assert code == 400 and "seed" in body["error"]
+
     code, body = _call(server, {"requests": []})
     assert code == 400
 
