@@ -355,10 +355,6 @@ def _cmd_serve(args):
     local HTTP endpoint (``serving.py``)."""
     import jax
 
-    from .control import MPCConfig
-    from .control.device_reference import make_serve_fn
-    from .train.checkpoint import load_checkpoint
-
     mesh = None
     if args.data_parallel:
         from .parallel import create_mesh
@@ -389,12 +385,9 @@ def _cmd_serve(args):
 
     if args.start_x is None or args.start_y is None:
         raise SystemExit("--start-x/--start-y are required without --listen")
-    params, cfg, manifest = load_checkpoint(args.ckpt)
-    mpc = MPCConfig(prediction_horizon=30, control_horizon=20, dt=args.dt)
-    serve = make_serve_fn(
-        params, cfg, mpc, num_steps=args.steps,
-        offset_mode=manifest.get("offset_mode", True), mesh=mesh,
-    )
+    from .serving import build_serve_fn
+
+    serve = build_serve_fn(args.ckpt, args.steps, args.dt, mesh=mesh)
     starts = np.tile([[args.start_x, args.start_y]], (args.batch, 1)).astype(np.float32)
     inits = np.tile(
         [[args.start_x, args.start_y, args.heading, args.vx, args.vy]],
@@ -767,9 +760,13 @@ def main(argv=None):
     sv.add_argument("--start-x", type=float, default=None,
                     help="required unless --listen (requests carry starts)")
     sv.add_argument("--start-y", type=float, default=None)
-    sv.add_argument("--heading", type=float, default=1.57)
-    sv.add_argument("--vx", type=float, default=0.0)
-    sv.add_argument("--vy", type=float, default=10.0)
+    # defaults shared with the HTTP request schema (serving._DEFAULTS) so
+    # the one-shot and --listen paths cannot drift
+    from .serving import _DEFAULTS as _serve_defaults
+
+    sv.add_argument("--heading", type=float, default=_serve_defaults["heading"])
+    sv.add_argument("--vx", type=float, default=_serve_defaults["vx"])
+    sv.add_argument("--vy", type=float, default=_serve_defaults["vy"])
     sv.add_argument("--steps", type=int, default=512)
     sv.add_argument("--batch", type=int, default=1)
     sv.add_argument("--seed", type=int, default=0)

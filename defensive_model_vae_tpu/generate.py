@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .models import CVAEConfig, sample
-from .train.checkpoint import load_checkpoint
+from .train.checkpoint import load_checkpoint, require_cvae_config
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "shift_start"))
@@ -84,6 +84,7 @@ def load_and_generate(
     Honors the manifest's ``offset_mode`` (False for legacy non-offset
     imports, whose decoder emits absolute coordinates)."""
     params, cfg, manifest = load_checkpoint(checkpoint_dir)
+    require_cvae_config(cfg, "load_and_generate")
     return generate_trajectories(
         params, cfg, np.array([start_x, start_y]), n_samples, seed,
         shift_start=manifest.get("offset_mode", True),

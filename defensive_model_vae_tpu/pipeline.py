@@ -576,10 +576,11 @@ def run_scenario(
     """One-shot: load checkpoint, generate+track every scenario CSV, save
     traces, and validate.  Writes ``<out_dir>/validation_<sce>.json`` with
     an embedded provenance block (seed, grid, tracker config, git SHA)."""
-    from .train.checkpoint import load_checkpoint
+    from .train.checkpoint import load_checkpoint, require_cvae_config
 
     sce = scenarios.get(scenario)
     params, cfg, manifest = load_checkpoint(checkpoint_dir)
+    require_cvae_config(cfg, "run_scenario")
     csvs = collect_csv_files(os.path.join(data_root, sce.town))
     # legacy non-offset checkpoints decode ABSOLUTE [t,x,y] — their
     # manifests record offset_mode False and the generator must not shift

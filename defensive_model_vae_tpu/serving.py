@@ -32,14 +32,20 @@ one device anyway, and a single dispatch queue keeps latency honest.
 from __future__ import annotations
 
 import json
-import math
 import secrets
 from http.server import BaseHTTPRequestHandler, HTTPServer
 from typing import Optional
 
 import numpy as np
 
+# serve request defaults — the CLI's one-shot argparse defaults source
+# from here too, so the two paths cannot drift
 _DEFAULTS = {"heading": 1.57, "vx": 0.0, "vy": 10.0}
+# MPC horizons for the serve program (prediction, control) — shared by the
+# one-shot CLI path and serve_checkpoint below
+SERVE_HORIZONS = (30, 20)
+# request bodies are a few KB of floats; anything near this is abuse
+_MAX_BODY_BYTES = 1 << 24
 
 
 def _parse_requests(rows, batch: int):
@@ -65,13 +71,18 @@ def _parse_requests(rows, batch: int):
                 f"request {i}: 'start_x'/'start_y' (and optional "
                 f"{sorted(_DEFAULTS)}) must be numbers"
             ) from None
-        vals = (x, y, *extras)
-        if not all(math.isfinite(v) for v in vals):
-            # a NaN/inf input would poison the whole padded batch's device
-            # program AND make the JSON response non-strict (Infinity
-            # tokens) — the repo's artifact policy is strict JSON
-            raise ValueError(f"request {i}: values must be finite, got {vals}")
-        starts[i] = (x, y)
+        # finiteness is checked on the f32 values the program actually
+        # sees: a float64-finite 1e200 overflows the cast to inf and would
+        # poison the padded batch / emit non-strict JSON all the same
+        # (the overflow IS the detection — silence its RuntimeWarning)
+        with np.errstate(over="ignore"):
+            vals = np.array((x, y, *extras), np.float32)
+        if not np.isfinite(vals).all():
+            raise ValueError(
+                f"request {i}: values must be finite in float32, got "
+                f"{[x, y, *extras]}"
+            )
+        starts[i] = vals[:2]
         inits[i] = vals
     k = len(rows)
     starts[k:] = starts[0]
@@ -95,13 +106,20 @@ def make_http_server(
     import jax
 
     class Handler(BaseHTTPRequestHandler):
+        # per-connection socket timeout: a client that stalls mid-body
+        # must not wedge the (deliberately single-threaded) server — the
+        # read raises, the connection drops, the next request proceeds
+        timeout = 30
+
         # stderr request logging off: the server's stdout/stderr contract
         # is one line per lifecycle event, not per request
         def log_message(self, fmt, *args):  # noqa: D102
             pass
 
         def _json(self, code: int, payload) -> None:
-            body = json.dumps(payload).encode()
+            # strict JSON always — non-finite outputs are pre-screened
+            # into a 500 below, so allow_nan=False is an invariant check
+            body = json.dumps(payload, allow_nan=False).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
@@ -121,7 +139,18 @@ def make_http_server(
                 return self._json(404, {"error": f"unknown path {self.path!r}"})
             try:
                 n = int(self.headers.get("Content-Length") or 0)
-                req = json.loads(self.rfile.read(n) or b"{}")
+                if n > _MAX_BODY_BYTES:
+                    return self._json(
+                        413, {"error": f"body exceeds {_MAX_BODY_BYTES} bytes"}
+                    )
+                try:
+                    raw = self.rfile.read(n)
+                except OSError:  # client stalled past the socket timeout
+                    self.close_connection = True
+                    return
+                req = json.loads(raw or b"{}")
+                if not isinstance(req, dict):
+                    raise ValueError("body must be a JSON object")
                 starts, inits, k = _parse_requests(req.get("requests"), batch)
                 seed = req.get("seed")
                 if seed is None:
@@ -129,19 +158,30 @@ def make_http_server(
                     # should draw fresh trajectories (pass "seed" to pin)
                     seed = secrets.randbelow(1 << 31)
                 seed = int(seed)
-                if not 0 <= seed < 1 << 63:
-                    raise ValueError(f"seed {seed} outside [0, 2**63)")
+                # x32 PRNGKey folds the seed to 32 bits — accepting wider
+                # values would silently alias pinned seeds mod 2**32
+                if not 0 <= seed < 1 << 32:
+                    raise ValueError(f"seed {seed} outside [0, 2**32)")
             except (ValueError, TypeError, json.JSONDecodeError) as e:
                 return self._json(400, {"error": str(e)})
             try:
                 states, controls = serve_fn(
                     jax.random.PRNGKey(seed), starts, inits
                 )
+                states = np.asarray(states)[:k]
+                controls = np.asarray(controls)[:k]
+                if not (np.isfinite(states).all()
+                        and np.isfinite(controls).all()):
+                    # strict-JSON contract: a diverged solve surfaces as an
+                    # error, never as bare NaN/Infinity tokens in a 200
+                    raise FloatingPointError(
+                        "serve produced non-finite outputs"
+                    )
                 payload = {
                     "seed": seed,
                     "n": k,
-                    "states": np.asarray(states)[:k].tolist(),
-                    "controls": np.asarray(controls)[:k].tolist(),
+                    "states": states.tolist(),
+                    "controls": controls.tolist(),
                 }
             except Exception as e:  # an unhandled error must come back as
                 # a JSON 500, not a dropped connection + stderr traceback
@@ -151,6 +191,24 @@ def make_http_server(
             self._json(200, payload)
 
     return HTTPServer((host, port), Handler)
+
+
+def build_serve_fn(ckpt_dir: str, num_steps: int, dt: float, mesh=None):
+    """Checkpoint → compiled serve program (the ONE construction shared by
+    the one-shot CLI and the HTTP server, so horizons / offset-mode
+    handling cannot drift between the two paths)."""
+    from .control import MPCConfig
+    from .control.device_reference import make_serve_fn
+    from .train.checkpoint import load_checkpoint, require_cvae_config
+
+    params, cfg, manifest = load_checkpoint(ckpt_dir)
+    require_cvae_config(cfg, "serving")
+    P, M = SERVE_HORIZONS
+    mpc = MPCConfig(prediction_horizon=P, control_horizon=M, dt=dt)
+    return make_serve_fn(
+        params, cfg, mpc, num_steps=num_steps,
+        offset_mode=manifest.get("offset_mode", True), mesh=mesh,
+    )
 
 
 def serve_checkpoint(
@@ -170,16 +228,7 @@ def serve_checkpoint(
     latency is steady-state from request one."""
     import jax
 
-    from .control import MPCConfig
-    from .control.device_reference import make_serve_fn
-    from .train.checkpoint import load_checkpoint
-
-    params, cfg, manifest = load_checkpoint(ckpt_dir)
-    mpc = MPCConfig(prediction_horizon=30, control_horizon=20, dt=dt)
-    serve_fn = make_serve_fn(
-        params, cfg, mpc, num_steps=num_steps,
-        offset_mode=manifest.get("offset_mode", True), mesh=mesh,
-    )
+    serve_fn = build_serve_fn(ckpt_dir, num_steps, dt, mesh=mesh)
     if warm_seed is None:
         warm_seed = secrets.randbelow(1 << 31)
     starts = np.zeros((batch, 2), np.float32)

@@ -146,6 +146,22 @@ def load_checkpoint(directory: str) -> Tuple[Dict, Any, Dict[str, Any]]:
     return params, model_cfg, manifest
 
 
+def require_cvae_config(model_cfg, purpose: str) -> CVAEConfig:
+    """Guard for MLP-CVAE-only consumers of :func:`load_checkpoint`.
+
+    ``load_checkpoint`` can return a ``ConvCVAEConfig``; feeding one into
+    the MLP generation/serving stack would crash mid-jit-trace with a raw
+    ``KeyError: 'cond_0'`` (conv params are conv_0/deconv_0 layers).  Fail
+    at the boundary with the reason instead."""
+    if not isinstance(model_cfg, CVAEConfig):
+        raise TypeError(
+            f"{purpose} supports the MLP CVAE family only; this checkpoint "
+            f"is a {type(model_cfg).__name__} (use the models/conv_cvae.py "
+            "APIs for Conv1D checkpoints)"
+        )
+    return model_cfg
+
+
 def save_opt_state(directory: str, opt_state) -> str:
     """Persist Adam state (count, mu, nu) for resumable training."""
     adam = opt_state[0]  # optax.adam = chain(scale_by_adam, scale)

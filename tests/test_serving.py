@@ -99,6 +99,49 @@ def test_serve_entropy_seed_and_pinned_seed(served):
     assert c["seed"] != d["seed"]  # entropy default → fresh draws
 
 
+def test_serve_nonfinite_output_is_a_500():
+    """A diverged solve must surface as a JSON 500, never as bare
+    NaN/Infinity tokens in a 200 (strict-JSON contract)."""
+
+    def bad_serve(key, starts, inits):
+        return (np.full((BATCH, STEPS + 1, 4), np.nan, np.float32),
+                np.zeros((BATCH, STEPS, 2), np.float32))
+
+    server = make_http_server(bad_serve, BATCH, STEPS)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        code, body = _call(
+            server, {"requests": [{"start_x": 0.0, "start_y": 0.0}]}
+        )
+        assert code == 500 and "non-finite" in body["error"]
+    finally:
+        server.shutdown()
+        server.server_close()
+        t.join(timeout=10)
+
+
+def test_conv_checkpoint_rejected_at_the_boundary(tmp_path):
+    """MLP-only consumers must reject a Conv1D checkpoint with the reason,
+    not crash mid-jit-trace with KeyError 'cond_0'."""
+    import jax
+
+    from defensive_model_vae_tpu.generate import load_and_generate
+    from defensive_model_vae_tpu.models import ConvCVAEConfig, init_conv_params
+    from defensive_model_vae_tpu.serving import build_serve_fn
+    from defensive_model_vae_tpu.train.checkpoint import save_checkpoint
+
+    ccfg = ConvCVAEConfig(seq_len=20, dim=2)
+    d = save_checkpoint(
+        str(tmp_path / "conv"), init_conv_params(jax.random.PRNGKey(0), ccfg),
+        ccfg, None,
+    )
+    with pytest.raises(TypeError, match="MLP CVAE family only"):
+        build_serve_fn(d, num_steps=4, dt=0.1)
+    with pytest.raises(TypeError, match="MLP CVAE family only"):
+        load_and_generate(d, 0.0, 0.0)
+
+
 def test_serve_checkpoint_end_to_end(tmp_path):
     """The --listen CLI path: checkpoint → warmed program → live endpoint
     (manifest offset_mode honored via make_serve_fn, same as one-shot)."""
@@ -148,12 +191,25 @@ def test_serve_request_validation(served):
     )
     assert code == 400 and "finite" in body["error"]
 
-    # out-of-range seed → 400, not a dropped connection
+    # float64-finite but float32-infinite must also be rejected (the
+    # program computes in f32; 1e200 would overflow to inf after the cast)
+    code, body = _call(
+        server, {"requests": [{"start_x": 1e200, "start_y": 0.0}]}
+    )
+    assert code == 400 and "finite" in body["error"]
+
+    # out-of-range seed → 400, not a dropped connection; the bound is the
+    # x32 PRNGKey's 32 bits (wider seeds would silently alias mod 2**32)
     ok = [{"start_x": 0.0, "start_y": 0.0}]
-    code, body = _call(server, {"requests": ok, "seed": 1 << 64})
-    assert code == 400 and "seed" in body["error"]
-    code, body = _call(server, {"requests": ok, "seed": -1})
-    assert code == 400 and "seed" in body["error"]
+    for bad_seed in (1 << 64, 1 << 32, -1):
+        code, body = _call(server, {"requests": ok, "seed": bad_seed})
+        assert code == 400 and "seed" in body["error"]
+
+    # non-dict JSON body → 400, not a dropped connection
+    code, body = _call(server, [1, 2, 3])
+    assert code == 400 and "JSON object" in body["error"]
+    code, body = _call(server, "just a string")
+    assert code == 400 and "JSON object" in body["error"]
 
     code, body = _call(server, {"requests": []})
     assert code == 400
