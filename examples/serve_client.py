@@ -1,0 +1,72 @@
+"""Minimal client for the persistent serving endpoint.
+
+Start the server (keeps the compiled sample→reference→MPC program warm;
+requests are padded to the compiled batch — see ``serving.py``):
+
+    defvae serve --ckpt <checkpoint-dir> --listen 8080 --batch 16
+
+then query it:
+
+    python examples/serve_client.py --port 8080 \
+        --start -193.3 50.0 --start -192.8 42.0 --seed 7
+
+stdlib-only on purpose: the endpoint is plain JSON over HTTP, so any
+client stack works the same way.
+"""
+
+import argparse
+import json
+import urllib.request
+
+
+def query(base_url, requests, seed=None, timeout=300):
+    """POST trajectory requests; returns the decoded response dict.
+
+    ``requests`` is a list of dicts with ``start_x``/``start_y`` (and
+    optional ``heading``/``vx``/``vy``); ``seed=None`` lets the server
+    draw fresh trajectories (pass an int to pin the draw).
+    """
+    payload = {"requests": requests}
+    if seed is not None:
+        payload["seed"] = int(seed)
+    req = urllib.request.Request(
+        f"{base_url}/serve",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, required=True)
+    ap.add_argument(
+        "--start", nargs=2, type=float, action="append", required=True,
+        metavar=("X", "Y"), help="request start point (repeatable)",
+    )
+    ap.add_argument("--seed", type=int, default=None)
+    args = ap.parse_args()
+
+    base = f"http://{args.host}:{args.port}"
+    with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+        health = json.loads(r.read())
+    print(f"server: batch {health['batch']}, {health['steps']} MPC steps")
+
+    body = query(
+        base, [{"start_x": x, "start_y": y} for x, y in args.start],
+        seed=args.seed,
+    )
+    print(f"seed {body['seed']}: {body['n']} trajectories")
+    for i, states in enumerate(body["states"]):
+        x0, y0 = states[0][0], states[0][1]
+        x1, y1, _, v1 = states[-1]
+        print(
+            f"  [{i}] ({x0:.1f}, {y0:.1f}) → ({x1:.1f}, {y1:.1f}), "
+            f"final speed {v1:.2f} m/s over {len(states) - 1} steps"
+        )
+
+
+if __name__ == "__main__":
+    main()

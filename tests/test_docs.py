@@ -23,7 +23,8 @@ _PKG_HEADS = {
     "models", "data", "control", "dnda", "metrics", "viz", "sut",
     "train", "ops", "parallel", "utils",
 }
-_PKG_TOP = {"pipeline.py", "scenarios.py", "generate.py", "cli.py"}
+_PKG_TOP = {"pipeline.py", "scenarios.py", "generate.py", "cli.py",
+            "serving.py"}
 
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
@@ -87,6 +88,24 @@ def test_migration_guide_symbols_exist():
     # the guide cites well over a hundred symbols; a collapse in the
     # parse (format drift) should fail loudly, not pass vacuously
     assert checked > 100, f"only {checked} symbols parsed from the guide"
+
+
+def test_quickstart_example_runs(tmp_path, monkeypatch):
+    """examples/quickstart.py stays runnable end-to-end (train → sample →
+    track → figures) on the bundled fixtures — in-process so it inherits
+    the suite's CPU backend."""
+    import runpy
+    import sys
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["quickstart.py", "--epochs", "200", "--outdir", str(tmp_path)],
+    )
+    runpy.run_path(
+        str(REPO_ROOT / "examples" / "quickstart.py"), run_name="__main__"
+    )
+    for fig in ("loss.png", "generated_vs_training.png", "tracking.png"):
+        assert (tmp_path / fig).stat().st_size > 0
 
 
 def test_migration_guide_cli_subcommands_exist():

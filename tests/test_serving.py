@@ -15,6 +15,8 @@ import jax
 import numpy as np
 import pytest
 
+from conftest import REPO_ROOT
+
 from defensive_model_vae_tpu.control import MPCConfig
 from defensive_model_vae_tpu.control.device_reference import make_serve_fn
 from defensive_model_vae_tpu.models import CVAEConfig, init_params
@@ -140,6 +142,42 @@ def test_conv_checkpoint_rejected_at_the_boundary(tmp_path):
         build_serve_fn(d, num_steps=4, dt=0.1)
     with pytest.raises(TypeError, match="MLP CVAE family only"):
         load_and_generate(d, 0.0, 0.0)
+
+
+def test_serve_client_example(tmp_path):
+    """examples/serve_client.py works against a live endpoint exactly as
+    its docstring promises (stdlib-only client, healthz + /serve)."""
+    import subprocess
+    import sys
+
+    from defensive_model_vae_tpu.serving import serve_checkpoint
+    from defensive_model_vae_tpu.train.checkpoint import save_checkpoint
+
+    cfg = CVAEConfig()
+    d = save_checkpoint(
+        str(tmp_path / "ck"), init_params(jax.random.PRNGKey(2), cfg),
+        cfg, "sce1",
+    )
+    server = serve_checkpoint(d, batch=2, num_steps=4, dt=0.1, warm_seed=1)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        _, port = server.server_address[:2]
+        out = subprocess.run(
+            [sys.executable,
+             str(REPO_ROOT / "examples" / "serve_client.py"),
+             "--port", str(port), "--start", "-193.3", "50.0",
+             "--seed", "7"],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert out.returncode == 0, out.stderr
+        assert "batch 2, 4 MPC steps" in out.stdout
+        assert "seed 7: 1 trajectories" in out.stdout
+        assert "final speed" in out.stdout
+    finally:
+        server.shutdown()
+        server.server_close()
+        t.join(timeout=10)
 
 
 def test_serve_checkpoint_end_to_end(tmp_path):
