@@ -368,13 +368,30 @@ def _cmd_serve(args):
     if args.listen is not None:
         from .serving import serve_checkpoint
 
+        # repeated --ckpt NAME=DIR hosts several models behind one
+        # endpoint; a single bare directory serves as model "default"
+        ckpts = {}
+        for spec in args.ckpt:
+            if "=" in spec and not os.path.isdir(spec):
+                name, d = spec.split("=", 1)
+            elif len(args.ckpt) == 1:
+                name, d = "default", spec
+            else:
+                raise SystemExit(
+                    f"--ckpt {spec!r}: with several models each must be "
+                    "NAME=DIR so requests can route by 'model'"
+                )
+            if name in ckpts:
+                raise SystemExit(f"duplicate model name {name!r}")
+            ckpts[name] = d
         server = serve_checkpoint(
-            args.ckpt, args.batch, args.steps, dt=args.dt,
+            ckpts, args.batch, args.steps, dt=args.dt,
             host=args.host, port=args.listen, mesh=mesh,
         )
         h, p = server.server_address[:2]
-        print(f"serving on http://{h}:{p} (batch {args.batch}, "
-              f"steps {args.steps}); POST /serve, GET /healthz", flush=True)
+        print(f"serving {sorted(ckpts)} on http://{h}:{p} "
+              f"(batch {args.batch}, steps {args.steps}); "
+              f"POST /serve, GET /healthz", flush=True)
         try:
             server.serve_forever()
         except KeyboardInterrupt:
@@ -385,9 +402,11 @@ def _cmd_serve(args):
 
     if args.start_x is None or args.start_y is None:
         raise SystemExit("--start-x/--start-y are required without --listen")
+    if len(args.ckpt) != 1:
+        raise SystemExit("one-shot serve takes exactly one --ckpt")
     from .serving import build_serve_fn
 
-    serve = build_serve_fn(args.ckpt, args.steps, args.dt, mesh=mesh)
+    serve = build_serve_fn(args.ckpt[0], args.steps, args.dt, mesh=mesh)
     starts = np.tile([[args.start_x, args.start_y]], (args.batch, 1)).astype(np.float32)
     inits = np.tile(
         [[args.start_x, args.start_y, args.heading, args.vx, args.vy]],
@@ -756,7 +775,9 @@ def main(argv=None):
     sv.add_argument("--data-parallel", action="store_true",
                     help="shard the request batch over all devices "
                     "(mesh 'data' axis; batch must divide evenly)")
-    sv.add_argument("--ckpt", required=True)
+    sv.add_argument("--ckpt", required=True, action="append",
+                    help="checkpoint directory; repeatable with --listen "
+                         "as NAME=DIR to host several models")
     sv.add_argument("--start-x", type=float, default=None,
                     help="required unless --listen (requests carry starts)")
     sv.add_argument("--start-y", type=float, default=None)

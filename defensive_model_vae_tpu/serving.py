@@ -16,14 +16,23 @@ larger than the compiled batch is rejected with 400 rather than silently
 re-compiling — shape churn through the remote-compile tunnel costs minutes
 (CLAUDE.md), so the batch is an explicit deployment choice.
 
+One warm process can host SEVERAL models (e.g. all four scenario
+checkpoints — ``serve_checkpoint`` accepts a ``{name: ckpt_dir}`` dict,
+``defvae serve --listen`` a repeated ``--ckpt NAME=DIR``); each model is
+its own compiled executable (params are jit constants at this size) and
+requests route by the ``"model"`` field.
+
 Endpoints:
 
-- ``GET /healthz`` → ``{"ok": true, "batch": B, "steps": N}``
+- ``GET /healthz`` → ``{"ok": true, "batch": B, "steps": N,
+  "models": [...]}``
 - ``POST /serve`` with ``{"requests": [{"start_x", "start_y",
-  "heading"?, "vx"?, "vy"?}, ...], "seed"?: int}`` →
-  ``{"seed": int, "n": k, "states": (k, steps+1, 4), "controls":
-  (k, steps, 2)}`` — states are ``[x, y, theta, v]`` rows, controls
-  ``[accel, steer]``, exactly the arrays the one-shot CLI saves.
+  "heading"?, "vx"?, "vy"?}, ...], "seed"?: int, "model"?: str}`` →
+  ``{"model": str, "seed": int, "n": k, "states": (k, steps+1, 4),
+  "controls": (k, steps, 2)}`` — states are ``[x, y, theta, v]`` rows,
+  controls ``[accel, steer]``, exactly the arrays the one-shot CLI saves.
+  ``"model"`` is optional while serving a single model, required with
+  several.
 
 The server is single-threaded by design: requests serialize through the
 one device anyway, and a single dispatch queue keeps latency honest.
@@ -91,19 +100,32 @@ def _parse_requests(rows, batch: int):
 
 
 def make_http_server(
-    serve_fn,
+    serve_fns,
     batch: int,
     num_steps: int,
     host: str = "127.0.0.1",
     port: int = 0,
 ) -> HTTPServer:
-    """Wrap a compiled ``serve_fn(key, starts, inits)`` in an HTTPServer.
+    """Wrap compiled ``serve_fn(key, starts, inits)`` program(s) in an
+    HTTPServer.
+
+    ``serve_fns`` is a single callable or a ``{name: callable}`` dict —
+    one warm process can host several models (e.g. all four scenario
+    checkpoints), routed by the request's ``"model"`` field.  With exactly
+    one model the field is optional; with several it is required (no
+    silent default between models).
 
     ``port=0`` binds an ephemeral port (read it back from
     ``server.server_address``).  The caller owns the lifecycle:
     ``serve_forever()`` to run, ``shutdown()`` + ``server_close()`` to stop
     (tests run it on a thread)."""
     import jax
+
+    if callable(serve_fns):
+        serve_fns = {"default": serve_fns}
+    if not serve_fns:
+        raise ValueError("need at least one serve_fn")
+    model_names = sorted(serve_fns)
 
     class Handler(BaseHTTPRequestHandler):
         # per-connection socket timeout: a client that stalls mid-body
@@ -129,7 +151,9 @@ def make_http_server(
         def do_GET(self):  # noqa: N802 (http.server API)
             if self.path == "/healthz":
                 self._json(
-                    200, {"ok": True, "batch": batch, "steps": num_steps}
+                    200,
+                    {"ok": True, "batch": batch, "steps": num_steps,
+                     "models": model_names},
                 )
             else:
                 self._json(404, {"error": f"unknown path {self.path!r}"})
@@ -151,6 +175,19 @@ def make_http_server(
                 req = json.loads(raw or b"{}")
                 if not isinstance(req, dict):
                     raise ValueError("body must be a JSON object")
+                name = req.get("model")
+                if name is None:
+                    if len(serve_fns) > 1:
+                        raise ValueError(
+                            f"'model' is required when serving several "
+                            f"models: {model_names}"
+                        )
+                    name = model_names[0]
+                if name not in serve_fns:
+                    raise ValueError(
+                        f"unknown model {name!r}; serving {model_names}"
+                    )
+                serve_fn = serve_fns[name]
                 starts, inits, k = _parse_requests(req.get("requests"), batch)
                 seed = req.get("seed")
                 if seed is None:
@@ -178,6 +215,7 @@ def make_http_server(
                         "serve produced non-finite outputs"
                     )
                 payload = {
+                    "model": name,
                     "seed": seed,
                     "n": k,
                     "states": states.tolist(),
@@ -212,7 +250,7 @@ def build_serve_fn(ckpt_dir: str, num_steps: int, dt: float, mesh=None):
 
 
 def serve_checkpoint(
-    ckpt_dir: str,
+    ckpt,
     batch: int,
     num_steps: int,
     dt: float = 0.02,
@@ -221,22 +259,29 @@ def serve_checkpoint(
     mesh=None,
     warm_seed: Optional[int] = None,
 ) -> HTTPServer:
-    """Build + WARM the serve program for a checkpoint, return the server.
+    """Build + WARM serve program(s) for checkpoint(s), return the server.
 
-    The warm-up call (entropy-seeded unless ``warm_seed`` pins it) absorbs
-    compile + executable load before the first request arrives, so request
-    latency is steady-state from request one."""
+    ``ckpt`` is a checkpoint directory, or a ``{name: directory}`` dict to
+    host several models (each its own compiled executable) behind one
+    endpoint.  Every model gets a warm-up call (entropy-seeded unless
+    ``warm_seed`` pins it) that absorbs compile + executable load before
+    the first request arrives, so request latency is steady-state from
+    request one."""
     import jax
 
-    serve_fn = build_serve_fn(ckpt_dir, num_steps, dt, mesh=mesh)
-    if warm_seed is None:
-        warm_seed = secrets.randbelow(1 << 31)
+    if not isinstance(ckpt, dict):
+        ckpt = {"default": str(ckpt)}
     starts = np.zeros((batch, 2), np.float32)
     inits = np.tile(
         np.array([[0.0, 0.0, _DEFAULTS["heading"], 0.0, _DEFAULTS["vy"]]],
                  np.float32),
         (batch, 1),
     )
-    out = serve_fn(jax.random.PRNGKey(warm_seed), starts, inits)
-    jax.block_until_ready(out)
-    return make_http_server(serve_fn, batch, num_steps, host=host, port=port)
+    if warm_seed is None:
+        warm_seed = secrets.randbelow(1 << 31)
+    serve_fns = {}
+    for name, d in ckpt.items():
+        fn = build_serve_fn(str(d), num_steps, dt, mesh=mesh)
+        jax.block_until_ready(fn(jax.random.PRNGKey(warm_seed), starts, inits))
+        serve_fns[name] = fn
+    return make_http_server(serve_fns, batch, num_steps, host=host, port=port)

@@ -19,16 +19,20 @@ import json
 import urllib.request
 
 
-def query(base_url, requests, seed=None, timeout=300):
+def query(base_url, requests, seed=None, model=None, timeout=300):
     """POST trajectory requests; returns the decoded response dict.
 
     ``requests`` is a list of dicts with ``start_x``/``start_y`` (and
     optional ``heading``/``vx``/``vy``); ``seed=None`` lets the server
-    draw fresh trajectories (pass an int to pin the draw).
+    draw fresh trajectories (pass an int to pin the draw).  ``model``
+    selects the checkpoint when the server hosts several (see
+    ``/healthz``'s ``models`` list).
     """
     payload = {"requests": requests}
     if seed is not None:
         payload["seed"] = int(seed)
+    if model is not None:
+        payload["model"] = model
     req = urllib.request.Request(
         f"{base_url}/serve",
         data=json.dumps(payload).encode(),
@@ -47,18 +51,22 @@ def main():
         metavar=("X", "Y"), help="request start point (repeatable)",
     )
     ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--model", default=None,
+                    help="model name when the server hosts several")
     args = ap.parse_args()
 
     base = f"http://{args.host}:{args.port}"
     with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
         health = json.loads(r.read())
-    print(f"server: batch {health['batch']}, {health['steps']} MPC steps")
+    print(f"server: batch {health['batch']}, {health['steps']} MPC steps, "
+          f"models {health['models']}")
 
     body = query(
         base, [{"start_x": x, "start_y": y} for x, y in args.start],
-        seed=args.seed,
+        seed=args.seed, model=args.model,
     )
-    print(f"seed {body['seed']}: {body['n']} trajectories")
+    print(f"model {body['model']}, seed {body['seed']}: "
+          f"{body['n']} trajectories")
     for i, states in enumerate(body["states"]):
         x0, y0 = states[0][0], states[0][1]
         x1, y1, _, v1 = states[-1]

@@ -57,7 +57,9 @@ def _call(server, payload=None, path="/serve", method="POST"):
 def test_healthz(served):
     server, _ = served
     code, body = _call(server, path="/healthz", method="GET")
-    assert code == 200 and body == {"ok": True, "batch": BATCH, "steps": STEPS}
+    assert code == 200 and body == {
+        "ok": True, "batch": BATCH, "steps": STEPS, "models": ["default"],
+    }
 
 
 def test_serve_matches_direct_call_and_pads(served):
@@ -99,6 +101,46 @@ def test_serve_entropy_seed_and_pinned_seed(served):
     _, c = _call(server, {"requests": rows})
     _, d = _call(server, {"requests": rows})
     assert c["seed"] != d["seed"]  # entropy default → fresh draws
+
+
+def test_multi_model_routing(tmp_path):
+    """One warm endpoint hosts several models: requests route by 'model',
+    each model returns its own weights' trajectories, and the field is
+    required (no silent default) when several are served."""
+    from defensive_model_vae_tpu.serving import serve_checkpoint
+    from defensive_model_vae_tpu.train.checkpoint import save_checkpoint
+
+    cfg = CVAEConfig()
+    dirs = {}
+    for i, name in enumerate(["sce1", "sce2"]):
+        dirs[name] = save_checkpoint(
+            str(tmp_path / name), init_params(jax.random.PRNGKey(i), cfg),
+            cfg, name,
+        )
+    server = serve_checkpoint(dirs, batch=2, num_steps=4, dt=0.1, warm_seed=1)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        code, body = _call(server, path="/healthz", method="GET")
+        assert code == 200 and body["models"] == ["sce1", "sce2"]
+
+        rows = [{"start_x": -193.3, "start_y": 50.0}]
+        _, a = _call(server, {"requests": rows, "seed": 3, "model": "sce1"})
+        _, b = _call(server, {"requests": rows, "seed": 3, "model": "sce2"})
+        assert a["model"] == "sce1" and b["model"] == "sce2"
+        # different weights, same seed → different trajectories
+        assert a["states"] != b["states"]
+
+        code, body = _call(server, {"requests": rows, "seed": 3})
+        assert code == 400 and "'model' is required" in body["error"]
+        code, body = _call(
+            server, {"requests": rows, "seed": 3, "model": "sce9"}
+        )
+        assert code == 400 and "unknown model" in body["error"]
+    finally:
+        server.shutdown()
+        server.server_close()
+        t.join(timeout=10)
 
 
 def test_serve_nonfinite_output_is_a_500():
