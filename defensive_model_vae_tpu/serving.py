@@ -25,7 +25,8 @@ requests route by the ``"model"`` field.
 Endpoints:
 
 - ``GET /healthz`` → ``{"ok": true, "batch": B, "steps": N,
-  "models": [...]}``
+  "models": [...], "served": n, "errors": n, "last_ms": x}`` (request
+  counters + last request's wall time)
 - ``POST /serve`` with ``{"requests": [{"start_x", "start_y",
   "heading"?, "vx"?, "vy"?}, ...], "seed"?: int, "model"?: str}`` →
   ``{"model": str, "seed": int, "n": k, "states": (k, steps+1, 4),
@@ -42,6 +43,7 @@ from __future__ import annotations
 
 import json
 import secrets
+import time
 from http.server import BaseHTTPRequestHandler, HTTPServer
 from typing import Optional
 
@@ -126,6 +128,9 @@ def make_http_server(
     if not serve_fns:
         raise ValueError("need at least one serve_fn")
     model_names = sorted(serve_fns)
+    # request counters surfaced on /healthz — the server is single-
+    # threaded (one handler at a time), so plain dict updates are safe
+    stats = {"served": 0, "errors": 0, "last_ms": None}
 
     class Handler(BaseHTTPRequestHandler):
         # per-connection socket timeout: a client that stalls mid-body
@@ -153,7 +158,7 @@ def make_http_server(
                 self._json(
                     200,
                     {"ok": True, "batch": batch, "steps": num_steps,
-                     "models": model_names},
+                     "models": model_names, **stats},
                 )
             else:
                 self._json(404, {"error": f"unknown path {self.path!r}"})
@@ -201,6 +206,7 @@ def make_http_server(
                     raise ValueError(f"seed {seed} outside [0, 2**32)")
             except (ValueError, TypeError, json.JSONDecodeError) as e:
                 return self._json(400, {"error": str(e)})
+            t0 = time.perf_counter()
             try:
                 states, controls = serve_fn(
                     jax.random.PRNGKey(seed), starts, inits
@@ -223,9 +229,12 @@ def make_http_server(
                 }
             except Exception as e:  # an unhandled error must come back as
                 # a JSON 500, not a dropped connection + stderr traceback
+                stats["errors"] += 1
                 return self._json(
                     500, {"error": f"{type(e).__name__}: {e}"}
                 )
+            stats["served"] += 1
+            stats["last_ms"] = round(1e3 * (time.perf_counter() - t0), 2)
             self._json(200, payload)
 
     return HTTPServer((host, port), Handler)

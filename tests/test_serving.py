@@ -57,9 +57,19 @@ def _call(server, payload=None, path="/serve", method="POST"):
 def test_healthz(served):
     server, _ = served
     code, body = _call(server, path="/healthz", method="GET")
-    assert code == 200 and body == {
+    assert code == 200
+    assert {k: body[k] for k in ("ok", "batch", "steps", "models")} == {
         "ok": True, "batch": BATCH, "steps": STEPS, "models": ["default"],
     }
+    # request counters: a served request bumps 'served' and stamps last_ms
+    before = body["served"]
+    code, _ = _call(
+        server, {"requests": [{"start_x": 0.0, "start_y": 0.0}], "seed": 1}
+    )
+    assert code == 200
+    _, body2 = _call(server, path="/healthz", method="GET")
+    assert body2["served"] == before + 1
+    assert body2["last_ms"] is not None and body2["last_ms"] >= 0
 
 
 def test_serve_matches_direct_call_and_pads(served):
