@@ -391,7 +391,7 @@ def _cmd_serve(args):
         h, p = server.server_address[:2]
         print(f"serving {sorted(ckpts)} on http://{h}:{p} "
               f"(batch {args.batch}, steps {args.steps}); "
-              f"POST /serve, GET /healthz", flush=True)
+              f"POST /serve, POST /generate, GET /healthz", flush=True)
         try:
             server.serve_forever()
         except KeyboardInterrupt:

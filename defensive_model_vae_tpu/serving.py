@@ -34,6 +34,9 @@ Endpoints:
   controls ``[accel, steer]``, exactly the arrays the one-shot CLI saves.
   ``"model"`` is optional while serving a single model, required with
   several.
+- ``POST /generate`` — same request shape, but returns raw sampled
+  ``{"trajectories": (k, T, 3)}`` global [t, x, y] (no MPC chain): the
+  high-throughput route for consumers that do their own tracking.
 
 The server is single-threaded by design: requests serialize through the
 one device anyway, and a single dispatch queue keeps latency honest.
@@ -107,6 +110,7 @@ def make_http_server(
     num_steps: int,
     host: str = "127.0.0.1",
     port: int = 0,
+    generate_fns=None,
 ) -> HTTPServer:
     """Wrap compiled ``serve_fn(key, starts, inits)`` program(s) in an
     HTTPServer.
@@ -127,6 +131,9 @@ def make_http_server(
         serve_fns = {"default": serve_fns}
     if not serve_fns:
         raise ValueError("need at least one serve_fn")
+    if callable(generate_fns):
+        generate_fns = {"default": generate_fns}
+    generate_fns = generate_fns or {}
     model_names = sorted(serve_fns)
     # request counters surfaced on /healthz — the server is single-
     # threaded (one handler at a time), so plain dict updates are safe
@@ -164,7 +171,7 @@ def make_http_server(
                 self._json(404, {"error": f"unknown path {self.path!r}"})
 
         def do_POST(self):  # noqa: N802
-            if self.path != "/serve":
+            if self.path not in ("/serve", "/generate"):
                 return self._json(404, {"error": f"unknown path {self.path!r}"})
             try:
                 n = int(self.headers.get("Content-Length") or 0)
@@ -192,7 +199,13 @@ def make_http_server(
                     raise ValueError(
                         f"unknown model {name!r}; serving {model_names}"
                     )
-                serve_fn = serve_fns[name]
+                if self.path == "/generate" and name not in generate_fns:
+                    return self._json(
+                        501,
+                        {"error": "generation route not configured for "
+                                  f"{name!r} (build the server with "
+                                  "generate_fns, e.g. via serve_checkpoint)"},
+                    )
                 starts, inits, k = _parse_requests(req.get("requests"), batch)
                 seed = req.get("seed")
                 if seed is None:
@@ -208,25 +221,25 @@ def make_http_server(
                 return self._json(400, {"error": str(e)})
             t0 = time.perf_counter()
             try:
-                states, controls = serve_fn(
-                    jax.random.PRNGKey(seed), starts, inits
-                )
-                states = np.asarray(states)[:k]
-                controls = np.asarray(controls)[:k]
-                if not (np.isfinite(states).all()
-                        and np.isfinite(controls).all()):
-                    # strict-JSON contract: a diverged solve surfaces as an
-                    # error, never as bare NaN/Infinity tokens in a 200
-                    raise FloatingPointError(
-                        "serve produced non-finite outputs"
-                    )
-                payload = {
-                    "model": name,
-                    "seed": seed,
-                    "n": k,
-                    "states": states.tolist(),
-                    "controls": controls.tolist(),
-                }
+                key = jax.random.PRNGKey(seed)
+                payload = {"model": name, "seed": seed, "n": k}
+                if self.path == "/generate":
+                    trajs = np.asarray(generate_fns[name](key, starts))[:k]
+                    outputs = {"trajectories": trajs}
+                else:
+                    states, controls = serve_fns[name](key, starts, inits)
+                    outputs = {
+                        "states": np.asarray(states)[:k],
+                        "controls": np.asarray(controls)[:k],
+                    }
+                for field, arr in outputs.items():
+                    if not np.isfinite(arr).all():
+                        # strict-JSON contract: a diverged solve surfaces
+                        # as an error, never as bare NaN/Infinity tokens
+                        raise FloatingPointError(
+                            f"non-finite values in {field}"
+                        )
+                    payload[field] = arr.tolist()
             except Exception as e:  # an unhandled error must come back as
                 # a JSON 500, not a dropped connection + stderr traceback
                 stats["errors"] += 1
@@ -256,6 +269,23 @@ def build_serve_fn(ckpt_dir: str, num_steps: int, dt: float, mesh=None):
         params, cfg, mpc, num_steps=num_steps,
         offset_mode=manifest.get("offset_mode", True), mesh=mesh,
     )
+
+
+def build_generate_fn(ckpt_dir: str):
+    """Checkpoint → jitted batched sampler ``gen(key, starts) → (B, T, D)``
+    global [t, x, y] trajectories (no MPC chain).  Honors the manifest's
+    ``offset_mode`` exactly like ``generate.load_and_generate``."""
+    from .generate import _sample_jit
+    from .train.checkpoint import load_checkpoint, require_cvae_config
+
+    params, cfg, manifest = load_checkpoint(ckpt_dir)
+    require_cvae_config(cfg, "serving")
+    shift = manifest.get("offset_mode", True)
+
+    def gen(key, starts):
+        return _sample_jit(params, key, starts, cfg, shift)
+
+    return gen
 
 
 def serve_checkpoint(
@@ -289,8 +319,15 @@ def serve_checkpoint(
     if warm_seed is None:
         warm_seed = secrets.randbelow(1 << 31)
     serve_fns = {}
+    generate_fns = {}
     for name, d in ckpt.items():
         fn = build_serve_fn(str(d), num_steps, dt, mesh=mesh)
         jax.block_until_ready(fn(jax.random.PRNGKey(warm_seed), starts, inits))
         serve_fns[name] = fn
-    return make_http_server(serve_fns, batch, num_steps, host=host, port=port)
+        gen = build_generate_fn(str(d))
+        jax.block_until_ready(gen(jax.random.PRNGKey(warm_seed), starts))
+        generate_fns[name] = gen
+    return make_http_server(
+        serve_fns, batch, num_steps, host=host, port=port,
+        generate_fns=generate_fns,
+    )

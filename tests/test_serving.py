@@ -102,6 +102,51 @@ def test_serve_matches_direct_call_and_pads(served):
     )
 
 
+def test_generate_route(tmp_path):
+    """POST /generate returns raw sampled trajectories (no MPC) matching a
+    direct call of the same jitted sampler; servers built without
+    generate_fns answer 501."""
+    from defensive_model_vae_tpu.serving import (
+        build_generate_fn, serve_checkpoint,
+    )
+    from defensive_model_vae_tpu.train.checkpoint import save_checkpoint
+
+    cfg = CVAEConfig()
+    d = save_checkpoint(
+        str(tmp_path / "ck"), init_params(jax.random.PRNGKey(5), cfg),
+        cfg, "sce1",
+    )
+    server = serve_checkpoint(d, batch=4, num_steps=4, dt=0.1, warm_seed=1)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        rows = [{"start_x": -193.3, "start_y": 50.0},
+                {"start_x": -192.8, "start_y": 42.0}]
+        code, body = _call(server, {"requests": rows, "seed": 9},
+                           path="/generate")
+        assert code == 200 and body["n"] == 2
+        trajs = np.asarray(body["trajectories"], np.float32)
+        assert trajs.shape == (2, cfg.seq_len, cfg.dim)
+        assert np.all(np.isfinite(trajs))
+
+        starts, _, k = _parse_requests(rows, 4)
+        direct = build_generate_fn(d)(jax.random.PRNGKey(9), starts)
+        np.testing.assert_allclose(trajs, np.asarray(direct)[:k], atol=1e-6)
+    finally:
+        server.shutdown()
+        server.server_close()
+        t.join(timeout=10)
+
+
+def test_generate_route_absent_is_501(served):
+    server, _ = served  # built via make_http_server without generate_fns
+    code, body = _call(
+        server, {"requests": [{"start_x": 0.0, "start_y": 0.0}]},
+        path="/generate",
+    )
+    assert code == 501 and "not configured" in body["error"]
+
+
 def test_serve_entropy_seed_and_pinned_seed(served):
     server, _ = served
     rows = [{"start_x": -193.3, "start_y": 50.0}]
