@@ -1,0 +1,125 @@
+"""Measure warm HTTP serving latency (``results/serve_latency.json``).
+
+Stands up the persistent endpoint (``serving.serve_checkpoint`` — the
+``defvae serve --listen`` path) on a committed checkpoint at the
+production config (512-step MPC horizon, batch 1) and times real POST
+requests against it, so the PARITY serving row's "steady-state request
+latency is the device latency" claim is measured, not inferred.
+
+Methodology (CLAUDE.md measurement hazards): ONE process (the per-process
+tunnel warm-up lands on serve_checkpoint's warm-up call, not on timed
+requests); every request omits ``seed`` so the server draws OS-entropy
+seeds — the PRNG key is a program input, so no timed call repeats an
+(inputs, executable) pair the tunnel could elide.  The server-side
+handler time (``/healthz``'s ``last_ms``) is recorded beside the client
+wall time, so the HTTP+JSON overhead is auditable as their difference.
+
+Usage:
+    python scripts/serve_latency.py [--out results/serve_latency.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import threading
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _post(base: str, path: str, payload: dict, timeout: float = 600.0):
+    req = urllib.request.Request(
+        f"{base}{path}", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="results/serve_latency.json")
+    ap.add_argument("--ckpt", default="results/checkpoints/sce1")
+    ap.add_argument("--steps", type=int, default=512)
+    ap.add_argument("--reps", type=int, default=7)
+    args = ap.parse_args()
+
+    from defensive_model_vae_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    import jax
+
+    from defensive_model_vae_tpu.pipeline import _git_sha
+    from defensive_model_vae_tpu.serving import serve_checkpoint
+
+    t0 = time.perf_counter()
+    server = serve_checkpoint(args.ckpt, batch=1, num_steps=args.steps,
+                              dt=0.02)
+    startup_s = time.perf_counter() - t0
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address[:2]
+    base = f"http://{host}:{port}"
+
+    # a plausible sce1 start (southbound corridor, ~8 m/s) — the timing is
+    # shape-bound, not value-bound, but keep the request realistic
+    rows = [{"start_x": -194.2, "start_y": 41.0, "heading": 1.57,
+             "vx": 0.0, "vy": 8.0}]
+
+    def _timed(path):
+        client_ms, server_ms = [], []
+        for _ in range(args.reps):
+            t = time.perf_counter()
+            _post(base, path, {"requests": rows})  # no seed → entropy draw
+            client_ms.append(1e3 * (time.perf_counter() - t))
+            with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+                server_ms.append(json.loads(r.read())["last_ms"])
+        return client_ms, server_ms
+
+    serve_client, serve_server = _timed("/serve")
+    gen_client, gen_server = _timed("/generate")
+    server.shutdown()
+    server.server_close()
+    thread.join(timeout=10)
+
+    def _stats(client, srv):
+        med_c = statistics.median(client)
+        med_s = statistics.median(srv)
+        return {
+            "client_ms_median": round(med_c, 1),
+            "client_ms_min": round(min(client), 1),
+            "server_ms_median": round(med_s, 1),
+            "http_overhead_ms_median": round(med_c - med_s, 1),
+        }
+
+    out = {
+        "config": {"ckpt": args.ckpt, "batch": 1, "steps": args.steps,
+                   "reps": args.reps, "dt": 0.02},
+        "backend": jax.default_backend(),
+        "startup_s": round(startup_s, 1),
+        "serve": _stats(serve_client, serve_server),
+        "generate": _stats(gen_client, gen_server),
+        "git_sha": _git_sha(),
+        "notes": [
+            "one warm process; requests draw entropy seeds server-side "
+            "(no identical-repeat elision, CLAUDE.md)",
+            "startup_s includes compile/cache-load + the warm-up call "
+            "(paid once per server lifetime)",
+        ],
+    }
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({k: out[k] for k in ("serve", "generate",
+                                          "startup_s", "backend")}))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -352,3 +352,36 @@ def test_ensure_deterministic_hash_seed_reexec(tmp_path):
     assert out4.returncode == 0, out4.stderr
     assert "HASHSEED=unset" in out4.stdout
     assert "cannot be pinned" in out4.stderr
+
+
+def test_serve_latency_script_end_to_end(tmp_path, monkeypatch):
+    """scripts/serve_latency.py produces its evidence JSON against a live
+    endpoint (tiny steps/reps on the CPU backend)."""
+    import json
+    import sys
+
+    import jax
+
+    from defensive_model_vae_tpu.models import CVAEConfig, init_params
+    from defensive_model_vae_tpu.train.checkpoint import save_checkpoint
+
+    cfg = CVAEConfig()
+    d = save_checkpoint(
+        str(tmp_path / "ck"), init_params(jax.random.PRNGKey(0), cfg),
+        cfg, "sce1",
+    )
+    out = tmp_path / "serve_latency.json"
+    sl = _load("serve_latency")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["serve_latency.py", "--ckpt", d, "--steps", "4", "--reps", "2",
+         "--out", str(out)],
+    )
+    sl.main()
+    data = json.loads(out.read_text())
+    assert data["config"]["steps"] == 4 and data["config"]["reps"] == 2
+    for route in ("serve", "generate"):
+        stats = data[route]
+        assert stats["client_ms_median"] > 0
+        assert stats["client_ms_median"] >= stats["server_ms_median"]
+    assert data["startup_s"] > 0 and data["git_sha"]
