@@ -348,6 +348,36 @@ def _cmd_mpc_sweep(args):
     )
 
 
+def _parse_ckpt_specs(specs):
+    """``--ckpt`` values → ``{model_name: directory}``.
+
+    Deterministic, filesystem-independent rule: a spec is NAME=DIR iff it
+    matches ``<simple-name>=<rest>`` where the name has no path
+    separators (``[A-Za-z0-9_.-]+``).  A directory whose own name looks
+    like NAME=DIR can always be escaped as ``./sce1=ck``.  A single bare
+    directory serves as model "default"; several models must all be
+    named so requests can route by 'model'."""
+    import re
+
+    pat = re.compile(r"([A-Za-z0-9_.-]+)=(.+)")
+    ckpts = {}
+    for spec in specs:
+        m = pat.fullmatch(spec)
+        if m:
+            name, d = m.groups()
+        elif len(specs) == 1:
+            name, d = "default", spec
+        else:
+            raise SystemExit(
+                f"--ckpt {spec!r}: with several models each must be "
+                "NAME=DIR so requests can route by 'model'"
+            )
+        if name in ckpts:
+            raise SystemExit(f"duplicate model name {name!r}")
+        ckpts[name] = d
+    return ckpts
+
+
 def _cmd_serve(args):
     """Serving: condition → sample → reference → MPC on device (no
     reference counterpart — the framework's deployment path).  One-shot by
@@ -368,22 +398,7 @@ def _cmd_serve(args):
     if args.listen is not None:
         from .serving import serve_checkpoint
 
-        # repeated --ckpt NAME=DIR hosts several models behind one
-        # endpoint; a single bare directory serves as model "default"
-        ckpts = {}
-        for spec in args.ckpt:
-            if "=" in spec and not os.path.isdir(spec):
-                name, d = spec.split("=", 1)
-            elif len(args.ckpt) == 1:
-                name, d = "default", spec
-            else:
-                raise SystemExit(
-                    f"--ckpt {spec!r}: with several models each must be "
-                    "NAME=DIR so requests can route by 'model'"
-                )
-            if name in ckpts:
-                raise SystemExit(f"duplicate model name {name!r}")
-            ckpts[name] = d
+        ckpts = _parse_ckpt_specs(args.ckpt)
         server = serve_checkpoint(
             ckpts, args.batch, args.steps, dt=args.dt,
             host=args.host, port=args.listen, mesh=mesh,
@@ -406,7 +421,9 @@ def _cmd_serve(args):
         raise SystemExit("one-shot serve takes exactly one --ckpt")
     from .serving import build_serve_fn
 
-    serve = build_serve_fn(args.ckpt[0], args.steps, args.dt, mesh=mesh)
+    # a NAME=DIR spec is accepted here too (the name is just a label)
+    (ckpt_dir,) = _parse_ckpt_specs(args.ckpt).values()
+    serve = build_serve_fn(ckpt_dir, args.steps, args.dt, mesh=mesh)
     starts = np.tile([[args.start_x, args.start_y]], (args.batch, 1)).astype(np.float32)
     inits = np.tile(
         [[args.start_x, args.start_y, args.heading, args.vx, args.vy]],

@@ -25,8 +25,9 @@ requests route by the ``"model"`` field.
 Endpoints:
 
 - ``GET /healthz`` → ``{"ok": true, "batch": B, "steps": N,
-  "models": [...], "served": n, "errors": n, "last_ms": x}`` (request
-  counters + last request's wall time)
+  "models": [...], "served": n, "rejected": n, "errors": n,
+  "last_ms": x}`` (request counters — 2xx / 4xx / 5xx — and the last
+  successful request's wall time)
 - ``POST /serve`` with ``{"requests": [{"start_x", "start_y",
   "heading"?, "vx"?, "vy"?}, ...], "seed"?: int, "model"?: str}`` →
   ``{"model": str, "seed": int, "n": k, "states": (k, steps+1, 4),
@@ -136,8 +137,11 @@ def make_http_server(
     generate_fns = generate_fns or {}
     model_names = sorted(serve_fns)
     # request counters surfaced on /healthz — the server is single-
-    # threaded (one handler at a time), so plain dict updates are safe
-    stats = {"served": 0, "errors": 0, "last_ms": None}
+    # threaded (one handler at a time), so plain dict updates are safe.
+    # 'rejected' counts 4xx validation refusals, 'errors' 5xx compute
+    # failures: monitoring must see a flood of bad requests, not an
+    # idle-looking server
+    stats = {"served": 0, "rejected": 0, "errors": 0, "last_ms": None}
 
     class Handler(BaseHTTPRequestHandler):
         # per-connection socket timeout: a client that stalls mid-body
@@ -151,6 +155,12 @@ def make_http_server(
             pass
 
         def _json(self, code: int, payload) -> None:
+            # every response passes through here, so the counters can't
+            # miss a path (the healthz GET itself is not counted)
+            if code >= 500:
+                stats["errors"] += 1
+            elif code >= 400:
+                stats["rejected"] += 1
             # strict JSON always — non-finite outputs are pre-screened
             # into a 500 below, so allow_nan=False is an invariant check
             body = json.dumps(payload, allow_nan=False).encode()
@@ -242,7 +252,6 @@ def make_http_server(
                     payload[field] = arr.tolist()
             except Exception as e:  # an unhandled error must come back as
                 # a JSON 500, not a dropped connection + stderr traceback
-                stats["errors"] += 1
                 return self._json(
                     500, {"error": f"{type(e).__name__}: {e}"}
                 )
@@ -253,16 +262,19 @@ def make_http_server(
     return HTTPServer((host, port), Handler)
 
 
-def build_serve_fn(ckpt_dir: str, num_steps: int, dt: float, mesh=None):
-    """Checkpoint → compiled serve program (the ONE construction shared by
-    the one-shot CLI and the HTTP server, so horizons / offset-mode
-    handling cannot drift between the two paths)."""
-    from .control import MPCConfig
-    from .control.device_reference import make_serve_fn
+def _load_for_serving(ckpt_dir: str):
     from .train.checkpoint import load_checkpoint, require_cvae_config
 
     params, cfg, manifest = load_checkpoint(ckpt_dir)
     require_cvae_config(cfg, "serving")
+    return params, cfg, manifest
+
+
+def _serve_fn_from(params, cfg, manifest, num_steps: int, dt: float,
+                   mesh=None):
+    from .control import MPCConfig
+    from .control.device_reference import make_serve_fn
+
     P, M = SERVE_HORIZONS
     mpc = MPCConfig(prediction_horizon=P, control_horizon=M, dt=dt)
     return make_serve_fn(
@@ -271,21 +283,47 @@ def build_serve_fn(ckpt_dir: str, num_steps: int, dt: float, mesh=None):
     )
 
 
-def build_generate_fn(ckpt_dir: str):
+def _generate_fn_from(params, cfg, manifest, mesh=None):
+    import jax
+
+    from .generate import _sample_jit
+
+    shift = manifest.get("offset_mode", True)
+    if mesh is None:
+        # params threaded as an argument → all models share one compiled
+        # sampler executable per (cfg, shift)
+        return lambda key, starts: _sample_jit(params, key, starts, cfg,
+                                               shift)
+
+    # shard the request batch over the mesh 'data' axis like the serve
+    # program does — requests are independent, so sharding cannot change
+    # the math (asserted in tests); params and the key are replicated
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    data = NamedSharding(mesh, PartitionSpec("data"))
+    repl = NamedSharding(mesh, PartitionSpec())
+    return jax.jit(
+        lambda key, starts: _sample_jit(params, key, starts, cfg, shift),
+        in_shardings=(repl, data),
+        out_shardings=data,
+    )
+
+
+def build_serve_fn(ckpt_dir: str, num_steps: int, dt: float, mesh=None):
+    """Checkpoint → compiled serve program (the ONE construction shared by
+    the one-shot CLI and the HTTP server, so horizons / offset-mode
+    handling cannot drift between the two paths)."""
+    return _serve_fn_from(*_load_for_serving(ckpt_dir), num_steps, dt,
+                          mesh=mesh)
+
+
+def build_generate_fn(ckpt_dir: str, mesh=None):
     """Checkpoint → jitted batched sampler ``gen(key, starts) → (B, T, D)``
     global [t, x, y] trajectories (no MPC chain).  Honors the manifest's
-    ``offset_mode`` exactly like ``generate.load_and_generate``."""
-    from .generate import _sample_jit
-    from .train.checkpoint import load_checkpoint, require_cvae_config
-
-    params, cfg, manifest = load_checkpoint(ckpt_dir)
-    require_cvae_config(cfg, "serving")
-    shift = manifest.get("offset_mode", True)
-
-    def gen(key, starts):
-        return _sample_jit(params, key, starts, cfg, shift)
-
-    return gen
+    ``offset_mode`` exactly like ``generate.load_and_generate``; ``mesh``
+    shards the request batch over the ``data`` axis like the serve
+    program."""
+    return _generate_fn_from(*_load_for_serving(ckpt_dir), mesh=mesh)
 
 
 def serve_checkpoint(
@@ -321,10 +359,11 @@ def serve_checkpoint(
     serve_fns = {}
     generate_fns = {}
     for name, d in ckpt.items():
-        fn = build_serve_fn(str(d), num_steps, dt, mesh=mesh)
+        loaded = _load_for_serving(str(d))  # ONE disk load per model
+        fn = _serve_fn_from(*loaded, num_steps, dt, mesh=mesh)
         jax.block_until_ready(fn(jax.random.PRNGKey(warm_seed), starts, inits))
         serve_fns[name] = fn
-        gen = build_generate_fn(str(d))
+        gen = _generate_fn_from(*loaded, mesh=mesh)
         jax.block_until_ready(gen(jax.random.PRNGKey(warm_seed), starts))
         generate_fns[name] = gen
     return make_http_server(

@@ -89,13 +89,15 @@ def main():
     thread.join(timeout=10)
 
     def _stats(client, srv):
-        med_c = statistics.median(client)
-        med_s = statistics.median(srv)
+        # overhead is the median of PER-REQUEST (client − server) pairs,
+        # not a difference of medians (which a single skewed rep on one
+        # side would misstate)
+        overhead = [c - s for c, s in zip(client, srv)]
         return {
-            "client_ms_median": round(med_c, 1),
+            "client_ms_median": round(statistics.median(client), 1),
             "client_ms_min": round(min(client), 1),
-            "server_ms_median": round(med_s, 1),
-            "http_overhead_ms_median": round(med_c - med_s, 1),
+            "server_ms_median": round(statistics.median(srv), 1),
+            "http_overhead_ms_median": round(statistics.median(overhead), 1),
         }
 
     out = {

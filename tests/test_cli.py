@@ -162,6 +162,25 @@ def test_cli_serve(tmp_path, all_windows, capsys):
     assert dp.shape == (16, 17, 4) and np.all(np.isfinite(dp))
 
 
+def test_parse_ckpt_specs():
+    """--ckpt spec parsing is deterministic and filesystem-independent:
+    NAME=DIR iff the prefix is a simple name (no path separators); a
+    literal '='-bearing directory escapes as ./name=dir."""
+    from defensive_model_vae_tpu.cli import _parse_ckpt_specs
+
+    assert _parse_ckpt_specs(["d"]) == {"default": "d"}
+    assert _parse_ckpt_specs(["sce1=a", "sce2=b"]) == {"sce1": "a",
+                                                       "sce2": "b"}
+    assert _parse_ckpt_specs(["run=3/ckpt"]) == {"run": "3/ckpt"}
+    assert _parse_ckpt_specs(["./run=3/ckpt"]) == {"default": "./run=3/ckpt"}
+    # empty model names are unrepresentable ('=a' is not NAME=DIR)
+    assert _parse_ckpt_specs(["=a"]) == {"default": "=a"}
+    with pytest.raises(SystemExit, match="must be NAME=DIR"):
+        _parse_ckpt_specs(["a", "b"])
+    with pytest.raises(SystemExit, match="duplicate model name"):
+        _parse_ckpt_specs(["x=a", "x=b"])
+
+
 def test_cli_export(tmp_path, capsys):
     """defvae export: native checkpoint → reference-format .pth."""
     import jax

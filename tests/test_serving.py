@@ -70,6 +70,13 @@ def test_healthz(served):
     _, body2 = _call(server, path="/healthz", method="GET")
     assert body2["served"] == before + 1
     assert body2["last_ms"] is not None and body2["last_ms"] >= 0
+    # 4xx refusals must be visible to monitoring, not an idle-looking
+    # server
+    rej = body2["rejected"]
+    code, _ = _call(server, {"requests": []})
+    assert code == 400
+    _, body3 = _call(server, path="/healthz", method="GET")
+    assert body3["rejected"] == rej + 1 and body3["served"] == before + 1
 
 
 def test_serve_matches_direct_call_and_pads(served):
@@ -136,6 +143,34 @@ def test_generate_route(tmp_path):
         server.shutdown()
         server.server_close()
         t.join(timeout=10)
+
+
+def test_generate_sharded_matches_single(tmp_path):
+    """--data-parallel must shard /generate like /serve: the mesh-built
+    sampler returns exactly the single-device results (requests are
+    independent — sharding cannot change the math)."""
+    from defensive_model_vae_tpu.parallel import create_mesh
+    from defensive_model_vae_tpu.serving import build_generate_fn
+    from defensive_model_vae_tpu.train.checkpoint import save_checkpoint
+
+    cfg = CVAEConfig()
+    d = save_checkpoint(
+        str(tmp_path / "ck"), init_params(jax.random.PRNGKey(6), cfg),
+        cfg, "sce1",
+    )
+    mesh = create_mesh()  # all 8 virtual devices on the data axis
+    gen_sh = build_generate_fn(d, mesh=mesh)
+    gen_si = build_generate_fn(d)
+    starts = np.random.default_rng(0).normal(
+        [-193.0, 45.0], 2.0, (8, 2)
+    ).astype(np.float32)
+    key = jax.random.PRNGKey(3)
+    # same band as the dryrun's sharded-vs-single serve assertion: the
+    # partitioned matmuls reduce in a different order (~1 ulp drift)
+    np.testing.assert_allclose(
+        np.asarray(gen_sh(key, starts)), np.asarray(gen_si(key, starts)),
+        atol=1e-5,
+    )
 
 
 def test_generate_route_absent_is_501(served):
