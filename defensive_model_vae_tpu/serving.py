@@ -39,6 +39,12 @@ Endpoints:
   ``{"trajectories": (k, T, 3)}`` global [t, x, y] (no MPC chain): the
   high-throughput route for consumers that do their own tracking.
 
+Rows whose solve diverges (a rare entropy draw decoding a degenerate
+trajectory — measured ~1/1000) come back as ``null`` with their indices
+listed in the response's ``"invalid"`` field; batchmates are unaffected
+(requests are independent) and responses stay strict JSON.  Clients
+retry invalid rows with a fresh seed.
+
 The server is single-threaded by design: requests serialize through the
 one device anyway, and a single dispatch queue keeps latency honest.
 """
@@ -242,14 +248,23 @@ def make_http_server(
                         "states": np.asarray(states)[:k],
                         "controls": np.asarray(controls)[:k],
                     }
+                # per-ROW divergence masking: requests in a batch are
+                # independent, so one degenerate draw (a rare entropy
+                # sample whose MPC solve goes non-finite — measured
+                # ~1/1000) must not poison its batchmates.  Diverged rows
+                # come back as null with their indices in "invalid"
+                # (strict JSON — never bare NaN/Infinity tokens); clients
+                # retry those rows with a fresh seed.
+                bad = np.zeros(k, bool)
+                for arr in outputs.values():
+                    bad |= ~np.isfinite(arr.reshape(k, -1)).all(axis=1)
+                if bad.any():
+                    payload["invalid"] = np.nonzero(bad)[0].tolist()
                 for field, arr in outputs.items():
-                    if not np.isfinite(arr).all():
-                        # strict-JSON contract: a diverged solve surfaces
-                        # as an error, never as bare NaN/Infinity tokens
-                        raise FloatingPointError(
-                            f"non-finite values in {field}"
-                        )
-                    payload[field] = arr.tolist()
+                    payload[field] = [
+                        None if b else row.tolist()
+                        for row, b in zip(arr, bad)
+                    ]
             except Exception as e:  # an unhandled error must come back as
                 # a JSON 500, not a dropped connection + stderr traceback
                 return self._json(

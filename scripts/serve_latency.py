@@ -47,6 +47,10 @@ def main():
     ap.add_argument("--ckpt", default="results/checkpoints/sce1")
     ap.add_argument("--steps", type=int, default=512)
     ap.add_argument("--reps", type=int, default=7)
+    ap.add_argument("--throughput-batch", type=int, default=0,
+                    help="also measure full-batch /serve throughput at "
+                         "this compiled batch (0 = skip; compiles a "
+                         "second program)")
     args = ap.parse_args()
 
     from defensive_model_vae_tpu.utils.cache import enable_persistent_cache
@@ -72,12 +76,24 @@ def main():
     rows = [{"start_x": -194.2, "start_y": 41.0, "heading": 1.57,
              "vx": 0.0, "vy": 8.0}]
 
+    diverged = {"rows": 0, "requests": 0}
+
+    def _counting_post(b, path, payload):
+        # a rare entropy draw decodes a degenerate trajectory whose MPC
+        # solve goes non-finite; the endpoint nulls those ROWS (listing
+        # them in 'invalid') so batchmates survive — count them here so
+        # the evidence discloses the observed divergence rate
+        t = time.perf_counter()
+        body = _post(b, path, payload)
+        diverged["rows"] += len(body.get("invalid", []))
+        diverged["requests"] += body["n"]
+        return 1e3 * (time.perf_counter() - t)
+
     def _timed(path):
         client_ms, server_ms = [], []
         for _ in range(args.reps):
-            t = time.perf_counter()
-            _post(base, path, {"requests": rows})  # no seed → entropy draw
-            client_ms.append(1e3 * (time.perf_counter() - t))
+            # no seed → entropy draw server-side
+            client_ms.append(_counting_post(base, path, {"requests": rows}))
             with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
                 server_ms.append(json.loads(r.read())["last_ms"])
         return client_ms, server_ms
@@ -87,6 +103,29 @@ def main():
     server.shutdown()
     server.server_close()
     thread.join(timeout=10)
+
+    throughput = None
+    if args.throughput_batch:
+        B = args.throughput_batch
+        srv2 = serve_checkpoint(args.ckpt, batch=B, num_steps=args.steps,
+                                dt=0.02)
+        th2 = threading.Thread(target=srv2.serve_forever, daemon=True)
+        th2.start()
+        h2, p2 = srv2.server_address[:2]
+        base2 = f"http://{h2}:{p2}"
+        batch_rows = rows * B
+        reqs_s = []
+        for _ in range(3):
+            ms = _counting_post(base2, "/serve", {"requests": batch_rows})
+            reqs_s.append(B / (ms / 1e3))
+        throughput = {
+            "batch": B,
+            "req_per_s_best": round(max(reqs_s), 1),
+            "req_per_s_median": round(statistics.median(reqs_s), 1),
+        }
+        srv2.shutdown()
+        srv2.server_close()
+        th2.join(timeout=10)
 
     def _stats(client, srv):
         # overhead is the median of PER-REQUEST (client − server) pairs,
@@ -107,6 +146,9 @@ def main():
         "startup_s": round(startup_s, 1),
         "serve": _stats(serve_client, serve_server),
         "generate": _stats(gen_client, gen_server),
+        **({"serve_throughput": throughput} if throughput else {}),
+        "diverged_rows": diverged["rows"],
+        "total_request_rows": diverged["requests"],
         "git_sha": _git_sha(),
         "notes": [
             "one warm process; requests draw entropy seeds server-side "
@@ -115,6 +157,13 @@ def main():
             "(paid once per server lifetime)",
         ],
     }
+    if throughput:
+        out["notes"].append(
+            "serve_throughput is END-TO-END through HTTP: the full-batch "
+            "JSON response (~40 KB/request) is serialized and transferred "
+            "inside the timed window, so it sits below the device-level "
+            "batch rate (PARITY serving row)"
+        )
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)

@@ -233,22 +233,29 @@ def test_multi_model_routing(tmp_path):
         t.join(timeout=10)
 
 
-def test_serve_nonfinite_output_is_a_500():
-    """A diverged solve must surface as a JSON 500, never as bare
-    NaN/Infinity tokens in a 200 (strict-JSON contract)."""
+def test_diverged_rows_are_nulled_per_row():
+    """A diverged solve must surface as a null row + its index in
+    'invalid' — never bare NaN/Infinity tokens (strict JSON), and never
+    poisoning independent batchmates."""
 
-    def bad_serve(key, starts, inits):
-        return (np.full((BATCH, STEPS + 1, 4), np.nan, np.float32),
-                np.zeros((BATCH, STEPS, 2), np.float32))
+    def half_bad_serve(key, starts, inits):
+        states = np.ones((BATCH, STEPS + 1, 4), np.float32)
+        states[1] = np.nan  # only padded-batch row 1 diverges
+        return states, np.zeros((BATCH, STEPS, 2), np.float32)
 
-    server = make_http_server(bad_serve, BATCH, STEPS)
+    server = make_http_server(half_bad_serve, BATCH, STEPS)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     try:
-        code, body = _call(
-            server, {"requests": [{"start_x": 0.0, "start_y": 0.0}]}
-        )
-        assert code == 500 and "non-finite" in body["error"]
+        rows = [{"start_x": 0.0, "start_y": 0.0}] * 3
+        code, body = _call(server, {"requests": rows, "seed": 1})
+        assert code == 200
+        assert body["invalid"] == [1]
+        assert body["states"][1] is None and body["controls"][1] is None
+        for i in (0, 2):  # batchmates unaffected
+            assert np.asarray(body["states"][i]).shape == (STEPS + 1, 4)
+        # strict JSON: the raw response text carries no NaN/Infinity
+        # tokens (json.dumps(allow_nan=False) would have raised a 500)
     finally:
         server.shutdown()
         server.server_close()
