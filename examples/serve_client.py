@@ -19,14 +19,19 @@ import json
 import urllib.request
 
 
-def query(base_url, requests, seed=None, model=None, timeout=300):
+def query(base_url, requests, seed=None, model=None, route="serve",
+          timeout=300):
     """POST trajectory requests; returns the decoded response dict.
 
     ``requests`` is a list of dicts with ``start_x``/``start_y`` (and
     optional ``heading``/``vx``/``vy``); ``seed=None`` lets the server
     draw fresh trajectories (pass an int to pin the draw).  ``model``
     selects the checkpoint when the server hosts several (see
-    ``/healthz``'s ``models`` list).
+    ``/healthz``'s ``models`` list).  ``route="generate"`` returns raw
+    sampled trajectories instead of MPC-tracked states.
+
+    Rows listed in the response's ``"invalid"`` field diverged (rare
+    degenerate draw) and came back null — retry those with a fresh seed.
     """
     payload = {"requests": requests}
     if seed is not None:
@@ -34,7 +39,7 @@ def query(base_url, requests, seed=None, model=None, timeout=300):
     if model is not None:
         payload["model"] = model
     req = urllib.request.Request(
-        f"{base_url}/serve",
+        f"{base_url}/{route}",
         data=json.dumps(payload).encode(),
         headers={"Content-Type": "application/json"},
     )
@@ -53,6 +58,8 @@ def main():
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--model", default=None,
                     help="model name when the server hosts several")
+    ap.add_argument("--generate", action="store_true",
+                    help="raw sampled trajectories (no MPC tracking)")
     args = ap.parse_args()
 
     base = f"http://{args.host}:{args.port}"
@@ -61,13 +68,24 @@ def main():
     print(f"server: batch {health['batch']}, {health['steps']} MPC steps, "
           f"models {health['models']}")
 
+    route = "generate" if args.generate else "serve"
     body = query(
         base, [{"start_x": x, "start_y": y} for x, y in args.start],
-        seed=args.seed, model=args.model,
+        seed=args.seed, model=args.model, route=route,
     )
     print(f"model {body['model']}, seed {body['seed']}: "
-          f"{body['n']} trajectories")
-    for i, states in enumerate(body["states"]):
+          f"{body['n']} trajectories via /{route}")
+    rows = body["trajectories"] if args.generate else body["states"]
+    for i, states in enumerate(rows):
+        if states is None:  # diverged draw — retry this row, fresh seed
+            print(f"  [{i}] invalid (degenerate draw) — retry")
+            continue
+        if args.generate:
+            t0, x0, y0 = states[0]
+            t1, x1, y1 = states[-1]
+            print(f"  [{i}] ({x0:.1f}, {y0:.1f}) → ({x1:.1f}, {y1:.1f}) "
+                  f"over {t1 - t0:.1f} s ({len(states)} waypoints)")
+            continue
         x0, y0 = states[0][0], states[0][1]
         x1, y1, _, v1 = states[-1]
         print(

@@ -313,6 +313,16 @@ def test_serve_client_example(tmp_path):
         assert "batch 2, 4 MPC steps" in out.stdout
         assert "seed 7: 1 trajectories" in out.stdout
         assert "final speed" in out.stdout
+
+        gen = subprocess.run(
+            [sys.executable,
+             str(REPO_ROOT / "examples" / "serve_client.py"),
+             "--port", str(port), "--start", "-193.3", "50.0",
+             "--seed", "7", "--generate"],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert gen.returncode == 0, gen.stderr
+        assert "via /generate" in gen.stdout and "waypoints" in gen.stdout
     finally:
         server.shutdown()
         server.server_close()
