@@ -40,10 +40,11 @@ Endpoints:
   high-throughput route for consumers that do their own tracking.
 
 Rows whose solve diverges (a rare entropy draw decoding a degenerate
-trajectory — measured ~1/1000) come back as ``null`` with their indices
-listed in the response's ``"invalid"`` field; batchmates are unaffected
-(requests are independent) and responses stay strict JSON.  Clients
-retry invalid rows with a fresh seed.
+trajectory — observed once in ~3,300 entropy draws on the sce1
+checkpoint) come back as ``null`` with their indices listed in the
+response's ``"invalid"`` field; batchmates are unaffected (requests are
+independent) and responses stay strict JSON.  Clients retry invalid
+rows with a fresh seed.
 
 The server is single-threaded by design: requests serialize through the
 one device anyway, and a single dispatch queue keeps latency honest.
@@ -167,8 +168,8 @@ def make_http_server(
                 stats["errors"] += 1
             elif code >= 400:
                 stats["rejected"] += 1
-            # strict JSON always — non-finite outputs are pre-screened
-            # into a 500 below, so allow_nan=False is an invariant check
+            # strict JSON always — non-finite output rows are pre-masked
+            # to null below, so allow_nan=False is an invariant check
             body = json.dumps(payload, allow_nan=False).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
@@ -250,11 +251,11 @@ def make_http_server(
                     }
                 # per-ROW divergence masking: requests in a batch are
                 # independent, so one degenerate draw (a rare entropy
-                # sample whose MPC solve goes non-finite — measured
-                # ~1/1000) must not poison its batchmates.  Diverged rows
-                # come back as null with their indices in "invalid"
-                # (strict JSON — never bare NaN/Infinity tokens); clients
-                # retry those rows with a fresh seed.
+                # sample whose MPC solve goes non-finite — observed once
+                # in ~3,300 draws) must not poison its batchmates.
+                # Diverged rows come back as null with their indices in
+                # "invalid" (strict JSON — never bare NaN/Infinity
+                # tokens); clients retry those rows with a fresh seed.
                 bad = np.zeros(k, bool)
                 for arr in outputs.values():
                     bad |= ~np.isfinite(arr.reshape(k, -1)).all(axis=1)
