@@ -43,11 +43,10 @@ def _cmd_dataset(args):
 
 
 def _cmd_train(args):
-    from .models import CVAEConfig
+    from .models import CVAEConfig, LossWeights
     from .train import TrainConfig, train
     from .train.checkpoint import save_checkpoint
-
-    from .models import LossWeights
+    from .utils import trace_to  # no-op context when --trace is absent
 
     windows = np.load(args.windows)
     weights = LossWeights(kld=args.kld)
@@ -83,26 +82,29 @@ def _cmd_train(args):
         if args.fused:
             from .ops import fused_train
 
-            params, hist = fused_train(
-                windows, epochs=args.epochs, lr=args.lr, weights=weights,
-                seed=args.seed,
-            )
+            with trace_to(args.trace):
+                params, hist = fused_train(
+                    windows, epochs=args.epochs, lr=args.lr, weights=weights,
+                    seed=args.seed,
+                )
         else:
             from .ops import fused_train_scale
 
             # --dtype None keeps CLI semantics (pure f32, the
             # oracle-matched mode) over the library default of bf16
-            params, hist = fused_train_scale(
-                windows, epochs=args.epochs, lr=args.lr, weights=weights,
-                seed=args.seed, tile=args.tile, compute_dtype=args.dtype,
-            )
+            with trace_to(args.trace):
+                params, hist = fused_train_scale(
+                    windows, epochs=args.epochs, lr=args.lr, weights=weights,
+                    seed=args.seed, tile=args.tile, compute_dtype=args.dtype,
+                )
     else:
         mesh = None
         if args.mesh:
             from .parallel import create_mesh
 
             mesh = create_mesh()
-        params, hist = train(windows, train_cfg=tc, mesh=mesh)
+        with trace_to(args.trace):
+            params, hist = train(windows, train_cfg=tc, mesh=mesh)
     cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
     save_checkpoint(
         args.ckpt, params, cfg, args.scenario, hist,
@@ -133,10 +135,12 @@ def _cmd_generate(args):
 
 def _cmd_pipeline(args):
     from .pipeline import run_scenario
+    from .utils import trace_to  # no-op context when --trace is absent
 
-    report = run_scenario(
-        args.ckpt, args.scenario, args.data_root, args.out, seed=args.seed
-    )
+    with trace_to(args.trace):
+        report = run_scenario(
+            args.ckpt, args.scenario, args.data_root, args.out, seed=args.seed
+        )
     print(json.dumps(_jsonsafe(report), indent=2))
 
 
@@ -668,6 +672,9 @@ def main(argv=None):
                    help="mixed-precision compute dtype (bf16 fwd/bwd, f32 "
                         "master params + Adam); default pure f32")
     t.add_argument("--mesh", action="store_true", help="data-parallel mesh")
+    t.add_argument("--trace", default=None, metavar="DIR",
+                   help="dump a jax.profiler device trace of the training "
+                        "run to DIR (view with TensorBoard/Perfetto)")
     t.add_argument(
         "--fused", action="store_true",
         help="whole-run fused Pallas kernel (fastest on TPU)",
@@ -699,6 +706,9 @@ def main(argv=None):
     pl.add_argument("--data-root", required=True)
     pl.add_argument("--out", required=True)
     pl.add_argument("--seed", type=int, default=0)
+    pl.add_argument("--trace", default=None, metavar="DIR",
+                    help="dump a jax.profiler device trace of the run to "
+                         "DIR (view with TensorBoard/Perfetto)")
     pl.set_defaults(fn=_cmd_pipeline)
 
     rp = sub.add_parser(

@@ -162,6 +162,21 @@ def test_cli_serve(tmp_path, all_windows, capsys):
     assert dp.shape == (16, 17, 4) and np.all(np.isfinite(dp))
 
 
+def test_cli_train_trace(tmp_path, capsys):
+    """--trace dumps a jax.profiler device trace around the training run."""
+    from conftest import FIXTURES
+
+    main([
+        "train", "--scenario", "sce2",
+        "--windows", str(FIXTURES / "trajectory_sce2_cond.npy"),
+        "--ckpt", str(tmp_path / "ck"), "--epochs", "5",
+        "--trace", str(tmp_path / "trace"),
+    ])
+    assert "trained 5 epochs" in capsys.readouterr().out
+    dumped = [p for p in (tmp_path / "trace").rglob("*") if p.is_file()]
+    assert dumped, "no profiler trace files written"
+
+
 def test_parse_ckpt_specs():
     """--ckpt spec parsing is deterministic and filesystem-independent:
     NAME=DIR iff the prefix is a simple name (no path separators); a
