@@ -46,6 +46,15 @@ response's ``"invalid"`` field; batchmates are unaffected (requests are
 independent) and responses stay strict JSON.  Clients retry invalid
 rows with a fresh seed.
 
+``"format": "npz"`` in either POST body switches the response to a
+binary ``np.savez`` payload (``application/octet-stream``; arrays:
+``model``/``seed``/``n``/``invalid`` + the route's output arrays,
+loadable with ``np.load(BytesIO(body))``).  A full-batch-512 JSON
+response is ~20 MB of number formatting; the binary path is the
+high-throughput choice for bulk consumers.  Binary rows are raw f32 —
+diverged rows keep their non-finite values (no null masking; that is
+what ``invalid`` is for).
+
 The server is single-threaded by design: requests serialize through the
 one device anyway, and a single dispatch queue keeps latency honest.
 """
@@ -161,6 +170,13 @@ def make_http_server(
         def log_message(self, fmt, *args):  # noqa: D102
             pass
 
+        def _bytes(self, body: bytes) -> None:
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def _json(self, code: int, payload) -> None:
             # every response passes through here, so the counters can't
             # miss a path (the healthz GET itself is not counted)
@@ -234,6 +250,10 @@ def make_http_server(
                 # values would silently alias pinned seeds mod 2**32
                 if not 0 <= seed < 1 << 32:
                     raise ValueError(f"seed {seed} outside [0, 2**32)")
+                fmt = req.get("format", "json")
+                if fmt not in ("json", "npz"):
+                    raise ValueError(f"unknown format {fmt!r} "
+                                     "(expected 'json' or 'npz')")
             except (ValueError, TypeError, json.JSONDecodeError) as e:
                 return self._json(400, {"error": str(e)})
             t0 = time.perf_counter()
@@ -259,13 +279,28 @@ def make_http_server(
                 bad = np.zeros(k, bool)
                 for arr in outputs.values():
                     bad |= ~np.isfinite(arr.reshape(k, -1)).all(axis=1)
-                if bad.any():
-                    payload["invalid"] = np.nonzero(bad)[0].tolist()
-                for field, arr in outputs.items():
-                    payload[field] = [
-                        None if b else row.tolist()
-                        for row, b in zip(arr, bad)
-                    ]
+                invalid = np.nonzero(bad)[0]
+                if fmt == "npz":
+                    # binary bulk path: a batch-512 JSON response is
+                    # ~20 MB of number formatting; np.savez ships the raw
+                    # f32 arrays (diverged rows keep their non-finite
+                    # values — 'invalid' marks them)
+                    import io
+
+                    bio = io.BytesIO()
+                    np.savez(
+                        bio, model=name, seed=seed, n=k, invalid=invalid,
+                        **outputs,
+                    )
+                    body = bio.getvalue()
+                else:
+                    if bad.any():
+                        payload["invalid"] = invalid.tolist()
+                    for field, arr in outputs.items():
+                        payload[field] = [
+                            None if b else row.tolist()
+                            for row, b in zip(arr, bad)
+                        ]
             except Exception as e:  # an unhandled error must come back as
                 # a JSON 500, not a dropped connection + stderr traceback
                 return self._json(
@@ -273,7 +308,10 @@ def make_http_server(
                 )
             stats["served"] += 1
             stats["last_ms"] = round(1e3 * (time.perf_counter() - t0), 2)
-            self._json(200, payload)
+            if fmt == "npz":
+                self._bytes(body)
+            else:
+                self._json(200, payload)
 
     return HTTPServer((host, port), Handler)
 

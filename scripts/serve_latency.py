@@ -118,10 +118,26 @@ def main():
         for _ in range(3):
             ms = _counting_post(base2, "/serve", {"requests": batch_rows})
             reqs_s.append(B / (ms / 1e3))
+        # the binary response path (format=npz) skips the ~40 KB/request
+        # JSON number formatting — the bulk-consumer throughput number
+        npz_reqs_s = []
+        for _ in range(3):
+            t = time.perf_counter()
+            req = urllib.request.Request(
+                f"{base2}/serve",
+                data=json.dumps(
+                    {"requests": batch_rows, "format": "npz"}
+                ).encode(),
+            )
+            with urllib.request.urlopen(req, timeout=600) as r:
+                r.read()
+            npz_reqs_s.append(B / (time.perf_counter() - t))
         throughput = {
             "batch": B,
             "req_per_s_best": round(max(reqs_s), 1),
             "req_per_s_median": round(statistics.median(reqs_s), 1),
+            "npz_req_per_s_best": round(max(npz_reqs_s), 1),
+            "npz_req_per_s_median": round(statistics.median(npz_reqs_s), 1),
         }
         srv2.shutdown()
         srv2.server_close()

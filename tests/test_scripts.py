@@ -386,6 +386,7 @@ def test_serve_latency_script_end_to_end(tmp_path, monkeypatch):
         assert stats["client_ms_median"] >= stats["server_ms_median"]
     assert data["serve_throughput"]["batch"] == 2
     assert data["serve_throughput"]["req_per_s_best"] > 0
+    assert data["serve_throughput"]["npz_req_per_s_best"] > 0
     assert data["diverged_rows"] == 0  # tiny CPU run: no degenerate draws
     assert data["total_request_rows"] >= 2 * 2 + 3 * 2
     assert data["startup_s"] > 0 and data["git_sha"]

@@ -139,10 +139,59 @@ def test_generate_route(tmp_path):
         starts, _, k = _parse_requests(rows, 4)
         direct = build_generate_fn(d)(jax.random.PRNGKey(9), starts)
         np.testing.assert_allclose(trajs, np.asarray(direct)[:k], atol=1e-6)
+
+        # /generate speaks the binary npz format too
+        import io
+        import urllib.request as _ur
+
+        host, port = server.server_address[:2]
+        req = _ur.Request(
+            f"http://{host}:{port}/generate",
+            data=json.dumps(
+                {"requests": rows, "seed": 9, "format": "npz"}
+            ).encode(),
+        )
+        with _ur.urlopen(req, timeout=300) as r:
+            z = np.load(io.BytesIO(r.read()))
+        np.testing.assert_array_equal(z["trajectories"], trajs)
     finally:
         server.shutdown()
         server.server_close()
         t.join(timeout=10)
+
+
+def test_npz_response_format(served):
+    """'format': 'npz' returns a binary np.savez payload carrying the same
+    arrays as the JSON path — the bulk-consumer route (a batch-512 JSON
+    response is ~20 MB of number formatting)."""
+    import io
+
+    server, _ = served
+    rows = [{"start_x": -193.3, "start_y": 50.0},
+            {"start_x": -192.8, "start_y": 42.0}]
+    _, jbody = _call(server, {"requests": rows, "seed": 11})
+
+    host, port = server.server_address[:2]
+    req = urllib.request.Request(
+        f"http://{host}:{port}/serve",
+        data=json.dumps(
+            {"requests": rows, "seed": 11, "format": "npz"}
+        ).encode(),
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.headers["Content-Type"] == "application/octet-stream"
+        z = np.load(io.BytesIO(r.read()))
+    assert str(z["model"]) == "default" and int(z["seed"]) == 11
+    assert int(z["n"]) == 2 and z["invalid"].size == 0
+    np.testing.assert_array_equal(
+        z["states"], np.asarray(jbody["states"], np.float32)
+    )
+    np.testing.assert_array_equal(
+        z["controls"], np.asarray(jbody["controls"], np.float32)
+    )
+
+    code, body = _call(server, {"requests": rows, "format": "csv"})
+    assert code == 400 and "unknown format" in body["error"]
 
 
 def test_generate_sharded_matches_single(tmp_path):
