@@ -40,7 +40,7 @@ Endpoints:
   high-throughput route for consumers that do their own tracking.
 
 Rows whose solve diverges (a rare entropy draw decoding a degenerate
-trajectory — observed once in ~3,300 entropy draws on the sce1
+trajectory — observed once in ~6,000 entropy draws on the sce1
 checkpoint) come back as ``null`` with their indices listed in the
 response's ``"invalid"`` field; batchmates are unaffected (requests are
 independent) and responses stay strict JSON.  Clients retry invalid
@@ -178,8 +178,10 @@ def make_http_server(
             self.wfile.write(body)
 
         def _json(self, code: int, payload) -> None:
-            # every response passes through here, so the counters can't
-            # miss a path (the healthz GET itself is not counted)
+            # every ERROR response passes through here, so the 4xx/5xx
+            # counters can't miss a path (the healthz GET itself is not
+            # counted; 200s increment 'served' at their call sites —
+            # _bytes below is a 200-only success path by construction)
             if code >= 500:
                 stats["errors"] += 1
             elif code >= 400:
@@ -272,7 +274,7 @@ def make_http_server(
                 # per-ROW divergence masking: requests in a batch are
                 # independent, so one degenerate draw (a rare entropy
                 # sample whose MPC solve goes non-finite — observed once
-                # in ~3,300 draws) must not poison its batchmates.
+                # in ~6,000 draws) must not poison its batchmates.
                 # Diverged rows come back as null with their indices in
                 # "invalid" (strict JSON — never bare NaN/Infinity
                 # tokens); clients retry those rows with a fresh seed.
