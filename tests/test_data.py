@@ -344,3 +344,37 @@ def test_window_thw_requires_registered_distance():
     # registered scenarios ignore the default
     assert window_thw(win, scenarios.get("sce1"),
                       default_distance=1.0) == 60.0 / 5.0
+
+
+@requires_reference
+def test_align_model_trajectory_differential_vs_live_reference():
+    """align_model_trajectory must match Tools.process_model_trajectory
+    (Tools.py:219-256) row-for-row on the truncate, exact, extend, and
+    no-match branches — it is the exported C8 equivalent and previously
+    had no behavioral validation."""
+    import sys
+
+    sys.path.insert(0, str(REFERENCE_ROOT))
+    try:
+        import Tools as RT
+    finally:
+        sys.path.pop(0)
+
+    from defensive_model_vae_tpu.data import align_model_trajectory
+
+    rng = np.random.default_rng(0)
+    human = np.column_stack([
+        rng.normal(-190.0, 2.0, 20),
+        rng.normal(45.0, 5.0, 20),
+        np.cumsum(rng.uniform(0.01, 0.05, 20)),
+    ])
+    start_x, start_y = human[5, 0], human[5, 1]
+    for n_model in (8, 15, 40):  # truncate / exact / extend-with-dt
+        states = rng.normal(0.0, 1.0, (n_model, 4))
+        ours = align_model_trajectory(human, start_x, start_y, states, 0.02)
+        ref = RT.process_model_trajectory(human, start_x, start_y, states, 0.02)
+        np.testing.assert_array_equal(ours, ref)
+    # no matching human row → None (reference prints a warning, returns None)
+    states = rng.normal(0.0, 1.0, (8, 4))
+    assert align_model_trajectory(human, 999.0, 999.0, states, 0.02) is None
+    assert RT.process_model_trajectory(human, 999.0, 999.0, states, 0.02) is None

@@ -143,6 +143,15 @@ def test_checkpoint_roundtrip(tmp_path, windows_sce1):
     t2 = generate_trajectories(params2, CFG, windows_sce1[0, 0, 1:3], seed=2)
     assert np.allclose(t1, t2, atol=1e-6)
 
+    # the saved loss history reads back (and absent history is None, not
+    # an exception)
+    from defensive_model_vae_tpu.train.checkpoint import load_history
+
+    hist2 = load_history(d)
+    np.testing.assert_array_equal(hist2["total"], np.asarray(hist["total"]))
+    d2 = save_checkpoint(str(tmp_path / "nohist"), params, CFG, "sce1")
+    assert load_history(d2) is None
+
 
 def test_conv_cvae_forward_and_grad():
     cfg = ConvCVAEConfig(seq_len=50, dim=2)
