@@ -772,3 +772,29 @@ def test_risk_level_no_usable_paths_raises():
 
     with pytest.raises(ZeroDivisionError):
         risk_level([], [0.1, 0.2], np.array([]), [], 5.0, 3.0)
+
+
+def test_native_frenet_matches_numpy_oracle():
+    """dmv_frenet must agree with cartesian_to_frenet_numpy — the docstring
+    names the numpy body as its arithmetic oracle, but nothing pinned the
+    two directly (every other test runs whichever path is active)."""
+    from defensive_model_vae_tpu.dnda import frenet as fr
+    from defensive_model_vae_tpu.dnda import spline as sp
+
+    probe = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.5]])
+    if sp.frenet_native(probe, 4) is None:
+        pytest.skip("native frenet unavailable (no toolchain)")
+    rng = np.random.default_rng(2)
+    for n, m in ((3, 5), (12, 40), (60, 100), (200, 400)):
+        # gently curving forward path (the function's domain: DNDA lane
+        # baselines — a path that doubles back in x is rejected by both
+        # implementations' strictly-increasing spline grids)
+        x = np.cumsum(rng.uniform(0.3, 1.2, n))
+        y = np.cumsum(rng.normal(0.0, 0.08, n))
+        pts = np.column_stack([x, y])
+        nat = sp.frenet_native(pts, m)
+        ora = fr.cartesian_to_frenet_numpy(pts, m)
+        for a, b in zip(nat, ora):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-11, atol=1e-12
+            )
