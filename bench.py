@@ -318,10 +318,11 @@ def bench_scale_fused(n=131072, epochs=200, tile=2048, compute_dtype="bfloat16")
     binding resource (``scale_fused_gbps`` shows the corpus stream is far
     off the HBM roof).  Measured: the kernel then hits a NEW ceiling of
     per-tile VPU/relayout work (casts, lane-sliced unpacking, transposed
-    dW matmuls), not the MXU — landing in the scan trainer's parity band
-    (26-36M windows/s bf16 across Mosaic lowering variants / tunnel
-    conditions, the known ~2x Pallas spread per CLAUDE.md; scan: ~35M),
-    with the structural win that the whole run is one dispatch.
+    dW matmuls), not the MXU — a 26-55M windows/s bf16 band across Mosaic
+    lowering variants / tunnel conditions (the known ~2x Pallas spread per
+    CLAUDE.md): the favorable lowering (55.3M, 21.5% MFU) beats the scan
+    trainer (~35M) by ~1.6x, the unfavorable one lands below it — with
+    the structural win that the whole run is one dispatch either way.
     tile=2048 measured best in the sweep (1024: 35.3M, 4096: 31.1M).
 
     Returns (windows/s, TFLOP/s, corpus-GB/s) or raises on divergence."""

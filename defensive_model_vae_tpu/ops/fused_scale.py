@@ -43,10 +43,11 @@ the intensity to ~10k FLOP/B, retiring HBM as the binding resource.
 Measured outcome (131072 windows × 200 epochs, on-chip tile sweep): the
 kernel then hits a NEW ceiling of per-tile VPU/relayout work (dtype
 casts, lane-sliced unpacking of the packed block, transposed dW matmuls),
-not the MXU — landing in the scan trainer's parity band (26–36M windows/s
-bf16 at tile=2048 across Mosaic lowering variants / tunnel conditions,
-the known ~2× Pallas spread; scan: ~35M), with the structural win that
-the entire run is ONE dispatch instead of one per epoch.
+not the MXU.  Band across Mosaic lowering variants / tunnel conditions
+(the known ~2× Pallas spread): 26–55M windows/s bf16 at tile=2048 — the
+favorable lowering (measured 55.3M, 21.5% MFU) beats the scan trainer
+(~35M) by ~1.6×, the unfavorable one lands below it — with the structural
+win that the entire run is ONE dispatch instead of one per epoch.
 
 Unlike the VMEM-resident kernels this one has no epoch cap (the metrics
 block is (1, 8) per grid step) and no corpus-size cap (tiles stream from
