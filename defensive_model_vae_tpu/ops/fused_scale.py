@@ -316,6 +316,253 @@ def fused_train_scale(
     return _unflatten_params(list(out_plist)), history
 
 
+def _make_grad_kernel(cfg: CVAEConfig, weights: LossWeights, n_params: int,
+                      n_tiles: int, n_valid: float, eps_input: bool,
+                      compute_dtype, mixed_style):
+    """ONE-EPOCH gradient kernel: grid over corpus tiles only.
+
+    The whole-run kernel above owns the single-chip regime; this kernel is
+    the data-parallel building block — it returns the tile-summed gradients
+    and loss components for its device's corpus shard, so the caller can
+    ``psum`` them over the mesh 'data' axis and apply a replicated Adam
+    step (``fused_train_scale_dp``).  Gradients accumulate directly in the
+    output blocks (constant index map → VMEM-resident across the grid)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    F = cfg.seq_len * cfg.dim
+    C = cfg.cond_dim
+    Z = cfg.latent_dim
+
+    def kernel(*refs):
+        # layout: [stream_base, packed, p0..] → [g0.., metrics]
+        base_ref = refs[0]
+        x_ref = refs[1]
+        p_refs = refs[2 : 2 + n_params]
+        g_refs = refs[2 + n_params : 2 + 2 * n_params]
+        metrics_ref = refs[2 + 2 * n_params]
+
+        i = pl.program_id(0)
+        packed = x_ref[:]
+        x = packed[:, :F]
+        cond = packed[:, F : F + C]
+        mask = packed[:, F + C : F + C + 1].astype(jnp.float32)
+        if eps_input:
+            eps = packed[:, F + C + 1 : F + C + 1 + Z]
+        else:
+            # stream base = seed + (device·epochs + epoch)·n_tiles, threaded
+            # from the scan body — i.i.d. draws across devices, epochs, tiles
+            pltpu.prng_seed(base_ref[0, 0] + i)
+            eps = _normal_noise((x.shape[0], Z))
+
+        params = [r[:] for r in p_refs]
+        (_, comps), grads = jax.value_and_grad(
+            lambda pl_: _forward_loss(
+                pl_, x, cond, eps, cfg, weights, mask,
+                n_valid=n_valid, compute_dtype=compute_dtype,
+                mixed_style=mixed_style,
+            ),
+            has_aux=True,
+        )(params)
+        row = jnp.concatenate([comps, jnp.zeros(3)])
+
+        @pl.when(i == 0)
+        def _first_tile():
+            for r, g in zip(g_refs, grads):
+                r[:] = g
+            metrics_ref[0, :] = row
+
+        @pl.when(i != 0)
+        def _accumulate():
+            for r, g in zip(g_refs, grads):
+                r[:] = r[:] + g
+            metrics_ref[0, :] = metrics_ref[0, :] + row
+
+    return kernel
+
+
+def _grad_epoch_call(plist, packed, stream_base, cfg, weights, tile, n_valid,
+                     compute_dtype, mixed_style, eps_input, interpret=False):
+    """One epoch's (grads, loss row) over one device's corpus shard.
+
+    NOT jitted itself — it is traced inside ``fused_train_scale_dp``'s scan
+    body (one kernel launch per epoch inside one compiled program)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_pad, width = packed.shape
+    n_tiles = n_pad // tile
+    kernel = _make_grad_kernel(
+        cfg, weights, len(plist), n_tiles, n_valid, eps_input, compute_dtype,
+        mixed_style,
+    )
+
+    def const_block(arr):
+        return pl.BlockSpec(
+            arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
+        )
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    in_specs.append(
+        pl.BlockSpec((tile, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    )
+    in_specs += [const_block(p) for p in plist]
+    out_shape = tuple(
+        jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in plist
+    ) + (jax.ShapeDtypeStruct((1, 8), jnp.float32),)
+    out_specs = tuple(const_block(p) for p in plist) + (
+        pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
+        interpret=interpret,
+    )(stream_base, packed, *plist)
+    return list(outs[:-1]), outs[-1]
+
+
+def fused_train_scale_dp(
+    windows: np.ndarray,
+    mesh=None,
+    epochs: int = 200,
+    lr: float = 1e-3,
+    weights: LossWeights = LossWeights(),
+    seed: int = 0,
+    tile: int = 2048,
+    compute_dtype: str | None = "bfloat16",
+    mixed_style: str = "f32_acts",
+    eps: np.ndarray = None,
+    interpret: bool = False,
+) -> Tuple[Params, Dict[str, np.ndarray]]:
+    """Data-parallel production-scale training with the streaming kernel.
+
+    The multi-chip tier of :func:`fused_train_scale` (SURVEY §2 parallelism
+    directive: DP over trajectories is the one axis this workload warrants):
+    the corpus is sharded over the mesh 'data' axis, each device runs the
+    per-epoch gradient kernel (:func:`_grad_epoch_call` — activations never
+    in HBM, exactly like the whole-run kernel) on its shard, gradients ride
+    ICI through one ``lax.psum`` per epoch, and a replicated Adam step
+    keeps parameters identical on every device.  The whole run is still ONE
+    compiled program (``lax.scan`` over epochs inside ``jax.shard_map``);
+    what moves from the whole-run kernel to XLA is only the per-epoch
+    grad-sync + Adam, which is what makes the cross-device reduction
+    possible at all.
+
+    Objective and optimizer match ``fused_train_scale`` exactly: per-tile
+    losses are scaled by the GLOBAL valid-row count, so tile sums + the
+    cross-device psum reproduce the full-batch means regardless of dp/tile
+    layout.
+
+    Args:
+        mesh: ``jax.sharding.Mesh`` with a 'data' axis (e.g.
+            ``parallel.create_mesh()``).  ``None`` runs the same per-epoch
+            program on one device (no shard_map) — the single-chip
+            per-epoch variant.
+        eps: optional (N, latent) explicit noise held constant across
+            epochs — the interpret-mode escape hatch shared with the other
+            fused kernels (on-core PRNG otherwise, seeded i.i.d. per
+            device x epoch x tile).
+    """
+    if mixed_style not in ("f32_acts", "bf16_chain"):
+        raise ValueError(
+            f"mixed_style must be 'f32_acts' or 'bf16_chain' "
+            f"(got {mixed_style!r})"
+        )
+    cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
+    _check_vmem_budget(cfg)
+    _check_scale_tile(cfg, tile, compute_dtype, mixed_style)
+    dp = 1 if mesh is None else mesh.shape["data"]
+    x_flat, start = fused_inputs(windows)
+    n = x_flat.shape[0]
+    chunk = dp * tile
+    n_pad = -(-n // chunk) * chunk
+
+    eps_input = eps is not None
+    eps_j = None if eps is None else jnp.asarray(eps, jnp.float32)
+    packed = _pack_corpus(
+        x_flat, start, jnp.ones((n,), jnp.float32), eps_j, cfg.latent_dim
+    )
+    if n_pad != n:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((n_pad - n, packed.shape[1]), jnp.float32)]
+        )
+    cdt = None if compute_dtype is None else jnp.dtype(compute_dtype)
+    if cdt is not None:
+        packed = packed.astype(cdt)
+
+    params = init_params(jax.random.PRNGKey(seed), cfg)
+    plist = _flatten_params(params)
+    local_tiles = (n_pad // dp) // tile
+
+    def run(plist, packed_local, seed_val):
+        dev = (
+            jnp.int32(0)
+            if mesh is None
+            else jax.lax.axis_index("data").astype(jnp.int32)
+        )
+
+        def body(carry, e):
+            pl_, m, v = carry
+            base = seed_val + (dev * epochs + e) * local_tiles
+            grads, mrow = _grad_epoch_call(
+                pl_, packed_local, base.reshape(1, 1).astype(jnp.int32),
+                cfg, weights, tile, float(n), cdt, mixed_style, eps_input,
+                interpret=interpret,
+            )
+            if mesh is not None:
+                grads = [jax.lax.psum(g, "data") for g in grads]
+                mrow = jax.lax.psum(mrow, "data")
+            pl_, m, v = _adam_step(
+                pl_, grads, m, v, (e + 1).astype(jnp.float32), lr
+            )
+            return (tuple(pl_), tuple(m), tuple(v)), mrow[0, :5]
+
+        zeros = tuple(jnp.zeros_like(p) for p in plist)
+        (plist_out, _, _), metrics = jax.lax.scan(
+            body, (tuple(plist), zeros, zeros), jnp.arange(epochs)
+        )
+        return tuple(plist_out), metrics
+
+    if mesh is None:
+        run_c = jax.jit(run)
+        out_plist, metrics = run_c(
+            tuple(plist), packed, jnp.int32(seed)
+        )
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_p = len(plist)
+        shard_spec = P("data", *([None] * (packed.ndim - 1)))
+        run_s = jax.shard_map(
+            run,
+            mesh=mesh,
+            in_specs=((P(),) * n_p, shard_spec, P()),
+            out_specs=((P(),) * n_p, P()),
+            # pallas_call's out_shape carries no varying-mesh-axes (vma)
+            # annotation in this jax version, so the automatic replication
+            # checker cannot type it; the replication contract is enforced
+            # by the tests instead (sharded == single-device == oracle)
+            check_vma=False,
+        )
+        packed = jax.device_put(packed, NamedSharding(mesh, shard_spec))
+        plist = [
+            jax.device_put(p, NamedSharding(mesh, P())) for p in plist
+        ]
+        out_plist, metrics = jax.jit(run_s)(
+            tuple(plist), packed, jnp.int32(seed)
+        )
+
+    metrics = np.asarray(metrics)
+    history = {k: metrics[:, i] for i, k in enumerate(FUSED_METRIC_KEYS)}
+    return _unflatten_params(list(out_plist)), history
+
+
 # scoped-vmem ceiling requested from Mosaic (v5e physical VMEM: 128 MiB /
 # core; leave headroom for the framework's own scoped use)
 _VMEM_LIMIT_BYTES = 100 * 2**20

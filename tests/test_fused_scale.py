@@ -16,8 +16,10 @@ from defensive_model_vae_tpu.models import CVAEConfig, init_params
 from defensive_model_vae_tpu.ops.fused_scale import (
     fused_scale_reference,
     fused_train_scale,
+    fused_train_scale_dp,
 )
 from defensive_model_vae_tpu.ops.fused_trainer import _flatten_params
+from defensive_model_vae_tpu.parallel import create_mesh
 
 CFG = CVAEConfig()
 
@@ -103,6 +105,92 @@ def test_scale_kernel_bf16_descends():
     assert hist["total"][-1] < hist["total"][0]
     for p in _flatten_params(params):
         assert np.asarray(p).dtype == np.float32  # masters stay f32
+        assert np.all(np.isfinite(np.asarray(p)))
+
+
+def test_scale_dp_matches_oracle_on_mesh():
+    """The data-parallel tier (per-epoch grad kernel in shard_map + psum +
+    replicated Adam) reproduces the full-batch objective on the 8-device
+    CPU mesh: sharding/tiling changes only fp summation order."""
+    n = 64  # 8 devices x tile=8 → one tile per device
+    w = _tiny_corpus(n, seed=13)
+    eps = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(3), (n, CFG.latent_dim))
+    )
+    mesh = create_mesh(shape=(8, 1))
+    params, hist = fused_train_scale_dp(
+        w, mesh=mesh, epochs=3, tile=8, compute_dtype=None, eps=eps,
+        interpret=True,
+    )
+    ref_params, ref_hist = fused_scale_reference(
+        init_params(jax.random.PRNGKey(0), CFG), w, eps, epochs=3, tile=None
+    )
+    for a, b in zip(_flatten_params(params), _flatten_params(ref_params)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    got = np.stack([hist[k] for k in ("total", "recon", "kld", "start", "time")], 1)
+    assert np.allclose(got, ref_hist, rtol=1e-4, atol=1e-5)
+
+
+def test_scale_dp_sharded_equals_single_device():
+    """Sharded-vs-single equality (the dryrun pattern): the mesh run and the
+    mesh=None run execute the same per-epoch program modulo psum order."""
+    n = 48  # ragged over 8x8 → padded, masked rows exercise the dp padding
+    w = _tiny_corpus(n, seed=17)
+    eps = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(5), (n, CFG.latent_dim))
+    )
+    mesh = create_mesh(shape=(8, 1))
+    p_mesh, h_mesh = fused_train_scale_dp(
+        w, mesh=mesh, epochs=2, tile=8, compute_dtype=None, eps=eps,
+        interpret=True,
+    )
+    p_one, h_one = fused_train_scale_dp(
+        w, mesh=None, epochs=2, tile=8, compute_dtype=None, eps=eps,
+        interpret=True,
+    )
+    for a, b in zip(_flatten_params(p_mesh), _flatten_params(p_one)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for k in ("total", "recon", "kld", "start", "time"):
+        assert np.allclose(h_mesh[k], h_one[k], rtol=1e-4, atol=1e-5)
+
+
+def test_scale_dp_matches_whole_run_kernel():
+    """Single-device DP tier (per-epoch kernel + XLA Adam) == the whole-run
+    kernel (in-kernel Adam): same objective, same accumulation granularity,
+    different program structure."""
+    w = _tiny_corpus(24, seed=19)
+    eps = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(8), (24, CFG.latent_dim))
+    )
+    p_dp, h_dp = fused_train_scale_dp(
+        w, mesh=None, epochs=3, tile=8, compute_dtype=None, eps=eps,
+        interpret=True,
+    )
+    p_wr, h_wr = fused_train_scale(
+        w, epochs=3, tile=8, compute_dtype=None, eps=eps, interpret=True
+    )
+    for a, b in zip(_flatten_params(p_dp), _flatten_params(p_wr)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for k in ("total", "recon", "kld", "start", "time"):
+        assert np.allclose(h_dp[k], h_wr[k], rtol=1e-4, atol=1e-5)
+
+
+def test_scale_dp_bf16_descends_on_mesh():
+    """Mixed-precision DP on the mesh: finite, descending, f32 masters."""
+    n = 64
+    w = _tiny_corpus(n, seed=23)
+    eps = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(9), (n, CFG.latent_dim))
+    )
+    mesh = create_mesh(shape=(8, 1))
+    params, hist = fused_train_scale_dp(
+        w, mesh=mesh, epochs=6, tile=16, compute_dtype="bfloat16", eps=eps,
+        interpret=True,
+    )
+    assert np.all(np.isfinite(hist["total"]))
+    assert hist["total"][-1] < hist["total"][0]
+    for p in _flatten_params(params):
+        assert np.asarray(p).dtype == np.float32
         assert np.all(np.isfinite(np.asarray(p)))
 
 
