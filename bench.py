@@ -317,13 +317,17 @@ def bench_scale_fused(n=131072, epochs=200, tile=2048, compute_dtype="bfloat16")
     FLOP/activation-byte to ~10k FLOP/corpus-byte — HBM stops being the
     binding resource (``scale_fused_gbps`` shows the corpus stream is far
     off the HBM roof).  Measured: the kernel then hits a NEW ceiling of
-    per-tile VPU/relayout work (casts, lane-sliced unpacking, transposed
-    dW matmuls), not the MXU — a 26-55M windows/s bf16 band across Mosaic
-    lowering variants / tunnel conditions (the known ~2x Pallas spread per
-    CLAUDE.md): the favorable lowering (55.3M, 21.5% MFU) beats the scan
-    trainer (~35M) by ~1.6x, the unfavorable one lands below it — with
-    the structural win that the whole run is one dispatch either way.
-    tile=2048 measured best in the sweep (1024: 35.3M, 4096: 31.1M).
+    per-tile VPU/relayout work, not the MXU — a 26-55M windows/s bf16
+    band across Mosaic lowering variants / tunnel conditions (the known
+    ~2x Pallas spread per CLAUDE.md): the favorable lowering (54-55M,
+    ~21.5% MFU) beats the scan trainer (~35M) by ~1.6x, the unfavorable
+    one lands below it — with the structural win that the whole run is
+    one dispatch either way.  tile=2048 measured best in the sweep
+    (1024: 35.3M, 4096: 31.1M).  The ceiling's on-chip decomposition
+    (scripts/scale_ablation.py → results/scale_ablation.json): ~62% of
+    wall time is Mosaic's backward lowering (dy-chain VJPs + transposed
+    dW dot_generals); a FLOP-equivalent pure-matmul kernel on the same
+    streamed grid runs at 72% of MXU peak — see DESIGN.md.
 
     Returns (windows/s, TFLOP/s, corpus-GB/s) or raises on divergence."""
     import jax

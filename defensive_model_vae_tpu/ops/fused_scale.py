@@ -41,13 +41,18 @@ the MXU from HBM — so the scan trainer is bandwidth-bound.  Streaming only
 the corpus (~80 B/window in bf16 vs ~4.4 KB/window of activations) raises
 the intensity to ~10k FLOP/B, retiring HBM as the binding resource.
 Measured outcome (131072 windows × 200 epochs, on-chip tile sweep): the
-kernel then hits a NEW ceiling of per-tile VPU/relayout work (dtype
-casts, lane-sliced unpacking of the packed block, transposed dW matmuls),
-not the MXU.  Band across Mosaic lowering variants / tunnel conditions
-(the known ~2× Pallas spread): 26–55M windows/s bf16 at tile=2048 — the
-favorable lowering (measured 55.3M, 21.5% MFU) beats the scan trainer
-(~35M) by ~1.6×, the unfavorable one lands below it — with the structural
-win that the entire run is ONE dispatch instead of one per epoch.
+kernel then hits a NEW ceiling of per-tile VPU/relayout work, not the
+MXU.  Band across Mosaic lowering variants / tunnel conditions (the known
+~2× Pallas spread): 26–55M windows/s bf16 at tile=2048 — the favorable
+lowering (measured 54–55M, ~21.5% MFU) beats the scan trainer (~35M) by
+~1.6×, the unfavorable one lands below it — with the structural win that
+the entire run is ONE dispatch instead of one per epoch.  The ceiling is
+decomposed by a six-variant on-chip ablation
+(``scripts/scale_ablation.py`` → ``results/scale_ablation.json``): a
+FLOP-equivalent pure-matmul kernel on the same streamed grid sustains
+72% of MXU peak, and ~62% of the full kernel's wall time is Mosaic's
+BACKWARD lowering (per-layer cast/select VJPs in the dy chain + the 12
+per-tile transposed dW dot_generals) — see DESIGN.md for the table.
 
 Unlike the VMEM-resident kernels this one has no epoch cap (the metrics
 block is (1, 8) per grid step) and no corpus-size cap (tiles stream from

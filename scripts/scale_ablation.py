@@ -1,0 +1,388 @@
+"""On-chip ablation of the streaming scale kernel's per-tile cost structure.
+
+``ops/fused_scale`` retires HBM as the binding resource and the measured
+ceiling moves to per-tile VPU/relayout work (DESIGN.md "Where the MXU earns
+its keep").  This script QUANTIFIES that claim: six kernel variants run the
+same (epochs x tiles) grid over the same streamed corpus, each removing one
+layer of work, timed interleaved in ONE process (entropy-fresh inputs per
+rep — identical-repeat elision is cross-process, CLAUDE.md):
+
+  full      the production kernel, on-core PRNG   (= bench scale_fused_*)
+  full_eps  production kernel, eps streamed        -> PRNG (Box-Muller) cost
+  dx        backward w.r.t. x only, eps streamed   -> dW matmuls + grad
+            accumulation + Adam cost (the "transposed matmul" term)
+  fwd       forward loss only, eps streamed        -> whole dy-chain cost
+  sol       FLOP-equivalent chained matmuls on the same streamed block,
+            no slicing/relu/loss                   -> MXU+stream speed of light
+  stream    read block, reduce, write              -> DMA/dispatch floor
+
+Writes results/scale_ablation.json and prints the breakdown.
+
+Run ALONE on the real chip (same rules as bench.py).
+"""
+
+import json
+import os
+import secrets
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SMOKE = "--smoke" in sys.argv
+
+if SMOKE:
+    # CPU interpret-mode correctness pass on tiny shapes: pin the platform
+    # BEFORE backend init / package import (CLAUDE.md: env vars don't
+    # survive the axon sitecustomize; a late switch would also mint
+    # host-specific entries into the shared .jax_cache)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+else:
+    from defensive_model_vae_tpu.utils.cache import (
+        enable_persistent_cache,
+        ensure_deterministic_hash_seed,
+    )
+
+    ensure_deterministic_hash_seed()
+    enable_persistent_cache()
+
+import functools  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from bench import _scale_corpus  # noqa: E402
+from defensive_model_vae_tpu.models import (  # noqa: E402
+    CVAEConfig, LossWeights, init_params,
+)
+from defensive_model_vae_tpu.ops.fused_scale import (  # noqa: E402
+    _VMEM_LIMIT_BYTES, _fused_scale_call, _pack_corpus,
+)
+from defensive_model_vae_tpu.ops.fused_trainer import (  # noqa: E402
+    _flatten_params, _forward_loss, _normal_noise, fused_inputs,
+)
+
+N = 131072
+EPOCHS = 200
+TILE = 2048
+REPS = 5  # 1 untimed warm + 4 timed, interleaved across variants
+INTERPRET = False
+if SMOKE:
+    N, EPOCHS, TILE, REPS, INTERPRET = 64, 9, 16, 2, True
+
+
+def _fresh(lo=1 << 20):
+    return lo + secrets.randbelow((1 << 30) - lo)
+
+
+def _make_ablation_kernel(mode, cfg, weights, n_valid, n_params, compute_dtype):
+    """fwd/dx variants: same streamed grid as the production kernel, params
+    as read-only const blocks, eps streamed in the packed block."""
+    F = cfg.seq_len * cfg.dim
+    C = cfg.cond_dim
+    Z = cfg.latent_dim
+
+    def kernel(*refs):
+        x_ref = refs[0]
+        p_refs = refs[1 : 1 + n_params]
+        metrics_ref = refs[1 + n_params]
+        import jax.experimental.pallas as pl
+
+        e = pl.program_id(0)
+        i = pl.program_id(1)
+        packed = x_ref[:]
+        x = packed[:, :F]
+        cond = packed[:, F : F + C]
+        mask = packed[:, F + C : F + C + 1].astype(jnp.float32)
+        eps = packed[:, F + C + 1 : F + C + 1 + Z]
+        params = [r[:] for r in p_refs]
+
+        if mode == "fwd":
+            _, comps = _forward_loss(
+                params, x, cond, eps, cfg, weights, mask, n_valid=n_valid,
+                compute_dtype=compute_dtype,
+            )
+            row = jnp.concatenate([comps, jnp.zeros(3)])
+        else:  # dx: backward through the dy chain only (no dW / no Adam)
+            (_, comps), gx = jax.value_and_grad(
+                lambda xv: _forward_loss(
+                    params, xv, cond, eps, cfg, weights, mask,
+                    n_valid=n_valid, compute_dtype=compute_dtype,
+                ),
+                has_aux=True,
+            )(x)
+            row = jnp.concatenate(
+                [comps, jnp.sum(gx.astype(jnp.float32), keepdims=True).reshape(1),
+                 jnp.zeros(2)]
+            )
+
+        mrow = e % 8
+
+        @pl.when(i == 0)
+        def _first():
+            metrics_ref[mrow, :] = row
+
+        @pl.when(i != 0)
+        def _acc():
+            metrics_ref[mrow, :] = metrics_ref[mrow, :] + row
+
+    return kernel
+
+
+def _make_sol_kernel(n_chain, compute_dtype):
+    """FLOP-equivalent chained matmuls: one (W, 128) entry dot off the raw
+    packed block, then n_chain (128, 128) dots — no slicing, no relu, no
+    loss.  The MXU+stream floor for this grid."""
+
+    def kernel(x_ref, w_in_ref, w_ref, metrics_ref):
+        import jax.experimental.pallas as pl
+
+        e = pl.program_id(0)
+        i = pl.program_id(1)
+        h = jnp.dot(
+            x_ref[:], w_in_ref[:], preferred_element_type=jnp.float32
+        )
+        w = w_ref[:]
+        for _ in range(n_chain):
+            h = jnp.dot(
+                h.astype(compute_dtype), w, preferred_element_type=jnp.float32
+            )
+        row = jnp.concatenate(
+            [jnp.sum(h, keepdims=True).reshape(1), jnp.zeros(7)]
+        )
+        mrow = e % 8
+
+        @pl.when(i == 0)
+        def _first():
+            metrics_ref[mrow, :] = row
+
+        @pl.when(i != 0)
+        def _acc():
+            metrics_ref[mrow, :] = metrics_ref[mrow, :] + row
+
+    return kernel
+
+
+def _make_stream_kernel():
+    def kernel(x_ref, metrics_ref):
+        import jax.experimental.pallas as pl
+
+        e = pl.program_id(0)
+        i = pl.program_id(1)
+        row = jnp.concatenate(
+            [jnp.sum(x_ref[:].astype(jnp.float32), keepdims=True).reshape(1),
+             jnp.zeros(7)]
+        )
+        mrow = e % 8
+
+        @pl.when(i == 0)
+        def _first():
+            metrics_ref[mrow, :] = row
+
+        @pl.when(i != 0)
+        def _acc():
+            metrics_ref[mrow, :] = metrics_ref[mrow, :] + row
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "cfg", "weights", "n_valid",
+                                              "compute_dtype", "n_chain"))
+def _ablation_call(packed, plist, mode, cfg, weights, n_valid, compute_dtype,
+                   n_chain=0):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_pad, width = packed.shape
+    n_tiles = n_pad // TILE
+
+    def const_block(arr):
+        return pl.BlockSpec(
+            arr.shape, lambda e, i: (0,) * arr.ndim, memory_space=pltpu.VMEM
+        )
+
+    stream_spec = pl.BlockSpec(
+        (TILE, width), lambda e, i: (i, 0), memory_space=pltpu.VMEM
+    )
+    e_pad = -(-EPOCHS // 8) * 8
+    out_shape = jax.ShapeDtypeStruct((e_pad, 8), jnp.float32)
+    out_spec = pl.BlockSpec(
+        (8, 8), lambda e, i: (e // 8, 0), memory_space=pltpu.VMEM
+    )
+    params = dict(
+        grid=(EPOCHS, n_tiles),
+        out_shape=out_shape,
+        out_specs=out_spec,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES),
+        interpret=INTERPRET,
+    )
+    if mode == "stream":
+        return pl.pallas_call(
+            _make_stream_kernel(), in_specs=[stream_spec], **params
+        )(packed)
+    if mode == "sol":
+        return pl.pallas_call(
+            _make_sol_kernel(n_chain, compute_dtype),
+            in_specs=[stream_spec] + [const_block(p) for p in plist],
+            **params,
+        )(packed, *plist)
+    kernel = _make_ablation_kernel(
+        mode, cfg, weights, n_valid, len(plist), compute_dtype
+    )
+    return pl.pallas_call(
+        kernel,
+        in_specs=[stream_spec] + [const_block(p) for p in plist],
+        **params,
+    )(packed, *plist)
+
+
+def main():
+    windows = _scale_corpus(N)
+    cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
+    weights = LossWeights()
+    cdt = jnp.bfloat16
+    x_flat, start = fused_inputs(windows)
+    assert N % TILE == 0
+    n_tiles = N // TILE
+
+    # FLOP-equivalent chain length for the sol variant: training FLOPs are
+    # 6*sum(fi*fo) per window (fwd + ~2x backward); the entry dot off the
+    # raw (TILE, width) block covers 2*width*128 of it
+    sum_fifo = sum(fi * fo for fi, fo in cfg.layer_spec().values())
+    width = cfg.seq_len * cfg.dim + cfg.cond_dim + 1 + cfg.latent_dim
+    n_chain = round((6 * sum_fifo - 2 * width * 128) / (2 * 128 * 128))
+    sol_flops = 2 * width * 128 + n_chain * 2 * 128 * 128
+    print(f"sol chain: {n_chain} 128x128 dots + entry "
+          f"({sol_flops/1e3:.1f} kFLOP/window vs {6*sum_fifo/1e3:.1f} target)",
+          file=sys.stderr)
+
+    plist = tuple(
+        jax.block_until_ready(p)
+        for p in _flatten_params(init_params(jax.random.PRNGKey(0), cfg))
+    )
+    # sol weights: scaled to keep the relu-free chain numerically bounded
+    rng = np.random.default_rng(0)
+    w_in = jax.block_until_ready(
+        jnp.asarray(rng.normal(0, 1 / np.sqrt(width), (width, 128)), cdt)
+    )
+    w_chain = jax.block_until_ready(
+        jnp.asarray(rng.normal(0, 1 / np.sqrt(128), (128, 128)), cdt)
+    )
+
+    # per-rep packed buffers with entropy-fresh eps values (the eps/sol/
+    # stream variants would otherwise repeat identical (inputs, executable)
+    # pairs, which the tunnel elides — CLAUDE.md measurement hazards); the
+    # PRNG 'full' variant reuses one zero-eps buffer with entropy seeds
+    erng = np.random.default_rng()
+    mask1 = jnp.ones((N,), jnp.float32)
+    packed_zero = jax.block_until_ready(
+        _pack_corpus(x_flat, start, mask1, None, cfg.latent_dim).astype(cdt)
+    )
+    packed_eps = [
+        jax.block_until_ready(
+            _pack_corpus(
+                x_flat, start, mask1,
+                jnp.asarray(erng.normal(size=(N, cfg.latent_dim)), jnp.float32),
+                cfg.latent_dim,
+            ).astype(cdt)
+        )
+        for _ in range(REPS)
+    ]
+
+    def run(mode, rep):
+        if mode == "full":
+            seed_arr = jnp.array([[_fresh()]], jnp.int32)
+            _, m = _fused_scale_call(
+                plist, packed_zero, seed_arr, cfg, weights, EPOCHS, 1e-3,
+                TILE, float(N), cdt, "f32_acts", False, interpret=INTERPRET,
+            )
+            return m
+        if mode == "full_eps":
+            seed_arr = jnp.array([[_fresh()]], jnp.int32)
+            _, m = _fused_scale_call(
+                plist, packed_eps[rep], seed_arr, cfg, weights, EPOCHS, 1e-3,
+                TILE, float(N), cdt, "f32_acts", True, interpret=INTERPRET,
+            )
+            return m
+        if mode == "sol":
+            return _ablation_call(
+                packed_eps[rep], (w_in, w_chain), "sol", cfg, weights,
+                float(N), cdt, n_chain=n_chain,
+            )
+        if mode == "stream":
+            return _ablation_call(
+                packed_eps[rep], (), "stream", cfg, weights, float(N), cdt
+            )
+        return _ablation_call(
+            packed_eps[rep], plist, mode, cfg, weights, float(N), cdt
+        )
+
+    # the 'full' (on-core PRNG) variant cannot run in interpret mode — the
+    # prng_random_bits stub yields zeros that inf the Box-Muller transform
+    variants = (["full"] if not SMOKE else []) + [
+        "full_eps", "dx", "fwd", "sol", "stream",
+    ]
+    times = {v: [] for v in variants}
+    last_m = {}
+    for rep in range(REPS):
+        for v in variants:
+            t0 = time.time()
+            m = run(v, rep)
+            last_m[v] = np.asarray(m)  # force completion (single small fetch)
+            dt = time.time() - t0
+            if rep == 0:
+                print(f"cold {v}: {dt:.1f}s", file=sys.stderr)
+            else:
+                times[v].append(dt)
+                print(f"rep{rep} {v}: {dt:.3f}s", file=sys.stderr)
+
+    if SMOKE:
+        # correctness: fwd/dx/full_eps all compute the same loss components
+        # from the same (params, packed) on epoch 0 (full_eps only starts
+        # updating params AFTER its first epoch), and fwd's rows stay
+        # constant across epochs while training moves full_eps's
+        fe, dx, fw = last_m["full_eps"], last_m["dx"], last_m["fwd"]
+        assert np.allclose(fe[0, :5], fw[0, :5], rtol=1e-4), (fe[0], fw[0])
+        assert np.allclose(dx[0, :5], fw[0, :5], rtol=1e-4), (dx[0], fw[0])
+        assert np.allclose(fw[0, :5], fw[EPOCHS - 1, :5], rtol=1e-4)
+        assert not np.allclose(fe[0, 0], fe[EPOCHS - 1, 0], rtol=1e-3)
+        assert np.isfinite(dx[0, 5])  # the dx reduction actually flowed
+        assert np.isfinite(last_m["sol"][:EPOCHS, 0]).all()
+        assert np.isfinite(last_m["stream"][:EPOCHS, 0]).all()
+        print("SMOKE OK: ablation variants agree on epoch-0 loss components")
+        return
+
+    steps = EPOCHS * n_tiles
+    out = {"n": N, "epochs": EPOCHS, "tile": TILE, "grid_steps": steps,
+           "reps": REPS - 1, "variants": {}}
+    for v in variants:
+        best = min(times[v])
+        out["variants"][v] = {
+            "best_s": round(best, 4),
+            "all_s": [round(t, 4) for t in times[v]],
+            "us_per_grid_step": round(best / steps * 1e6, 2),
+            "mwindows_per_s": round(EPOCHS * N / best / 1e6, 2),
+        }
+    b = {v: out["variants"][v]["best_s"] for v in variants}
+    out["breakdown_s"] = {
+        "prng": round(b["full"] - b["full_eps"], 4),
+        "dw_acc_adam": round(b["full_eps"] - b["dx"], 4),
+        "dy_chain": round(b["dx"] - b["fwd"], 4),
+        "fwd_overhead_vs_sol": round(b["fwd"] - b["sol"], 4),
+        "sol_vs_stream": round(b["sol"] - b["stream"], 4),
+        "stream_floor": round(b["stream"], 4),
+    }
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, "results", "scale_ablation.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    print(json.dumps(out["breakdown_s"]))
+    print(f"wrote {path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
