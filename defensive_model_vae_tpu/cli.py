@@ -58,10 +58,11 @@ def _cmd_train(args):
         raise SystemExit("--fused and --fused-scale are mutually exclusive")
     if args.fused or args.fused_scale:
         flag = "--fused" if args.fused else "--fused-scale"
-        if args.mesh:
+        if args.fused and args.mesh:
             raise SystemExit(
                 f"{flag} runs single-chip (VMEM-resident kernel); "
-                "drop --mesh or use the scan trainer"
+                "drop --mesh, or use --fused-scale (data-parallel tier) "
+                "or the scan trainer"
             )
         if args.fused and args.dtype:
             raise SystemExit(
@@ -86,6 +87,18 @@ def _cmd_train(args):
                 params, hist = fused_train(
                     windows, epochs=args.epochs, lr=args.lr, weights=weights,
                     seed=args.seed,
+                )
+        elif args.mesh:
+            # data-parallel tier: per-epoch streaming grad kernel under
+            # shard_map, gradient psum over the mesh data axis
+            from .ops import fused_train_scale_dp
+            from .parallel import create_mesh
+
+            with trace_to(args.trace):
+                params, hist = fused_train_scale_dp(
+                    windows, mesh=create_mesh(), epochs=args.epochs,
+                    lr=args.lr, weights=weights, seed=args.seed,
+                    tile=args.tile, compute_dtype=args.dtype,
                 )
         else:
             from .ops import fused_train_scale
@@ -112,6 +125,7 @@ def _cmd_train(args):
             "epochs": args.epochs, "lr": args.lr, "kld_weight": args.kld,
             "seed": args.seed, "windows": os.path.basename(args.windows),
             "trainer": ("fused" if args.fused
+                        else "fused-scale-dp" if args.fused_scale and args.mesh
                         else "fused-scale" if args.fused_scale else "scan"),
             **({"compute_dtype": args.dtype} if args.dtype else {}),
         }},
@@ -683,7 +697,8 @@ def main(argv=None):
         "--fused-scale", action="store_true",
         help="whole-run streaming Pallas kernel for production-scale "
              "corpora (corpus streamed through VMEM tile by tile; "
-             "supports --dtype)",
+             "supports --dtype; with --mesh, the data-parallel tier — "
+             "per-epoch grad kernel + psum over the mesh data axis)",
     )
     t.add_argument(
         "--tile", type=int, default=2048,

@@ -196,6 +196,22 @@ def test_parse_ckpt_specs():
         _parse_ckpt_specs(["x=a", "x=b"])
 
 
+def test_cli_train_trainer_flag_guards(tmp_path):
+    """Trainer-flag wiring: --fused stays single-chip (it rejects --mesh,
+    pointing at the --fused-scale DP tier), and the two fused flags are
+    mutually exclusive.  The kernels themselves are covered by
+    test_fused*.py (interpret) and bench.py (on-chip); these guards run
+    before any kernel work, so a windows file is all the setup needed."""
+    w = tmp_path / "w.npy"
+    np.save(w, np.zeros((8, 10, 3), np.float32))
+    base = ["train", "--scenario", "sce1", "--windows", str(w),
+            "--ckpt", str(tmp_path / "ck")]
+    with pytest.raises(SystemExit, match="fused-scale .data-parallel"):
+        main(base + ["--fused", "--mesh"])
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        main(base + ["--fused", "--fused-scale"])
+
+
 def test_cli_export(tmp_path, capsys):
     """defvae export: native checkpoint → reference-format .pth."""
     import jax
