@@ -354,6 +354,17 @@ def test_ensure_deterministic_hash_seed_reexec(tmp_path):
     assert "cannot be pinned" in out4.stderr
 
 
+def test_scale_ablation_smoke(monkeypatch):
+    """scripts/scale_ablation.py --smoke: the ablation variants compile in
+    interpret mode and agree on the epoch-0 loss components (the
+    correctness gate the on-chip evidence run passes through first)."""
+    import sys
+
+    monkeypatch.setattr(sys, "argv", ["scale_ablation.py", "--smoke"])
+    sa = _load("scale_ablation")
+    sa.main()  # raises on any variant disagreement
+
+
 def test_serve_latency_script_end_to_end(tmp_path, monkeypatch):
     """scripts/serve_latency.py produces its evidence JSON against a live
     endpoint (tiny steps/reps on the CPU backend)."""
