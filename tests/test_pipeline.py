@@ -230,11 +230,38 @@ def test_cli_train_fused_scale_wiring(tmp_path, all_windows, monkeypatch):
             "--ckpt", str(tmp_path / "x"), "--epochs", "10",
             "--fused", "--fused-scale",
         ])
+
+    # --fused-scale --mesh routes to the data-parallel tier (the compiled
+    # shard_map program is TPU-only — test_fused_scale.py covers it in
+    # interpret mode; this pins the CLI routing + manifest naming)
+    seen_dp = {}
+
+    def fake_scale_dp(windows, mesh, epochs, lr, weights, seed, tile,
+                      compute_dtype):
+        seen_dp.update(tile=tile, compute_dtype=compute_dtype,
+                       epochs=epochs, dp=mesh.shape["data"])
+        return fake_scale(windows, epochs, lr, weights, seed, tile,
+                          compute_dtype)
+
+    monkeypatch.setattr(ops, "fused_train_scale_dp", fake_scale_dp)
+    ck_dp = tmp_path / "ckpt_scale_dp"
+    main([
+        "train", "--scenario", "sce2", "--windows", str(w),
+        "--ckpt", str(ck_dp), "--epochs", "10",
+        "--fused-scale", "--mesh", "--tile", "512",
+    ])
+    assert seen_dp == {
+        "tile": 512, "compute_dtype": None, "epochs": 10, "dp": 8,
+    }
+    with open(ck_dp / "manifest.json") as f:
+        assert json.load(f)["recipe"]["trainer"] == "fused-scale-dp"
+
+    # the VMEM-resident --fused kernel stays single-chip
     with pytest.raises(SystemExit, match="single-chip"):
         main([
             "train", "--scenario", "sce2", "--windows", str(w),
             "--ckpt", str(tmp_path / "x"), "--epochs", "10",
-            "--fused-scale", "--mesh",
+            "--fused", "--mesh",
         ])
 
 
