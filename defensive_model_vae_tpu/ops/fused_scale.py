@@ -83,6 +83,43 @@ from .fused_trainer import (
 )
 
 
+def _value_and_grad(backward, params, x, cond, eps, cfg, weights, mask,
+                    n_valid, compute_dtype, mixed_style):
+    """Shared fwd+bwd step of both scale kernels: autodiff (traced
+    ``jax.value_and_grad``) or the hand-written backward
+    (:mod:`.manual_grad` — the ablation showed ~62% of kernel wall time is
+    Mosaic's autodiff-lowering; see that module for what changes)."""
+    if backward == "manual":
+        from .manual_grad import manual_value_and_grad
+
+        return manual_value_and_grad(
+            params, x, cond, eps, cfg, weights, mask, n_valid=n_valid,
+            compute_dtype=compute_dtype, mixed_style=mixed_style,
+        )
+    (_, comps), grads = jax.value_and_grad(
+        lambda pl_: _forward_loss(
+            pl_, x, cond, eps, cfg, weights, mask,
+            n_valid=n_valid, compute_dtype=compute_dtype,
+            mixed_style=mixed_style,
+        ),
+        has_aux=True,
+    )(params)
+    return comps, grads
+
+
+def _check_backward(backward, compute_dtype, mixed_style):
+    if backward not in ("auto", "manual"):
+        raise ValueError(
+            f"backward must be 'auto' or 'manual' (got {backward!r})"
+        )
+    if (backward == "manual" and compute_dtype is not None
+            and mixed_style != "f32_acts"):
+        raise ValueError(
+            "backward='manual' supports compute_dtype=None or the "
+            "'f32_acts' mixed style (bf16_chain keeps the autodiff path)"
+        )
+
+
 def _pack_corpus(x_flat, cond, mask, eps, latent_dim: int):
     """Pack [x_flat | cond | mask | eps] into ONE (N, F+C+1+Z) operand.
 
@@ -99,7 +136,8 @@ def _pack_corpus(x_flat, cond, mask, eps, latent_dim: int):
 
 def _make_scale_kernel(cfg: CVAEConfig, weights: LossWeights, lr: float,
                        n_params: int, n_tiles: int, n_valid: float,
-                       eps_input: bool, compute_dtype, mixed_style):
+                       eps_input: bool, compute_dtype, mixed_style,
+                       backward="auto"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -143,14 +181,10 @@ def _make_scale_kernel(cfg: CVAEConfig, weights: LossWeights, lr: float,
             eps = _normal_noise((x.shape[0], Z))
 
         params = [r[:] for r in out_refs]
-        (_, comps), grads = jax.value_and_grad(
-            lambda pl_: _forward_loss(
-                pl_, x, cond, eps, cfg, weights, mask,
-                n_valid=n_valid, compute_dtype=compute_dtype,
-                mixed_style=mixed_style,
-            ),
-            has_aux=True,
-        )(params)
+        comps, grads = _value_and_grad(
+            backward, params, x, cond, eps, cfg, weights, mask, n_valid,
+            compute_dtype, mixed_style,
+        )
         row = jnp.concatenate([comps, jnp.zeros(3)])
 
         # metrics block = 8 epochs × 8 (Mosaic requires sublane blocks of 8
@@ -191,12 +225,12 @@ def _make_scale_kernel(cfg: CVAEConfig, weights: LossWeights, lr: float,
     jax.jit,
     static_argnames=(
         "cfg", "weights", "epochs", "lr", "tile", "n_valid", "compute_dtype",
-        "mixed_style", "eps_input", "interpret",
+        "mixed_style", "eps_input", "interpret", "backward",
     ),
 )
 def _fused_scale_call(plist, packed, seed, cfg, weights, epochs, lr, tile,
                       n_valid, compute_dtype, mixed_style, eps_input,
-                      interpret=False):
+                      interpret=False, backward="auto"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -205,7 +239,7 @@ def _fused_scale_call(plist, packed, seed, cfg, weights, epochs, lr, tile,
     n_tiles = n_pad // tile
     kernel = _make_scale_kernel(
         cfg, weights, lr, n, n_tiles, n_valid, eps_input, compute_dtype,
-        mixed_style,
+        mixed_style, backward,
     )
 
     def const_block(arr):  # whole array, VMEM-resident across the grid
@@ -259,6 +293,7 @@ def fused_train_scale(
     mixed_style: str = "f32_acts",
     eps: np.ndarray = None,
     interpret: bool = False,
+    backward: str = "auto",
 ) -> Tuple[Params, Dict[str, np.ndarray]]:
     """Train on a production-scale corpus entirely inside ONE kernel launch.
 
@@ -282,12 +317,18 @@ def fused_train_scale(
         eps: optional (N, latent) explicit noise held constant across
             epochs — the interpret-mode escape hatch shared with the other
             fused kernels.
+        backward: ``"auto"`` (``jax.value_and_grad`` traced inside the
+            kernel) or ``"manual"`` (the hand-written backward of
+            :mod:`.manual_grad` — same math, restructured ops that dodge
+            Mosaic's autodiff-lowering overhead; f32 is bit-order-
+            equivalent, f32_acts differs in the last bf16 bit).
     """
     if mixed_style not in ("f32_acts", "bf16_chain"):
         raise ValueError(
             f"mixed_style must be 'f32_acts' or 'bf16_chain' "
             f"(got {mixed_style!r})"
         )
+    _check_backward(backward, compute_dtype, mixed_style)
     cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
     _check_vmem_budget(cfg)
     _check_scale_tile(cfg, tile, compute_dtype, mixed_style)
@@ -315,6 +356,7 @@ def fused_train_scale(
     out_plist, metrics = _fused_scale_call(
         tuple(plist), packed, seed_arr, cfg, weights, epochs, lr, tile,
         float(n), cdt, mixed_style, eps_input, interpret=interpret,
+        backward=backward,
     )
     metrics = np.asarray(metrics)[:epochs, :5]
     history = {k: metrics[:, i] for i, k in enumerate(FUSED_METRIC_KEYS)}
@@ -323,7 +365,7 @@ def fused_train_scale(
 
 def _make_grad_kernel(cfg: CVAEConfig, weights: LossWeights, n_params: int,
                       n_tiles: int, n_valid: float, eps_input: bool,
-                      compute_dtype, mixed_style):
+                      compute_dtype, mixed_style, backward="auto"):
     """ONE-EPOCH gradient kernel: grid over corpus tiles only.
 
     The whole-run kernel above owns the single-chip regime; this kernel is
@@ -361,14 +403,10 @@ def _make_grad_kernel(cfg: CVAEConfig, weights: LossWeights, n_params: int,
             eps = _normal_noise((x.shape[0], Z))
 
         params = [r[:] for r in p_refs]
-        (_, comps), grads = jax.value_and_grad(
-            lambda pl_: _forward_loss(
-                pl_, x, cond, eps, cfg, weights, mask,
-                n_valid=n_valid, compute_dtype=compute_dtype,
-                mixed_style=mixed_style,
-            ),
-            has_aux=True,
-        )(params)
+        comps, grads = _value_and_grad(
+            backward, params, x, cond, eps, cfg, weights, mask, n_valid,
+            compute_dtype, mixed_style,
+        )
         row = jnp.concatenate([comps, jnp.zeros(3)])
 
         @pl.when(i == 0)
@@ -387,7 +425,8 @@ def _make_grad_kernel(cfg: CVAEConfig, weights: LossWeights, n_params: int,
 
 
 def _grad_epoch_call(plist, packed, stream_base, cfg, weights, tile, n_valid,
-                     compute_dtype, mixed_style, eps_input, interpret=False):
+                     compute_dtype, mixed_style, eps_input, interpret=False,
+                     backward="auto"):
     """One epoch's (grads, loss row) over one device's corpus shard.
 
     NOT jitted itself — it is traced inside ``fused_train_scale_dp``'s scan
@@ -399,7 +438,7 @@ def _grad_epoch_call(plist, packed, stream_base, cfg, weights, tile, n_valid,
     n_tiles = n_pad // tile
     kernel = _make_grad_kernel(
         cfg, weights, len(plist), n_tiles, n_valid, eps_input, compute_dtype,
-        mixed_style,
+        mixed_style, backward,
     )
 
     def const_block(arr):
@@ -444,6 +483,7 @@ def fused_train_scale_dp(
     mixed_style: str = "f32_acts",
     eps: np.ndarray = None,
     interpret: bool = False,
+    backward: str = "auto",
 ) -> Tuple[Params, Dict[str, np.ndarray]]:
     """Data-parallel production-scale training with the streaming kernel.
 
@@ -473,12 +513,15 @@ def fused_train_scale_dp(
             epochs — the interpret-mode escape hatch shared with the other
             fused kernels (on-core PRNG otherwise, seeded i.i.d. per
             device x epoch x tile).
+        backward: ``"auto"`` or ``"manual"`` — see
+            :func:`fused_train_scale`.
     """
     if mixed_style not in ("f32_acts", "bf16_chain"):
         raise ValueError(
             f"mixed_style must be 'f32_acts' or 'bf16_chain' "
             f"(got {mixed_style!r})"
         )
+    _check_backward(backward, compute_dtype, mixed_style)
     cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
     _check_vmem_budget(cfg)
     _check_scale_tile(cfg, tile, compute_dtype, mixed_style)
@@ -518,7 +561,7 @@ def fused_train_scale_dp(
             grads, mrow = _grad_epoch_call(
                 pl_, packed_local, base.reshape(1, 1).astype(jnp.int32),
                 cfg, weights, tile, float(n), cdt, mixed_style, eps_input,
-                interpret=interpret,
+                interpret=interpret, backward=backward,
             )
             if mesh is not None:
                 grads = [jax.lax.psum(g, "data") for g in grads]

@@ -7,14 +7,17 @@ same (epochs x tiles) grid over the same streamed corpus, each removing one
 layer of work, timed interleaved in ONE process (entropy-fresh inputs per
 rep — identical-repeat elision is cross-process, CLAUDE.md):
 
-  full      the production kernel, on-core PRNG   (= bench scale_fused_*)
-  full_eps  production kernel, eps streamed        -> PRNG (Box-Muller) cost
-  dx        backward w.r.t. x only, eps streamed   -> dW matmuls + grad
-            accumulation + Adam cost (the "transposed matmul" term)
-  fwd       forward loss only, eps streamed        -> whole dy-chain cost
-  sol       FLOP-equivalent chained matmuls on the same streamed block,
-            no slicing/relu/loss                   -> MXU+stream speed of light
-  stream    read block, reduce, write              -> DMA/dispatch floor
+  full        the production kernel, on-core PRNG   (= bench scale_fused_*)
+  full_eps    production kernel, eps streamed        -> PRNG (Box-Muller) cost
+  manual      full kernel with the HAND-WRITTEN backward (ops/manual_grad),
+              on-core PRNG                           -> autodiff-lowering tax
+  manual_eps  manual backward, eps streamed
+  dx          backward w.r.t. x only, eps streamed   -> dW matmuls + grad
+              accumulation + Adam cost (the "transposed matmul" term)
+  fwd         forward loss only, eps streamed        -> whole dy-chain cost
+  sol         FLOP-equivalent chained matmuls on the same streamed block,
+              no slicing/relu/loss                   -> MXU+stream speed of light
+  stream      read block, reduce, write              -> DMA/dispatch floor
 
 Writes results/scale_ablation.json and prints the breakdown.
 
@@ -293,18 +296,20 @@ def main():
     ]
 
     def run(mode, rep):
-        if mode == "full":
+        if mode in ("full", "manual"):
             seed_arr = jnp.array([[_fresh()]], jnp.int32)
             _, m = _fused_scale_call(
                 plist, packed_zero, seed_arr, cfg, weights, EPOCHS, 1e-3,
                 TILE, float(N), cdt, "f32_acts", False, interpret=INTERPRET,
+                backward="manual" if mode == "manual" else "auto",
             )
             return m
-        if mode == "full_eps":
+        if mode in ("full_eps", "manual_eps"):
             seed_arr = jnp.array([[_fresh()]], jnp.int32)
             _, m = _fused_scale_call(
                 plist, packed_eps[rep], seed_arr, cfg, weights, EPOCHS, 1e-3,
                 TILE, float(N), cdt, "f32_acts", True, interpret=INTERPRET,
+                backward="manual" if mode == "manual_eps" else "auto",
             )
             return m
         if mode == "sol":
@@ -320,10 +325,10 @@ def main():
             packed_eps[rep], plist, mode, cfg, weights, float(N), cdt
         )
 
-    # the 'full' (on-core PRNG) variant cannot run in interpret mode — the
-    # prng_random_bits stub yields zeros that inf the Box-Muller transform
-    variants = (["full"] if not SMOKE else []) + [
-        "full_eps", "dx", "fwd", "sol", "stream",
+    # the 'full'/'manual' (on-core PRNG) variants cannot run in interpret
+    # mode — the prng_random_bits stub yields zeros that inf Box-Muller
+    variants = (["full", "manual"] if not SMOKE else []) + [
+        "full_eps", "manual_eps", "dx", "fwd", "sol", "stream",
     ]
     times = {v: [] for v in variants}
     last_m = {}
@@ -345,8 +350,13 @@ def main():
         # updating params AFTER its first epoch), and fwd's rows stay
         # constant across epochs while training moves full_eps's
         fe, dx, fw = last_m["full_eps"], last_m["dx"], last_m["fwd"]
+        me = last_m["manual_eps"]
         assert np.allclose(fe[0, :5], fw[0, :5], rtol=1e-4), (fe[0], fw[0])
         assert np.allclose(dx[0, :5], fw[0, :5], rtol=1e-4), (dx[0], fw[0])
+        # the manual backward shares the forward math (merged head only
+        # reorders fp sums) and must descend like the autodiff kernel
+        assert np.allclose(me[0, :5], fe[0, :5], rtol=1e-4), (me[0], fe[0])
+        assert not np.allclose(me[0, 0], me[EPOCHS - 1, 0], rtol=1e-3)
         assert np.allclose(fw[0, :5], fw[EPOCHS - 1, :5], rtol=1e-4)
         assert not np.allclose(fe[0, 0], fe[EPOCHS - 1, 0], rtol=1e-3)
         assert np.isfinite(dx[0, 5])  # the dx reduction actually flowed
@@ -368,6 +378,7 @@ def main():
         }
     b = {v: out["variants"][v]["best_s"] for v in variants}
     out["breakdown_s"] = {
+        "manual_backward_saves": round(b["full"] - b["manual"], 4),
         "prng": round(b["full"] - b["full_eps"], 4),
         "dw_acc_adam": round(b["full_eps"] - b["dx"], 4),
         "dy_chain": round(b["dx"] - b["fwd"], 4),

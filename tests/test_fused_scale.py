@@ -108,6 +108,138 @@ def test_scale_kernel_bf16_descends():
         assert np.all(np.isfinite(np.asarray(p)))
 
 
+def test_manual_grads_match_autodiff():
+    """The hand-written backward (ops/manual_grad) == jax.grad of the
+    shared _forward_loss to fp order in f32, for every masking mode; the
+    f32_acts mixed style agrees within bf16 rounding (its backward dots
+    cast dy to bf16 where autodiff keeps the f32 cotangent)."""
+    import jax.numpy as jnp
+
+    from defensive_model_vae_tpu.models import LossWeights
+    from defensive_model_vae_tpu.ops.fused_trainer import (
+        _forward_loss,
+        fused_inputs,
+    )
+    from defensive_model_vae_tpu.ops.manual_grad import manual_value_and_grad
+
+    w = _tiny_corpus(24, seed=21)
+    x_flat, start = fused_inputs(w)
+    eps = jax.random.normal(jax.random.PRNGKey(12), (24, CFG.latent_dim))
+    plist = _flatten_params(init_params(jax.random.PRNGKey(0), CFG))
+    lw = LossWeights()
+    part_mask = jnp.concatenate([jnp.ones((20, 1)), jnp.zeros((4, 1))])
+
+    for mask, nv in [(None, None), (part_mask, 24.0), (part_mask, None)]:
+        (_, comps), grads = jax.value_and_grad(
+            lambda pl_: _forward_loss(
+                pl_, x_flat, start, eps, CFG, lw, mask, n_valid=nv
+            ),
+            has_aux=True,
+        )(plist)
+        comps_m, grads_m = manual_value_and_grad(
+            plist, x_flat, start, eps, CFG, lw, mask, n_valid=nv
+        )
+        assert np.allclose(np.asarray(comps), np.asarray(comps_m), atol=1e-7)
+        for a, b in zip(grads, grads_m):
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.allclose(a, b, atol=2e-6 * max(np.abs(a).max(), 1e-3))
+
+    x_bf = x_flat.astype(jnp.bfloat16)
+    (_, comps), grads = jax.value_and_grad(
+        lambda pl_: _forward_loss(
+            pl_, x_bf, start.astype(jnp.bfloat16), eps.astype(jnp.bfloat16),
+            CFG, lw, jnp.ones((24, 1)), n_valid=24.0,
+            compute_dtype=jnp.bfloat16, mixed_style="f32_acts",
+        ),
+        has_aux=True,
+    )(plist)
+    comps_m, grads_m = manual_value_and_grad(
+        plist, x_bf, start.astype(jnp.bfloat16), eps.astype(jnp.bfloat16),
+        CFG, lw, jnp.ones((24, 1)), n_valid=24.0,
+        compute_dtype=jnp.bfloat16, mixed_style="f32_acts",
+    )
+    assert np.allclose(np.asarray(comps), np.asarray(comps_m), atol=1e-6)
+    for a, b in zip(grads, grads_m):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.allclose(a, b, atol=2e-2 * max(np.abs(a).max(), 1e-3))
+
+
+def test_scale_kernel_manual_backward_matches_tiled_oracle():
+    """backward='manual' in the whole-run kernel (interpret, f32, explicit
+    eps) == the same plain-XLA tiled oracle as the autodiff path — the
+    hand-written backward changes op structure, not semantics."""
+    w = _tiny_corpus(24)
+    eps = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(7), (24, CFG.latent_dim))
+    )
+    params, hist = fused_train_scale(
+        w, epochs=4, tile=8, compute_dtype=None, eps=eps, interpret=True,
+        backward="manual",
+    )
+    ref_params, ref_hist = fused_scale_reference(
+        init_params(jax.random.PRNGKey(0), CFG), w, eps, epochs=4, tile=8
+    )
+    for a, b in zip(_flatten_params(params), _flatten_params(ref_params)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    got = np.stack(
+        [hist[k] for k in ("total", "recon", "kld", "start", "time")], 1
+    )
+    assert np.allclose(got, ref_hist, rtol=1e-5, atol=1e-5)
+
+
+def test_scale_kernel_manual_backward_bf16_descends():
+    """Manual backward in the f32_acts mixed style: finite, descending,
+    f32 masters (the production configuration of the manual path)."""
+    w = _tiny_corpus(32, seed=9)
+    eps = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(6), (32, CFG.latent_dim))
+    )
+    params, hist = fused_train_scale(
+        w, epochs=6, tile=16, compute_dtype="bfloat16",
+        mixed_style="f32_acts", eps=eps, interpret=True, backward="manual",
+    )
+    assert np.all(np.isfinite(hist["total"]))
+    assert hist["total"][-1] < hist["total"][0]
+    for p in _flatten_params(params):
+        assert np.asarray(p).dtype == np.float32
+        assert np.all(np.isfinite(np.asarray(p)))
+
+
+def test_scale_dp_manual_backward_matches_oracle_on_mesh():
+    """backward='manual' through the DP tier (per-epoch grad kernel in
+    shard_map) still reproduces the full-batch objective on the CPU mesh."""
+    n = 64
+    w = _tiny_corpus(n, seed=13)
+    eps = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(3), (n, CFG.latent_dim))
+    )
+    mesh = create_mesh(shape=(8, 1))
+    params, hist = fused_train_scale_dp(
+        w, mesh=mesh, epochs=3, tile=8, compute_dtype=None, eps=eps,
+        interpret=True, backward="manual",
+    )
+    ref_params, ref_hist = fused_scale_reference(
+        init_params(jax.random.PRNGKey(0), CFG), w, eps, epochs=3, tile=None
+    )
+    for a, b in zip(_flatten_params(params), _flatten_params(ref_params)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    got = np.stack(
+        [hist[k] for k in ("total", "recon", "kld", "start", "time")], 1
+    )
+    assert np.allclose(got, ref_hist, rtol=1e-4, atol=1e-5)
+
+
+def test_scale_backward_guards():
+    w = _tiny_corpus(16)
+    with pytest.raises(ValueError, match="backward"):
+        fused_train_scale(w, epochs=1, tile=16, compute_dtype=None,
+                          backward="handrolled", interpret=True)
+    with pytest.raises(ValueError, match="bf16_chain"):
+        fused_train_scale(w, epochs=1, tile=16, compute_dtype="bfloat16",
+                          mixed_style="bf16_chain", backward="manual",
+                          interpret=True)
+
+
 def test_scale_dp_matches_oracle_on_mesh():
     """The data-parallel tier (per-epoch grad kernel in shard_map + psum +
     replicated Adam) reproduces the full-batch objective on the 8-device
