@@ -56,6 +56,8 @@ def _cmd_train(args):
     )
     if args.fused and args.fused_scale:
         raise SystemExit("--fused and --fused-scale are mutually exclusive")
+    if args.backward != "auto" and not args.fused_scale:
+        raise SystemExit("--backward applies to --fused-scale only")
     if args.fused or args.fused_scale:
         flag = "--fused" if args.fused else "--fused-scale"
         if args.fused and args.mesh:
@@ -99,6 +101,7 @@ def _cmd_train(args):
                     windows, mesh=create_mesh(), epochs=args.epochs,
                     lr=args.lr, weights=weights, seed=args.seed,
                     tile=args.tile, compute_dtype=args.dtype,
+                    backward=args.backward,
                 )
         else:
             from .ops import fused_train_scale
@@ -109,6 +112,7 @@ def _cmd_train(args):
                 params, hist = fused_train_scale(
                     windows, epochs=args.epochs, lr=args.lr, weights=weights,
                     seed=args.seed, tile=args.tile, compute_dtype=args.dtype,
+                    backward=args.backward,
                 )
     else:
         mesh = None
@@ -128,6 +132,8 @@ def _cmd_train(args):
                         else "fused-scale-dp" if args.fused_scale and args.mesh
                         else "fused-scale" if args.fused_scale else "scan"),
             **({"compute_dtype": args.dtype} if args.dtype else {}),
+            **({"backward": args.backward} if args.backward != "auto"
+               else {}),
         }},
     )
     print(
@@ -703,6 +709,13 @@ def main(argv=None):
     t.add_argument(
         "--tile", type=int, default=2048,
         help="--fused-scale streamed block height (measured best: 2048)",
+    )
+    t.add_argument(
+        "--backward", choices=("auto", "manual"), default="auto",
+        help="--fused-scale gradient path: 'auto' traces jax.value_and_grad "
+             "inside the kernel; 'manual' uses the hand-written backward "
+             "(ops/manual_grad — same math, dodges Mosaic's autodiff-"
+             "lowering overhead)",
     )
     t.set_defaults(fn=_cmd_train)
 

@@ -204,8 +204,10 @@ def test_cli_train_fused_scale_wiring(tmp_path, all_windows, monkeypatch):
     np.save(w, all_windows["sce2"])
     seen = {}
 
-    def fake_scale(windows, epochs, lr, weights, seed, tile, compute_dtype):
-        seen.update(tile=tile, compute_dtype=compute_dtype, epochs=epochs)
+    def fake_scale(windows, epochs, lr, weights, seed, tile, compute_dtype,
+                   backward="auto"):
+        seen.update(tile=tile, compute_dtype=compute_dtype, epochs=epochs,
+                    backward=backward)
         from defensive_model_vae_tpu.models import CVAEConfig, init_params
         import jax
         cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
@@ -218,11 +220,14 @@ def test_cli_train_fused_scale_wiring(tmp_path, all_windows, monkeypatch):
     main([
         "train", "--scenario", "sce2", "--windows", str(w),
         "--ckpt", str(ck), "--epochs", "10", "--fused-scale",
-        "--tile", "1024", "--dtype", "bfloat16",
+        "--tile", "1024", "--dtype", "bfloat16", "--backward", "manual",
     ])
-    assert seen == {"tile": 1024, "compute_dtype": "bfloat16", "epochs": 10}
+    assert seen == {"tile": 1024, "compute_dtype": "bfloat16", "epochs": 10,
+                    "backward": "manual"}
     with open(ck / "manifest.json") as f:
-        assert json.load(f)["recipe"]["trainer"] == "fused-scale"
+        recipe = json.load(f)["recipe"]
+    assert recipe["trainer"] == "fused-scale"
+    assert recipe["backward"] == "manual"
 
     with pytest.raises(SystemExit, match="mutually exclusive"):
         main([
@@ -237,9 +242,10 @@ def test_cli_train_fused_scale_wiring(tmp_path, all_windows, monkeypatch):
     seen_dp = {}
 
     def fake_scale_dp(windows, mesh, epochs, lr, weights, seed, tile,
-                      compute_dtype):
+                      compute_dtype, backward="auto"):
         seen_dp.update(tile=tile, compute_dtype=compute_dtype,
-                       epochs=epochs, dp=mesh.shape["data"])
+                       epochs=epochs, dp=mesh.shape["data"],
+                       backward=backward)
         return fake_scale(windows, epochs, lr, weights, seed, tile,
                           compute_dtype)
 
@@ -252,6 +258,7 @@ def test_cli_train_fused_scale_wiring(tmp_path, all_windows, monkeypatch):
     ])
     assert seen_dp == {
         "tile": 512, "compute_dtype": None, "epochs": 10, "dp": 8,
+        "backward": "auto",
     }
     with open(ck_dp / "manifest.json") as f:
         assert json.load(f)["recipe"]["trainer"] == "fused-scale-dp"
@@ -262,6 +269,13 @@ def test_cli_train_fused_scale_wiring(tmp_path, all_windows, monkeypatch):
             "train", "--scenario", "sce2", "--windows", str(w),
             "--ckpt", str(tmp_path / "x"), "--epochs", "10",
             "--fused", "--mesh",
+        ])
+    # --backward is a --fused-scale option
+    with pytest.raises(SystemExit, match="fused-scale only"):
+        main([
+            "train", "--scenario", "sce2", "--windows", str(w),
+            "--ckpt", str(tmp_path / "x"), "--epochs", "10",
+            "--backward", "manual",
         ])
 
 
