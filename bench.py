@@ -317,19 +317,24 @@ def bench_scale_fused(n=131072, epochs=200, tile=2048, compute_dtype="bfloat16")
     FLOP/activation-byte to ~10k FLOP/corpus-byte — HBM stops being the
     binding resource (``scale_fused_gbps`` shows the corpus stream is far
     off the HBM roof).  Measured: the kernel then hits a NEW ceiling of
-    per-tile VPU/relayout work, not the MXU — a 26-55M windows/s bf16
-    band across Mosaic lowering variants / tunnel conditions (the known
-    ~2x Pallas spread per CLAUDE.md): the favorable lowering (54-55M,
-    ~21.5% MFU) beats the scan trainer (~35M) by ~1.6x, the unfavorable
-    one lands below it — with the structural win that the whole run is
-    one dispatch either way.  tile=2048 measured best in the sweep
-    (1024: 35.3M, 4096: 31.1M).  The ceiling's on-chip decomposition
-    (scripts/scale_ablation.py → results/scale_ablation.json): ~62% of
-    wall time is Mosaic's backward lowering (dy-chain VJPs + transposed
-    dW dot_generals); a FLOP-equivalent pure-matmul kernel on the same
-    streamed grid runs at 72% of MXU peak — see DESIGN.md.
+    per-tile VPU/relayout work, not the MXU — the on-chip decomposition
+    (scripts/scale_ablation.py → results/scale_ablation.json) pinned
+    ~62% of the traced-autodiff kernel's wall time on Mosaic's backward
+    lowering (dy-chain VJPs + transposed dW dot_generals; a FLOP-
+    equivalent pure-matmul kernel on the same streamed grid runs at 72%
+    of MXU peak), so the production default is now the HAND-WRITTEN
+    backward (``ops/manual_grad``, ``backward='manual'``): measured
+    67.1M windows/s vs the autodiff kernel's 53.9M on the same grid
+    (+24%; eps-streamed +34%).  Historical autodiff band: 26-55M across
+    Mosaic lowering variants / tunnel conditions (the known ~2x Pallas
+    spread per CLAUDE.md) vs the scan trainer's ~35M; tile=2048 measured
+    best in the sweep (1024: 35.3M, 4096: 31.1M).  The autodiff kernel
+    is still timed each round (``scale_fused_autodiff_windows_per_sec``)
+    so the cross-round series stays comparable and the manual-backward
+    edge is re-measured, not assumed.
 
-    Returns (windows/s, TFLOP/s, corpus-GB/s) or raises on divergence."""
+    Returns (windows/s, TFLOP/s, corpus-GB/s, autodiff-windows/s) or
+    raises on divergence."""
     import jax
     import jax.numpy as jnp
 
@@ -379,15 +384,26 @@ def bench_scale_fused(n=131072, epochs=200, tile=2048, compute_dtype="bfloat16")
         for p in _flatten_params(init_params(jax.random.PRNGKey(0), cfg))
     )
     best = float("inf")
+    best_auto = float("inf")
     for s in range(sbase + 1, sbase + 4):
         seed_arr = jnp.array([[s]], jnp.int32)
         t0 = time.time()
         _, metrics = _fused_scale_call(
             plist, packed, seed_arr, cfg, LossWeights(), epochs, 1e-3,
-            tile, float(n), cdt, "f32_acts", False,
+            tile, float(n), cdt, "f32_acts", False, backward="manual",
         )
         np.asarray(metrics)
         best = min(best, time.time() - t0)
+        # the pre-manual-backward kernel, timed interleaved for the
+        # cross-round series (and to re-measure the manual edge)
+        seed_arr = jnp.array([[s + (1 << 20)]], jnp.int32)
+        t0 = time.time()
+        _, metrics = _fused_scale_call(
+            plist, packed, seed_arr, cfg, LossWeights(), epochs, 1e-3,
+            tile, float(n), cdt, "f32_acts", False, backward="auto",
+        )
+        np.asarray(metrics)
+        best_auto = min(best_auto, time.time() - t0)
     rate = epochs * n / best
     fpw = _flops_per_window(windows)
     tflops = rate * fpw / 1e12
@@ -396,6 +412,7 @@ def bench_scale_fused(n=131072, epochs=200, tile=2048, compute_dtype="bfloat16")
     width = cfg.seq_len * cfg.dim + cfg.cond_dim + 1 + cfg.latent_dim
     bpw = width * (2 if compute_dtype == "bfloat16" else 4)
     gbps = rate * bpw / 1e9
+    rate_auto = epochs * n / best_auto
     tag = f" [{compute_dtype}]" if compute_dtype else ""
     _log(
         f"scale-fused{tag}: {n} windows x {epochs} epochs in ONE kernel "
@@ -403,9 +420,11 @@ def bench_scale_fused(n=131072, epochs=200, tile=2048, compute_dtype="bfloat16")
         f"{rate/1e6:.1f}M windows/s, {tflops:.1f} TFLOP/s "
         f"({100 * tflops * 1e12 / V5E_PEAK_FLOPS:.1f}% of v5e bf16 peak; "
         f"corpus stream {gbps:.0f} GB/s — HBM retired as the binding "
-        f"resource, ceiling is per-tile VPU/relayout work)"
+        f"resource, ceiling is per-tile VPU/relayout work); "
+        f"manual backward vs traced autodiff ({rate_auto/1e6:.1f}M): "
+        f"{rate/rate_auto:.2f}x"
     )
-    return rate, tflops, gbps
+    return rate, tflops, gbps, rate_auto
 
 
 def bench_torch_baseline(windows, epochs=200):
@@ -827,6 +846,11 @@ def main():
             100 * scale_fused[1] * 1e12 / V5E_PEAK_FLOPS, 3
         )
         result["scale_fused_gbps"] = round(scale_fused[2], 1)
+        # the pre-manual-backward (traced autodiff) kernel, for the
+        # cross-round series and the re-measured manual edge
+        result["scale_fused_autodiff_windows_per_sec"] = round(
+            scale_fused[3], 1
+        )
     print(json.dumps(result))
 
 

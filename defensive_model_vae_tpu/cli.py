@@ -56,7 +56,7 @@ def _cmd_train(args):
     )
     if args.fused and args.fused_scale:
         raise SystemExit("--fused and --fused-scale are mutually exclusive")
-    if args.backward != "auto" and not args.fused_scale:
+    if args.backward is not None and not args.fused_scale:
         raise SystemExit("--backward applies to --fused-scale only")
     if args.fused or args.fused_scale:
         flag = "--fused" if args.fused else "--fused-scale"
@@ -132,7 +132,7 @@ def _cmd_train(args):
                         else "fused-scale-dp" if args.fused_scale and args.mesh
                         else "fused-scale" if args.fused_scale else "scan"),
             **({"compute_dtype": args.dtype} if args.dtype else {}),
-            **({"backward": args.backward} if args.backward != "auto"
+            **({"backward": args.backward} if args.backward is not None
                else {}),
         }},
     )
@@ -711,11 +711,11 @@ def main(argv=None):
         help="--fused-scale streamed block height (measured best: 2048)",
     )
     t.add_argument(
-        "--backward", choices=("auto", "manual"), default="auto",
+        "--backward", choices=("auto", "manual"), default=None,
         help="--fused-scale gradient path: 'auto' traces jax.value_and_grad "
              "inside the kernel; 'manual' uses the hand-written backward "
-             "(ops/manual_grad — same math, dodges Mosaic's autodiff-"
-             "lowering overhead)",
+             "(ops/manual_grad — same math, measured 24-34%% faster).  "
+             "Default picks manual wherever supported",
     )
     t.set_defaults(fn=_cmd_train)
 

@@ -42,17 +42,19 @@ the corpus (~80 B/window in bf16 vs ~4.4 KB/window of activations) raises
 the intensity to ~10k FLOP/B, retiring HBM as the binding resource.
 Measured outcome (131072 windows × 200 epochs, on-chip tile sweep): the
 kernel then hits a NEW ceiling of per-tile VPU/relayout work, not the
-MXU.  Band across Mosaic lowering variants / tunnel conditions (the known
-~2× Pallas spread): 26–55M windows/s bf16 at tile=2048 — the favorable
-lowering (measured 54–55M, ~21.5% MFU) beats the scan trainer (~35M) by
-~1.6×, the unfavorable one lands below it — with the structural win that
-the entire run is ONE dispatch instead of one per epoch.  The ceiling is
-decomposed by a six-variant on-chip ablation
+MXU.  The ceiling is decomposed by the on-chip ablation
 (``scripts/scale_ablation.py`` → ``results/scale_ablation.json``): a
 FLOP-equivalent pure-matmul kernel on the same streamed grid sustains
-72% of MXU peak, and ~62% of the full kernel's wall time is Mosaic's
-BACKWARD lowering (per-layer cast/select VJPs in the dy chain + the 12
-per-tile transposed dW dot_generals) — see DESIGN.md for the table.
+72% of MXU peak, and ~62% of the traced-autodiff kernel's wall time is
+Mosaic's BACKWARD lowering (per-layer cast/select VJPs in the dy chain +
+the 12 per-tile transposed dW dot_generals) — which is why the backward
+is now HAND-WRITTEN by default (:mod:`.manual_grad`, ``backward``
+option): measured 67.1M windows/s bf16 at tile=2048 vs the autodiff
+kernel's 53.9M on the same grid (+24%; eps-streamed +34%), vs ~35M for
+the scan trainer — on top of the structural win that the entire run is
+ONE dispatch instead of one per epoch.  The autodiff kernel's historical
+band was 26–55M across Mosaic lowering variants / tunnel conditions (the
+known ~2× Pallas spread); see DESIGN.md for the decomposition table.
 
 Unlike the VMEM-resident kernels this one has no epoch cap (the metrics
 block is (1, 8) per grid step) and no corpus-size cap (tiles stream from
@@ -107,17 +109,26 @@ def _value_and_grad(backward, params, x, cond, eps, cfg, weights, mask,
     return comps, grads
 
 
-def _check_backward(backward, compute_dtype, mixed_style):
+def _resolve_backward(backward, compute_dtype, mixed_style):
+    """Default (None): the hand-written backward wherever it is supported —
+    measured 24-34% faster than the traced-autodiff kernel on-chip
+    (results/scale_ablation.json: full 0.486 s -> manual 0.390 s,
+    eps-streamed 0.433 -> 0.323 s at 131072x200) — with autodiff kept for
+    the bf16_chain parity mode, whose whole-chain casts ARE the autodiff
+    structure the manual path replaces."""
+    manual_ok = compute_dtype is None or mixed_style == "f32_acts"
+    if backward is None:
+        return "manual" if manual_ok else "auto"
     if backward not in ("auto", "manual"):
         raise ValueError(
             f"backward must be 'auto' or 'manual' (got {backward!r})"
         )
-    if (backward == "manual" and compute_dtype is not None
-            and mixed_style != "f32_acts"):
+    if backward == "manual" and not manual_ok:
         raise ValueError(
             "backward='manual' supports compute_dtype=None or the "
             "'f32_acts' mixed style (bf16_chain keeps the autodiff path)"
         )
+    return backward
 
 
 def _pack_corpus(x_flat, cond, mask, eps, latent_dim: int):
@@ -293,7 +304,7 @@ def fused_train_scale(
     mixed_style: str = "f32_acts",
     eps: np.ndarray = None,
     interpret: bool = False,
-    backward: str = "auto",
+    backward: str = None,
 ) -> Tuple[Params, Dict[str, np.ndarray]]:
     """Train on a production-scale corpus entirely inside ONE kernel launch.
 
@@ -321,14 +332,16 @@ def fused_train_scale(
             kernel) or ``"manual"`` (the hand-written backward of
             :mod:`.manual_grad` — same math, restructured ops that dodge
             Mosaic's autodiff-lowering overhead; f32 is bit-order-
-            equivalent, f32_acts differs in the last bf16 bit).
+            equivalent, f32_acts differs in the last bf16 bit).  Default
+            ``None`` selects manual wherever supported (measured 24-34%
+            faster on-chip — see ``_resolve_backward``).
     """
     if mixed_style not in ("f32_acts", "bf16_chain"):
         raise ValueError(
             f"mixed_style must be 'f32_acts' or 'bf16_chain' "
             f"(got {mixed_style!r})"
         )
-    _check_backward(backward, compute_dtype, mixed_style)
+    backward = _resolve_backward(backward, compute_dtype, mixed_style)
     cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
     _check_vmem_budget(cfg)
     _check_scale_tile(cfg, tile, compute_dtype, mixed_style)
@@ -483,7 +496,7 @@ def fused_train_scale_dp(
     mixed_style: str = "f32_acts",
     eps: np.ndarray = None,
     interpret: bool = False,
-    backward: str = "auto",
+    backward: str = None,
 ) -> Tuple[Params, Dict[str, np.ndarray]]:
     """Data-parallel production-scale training with the streaming kernel.
 
@@ -521,7 +534,7 @@ def fused_train_scale_dp(
             f"mixed_style must be 'f32_acts' or 'bf16_chain' "
             f"(got {mixed_style!r})"
         )
-    _check_backward(backward, compute_dtype, mixed_style)
+    backward = _resolve_backward(backward, compute_dtype, mixed_style)
     cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
     _check_vmem_budget(cfg)
     _check_scale_tile(cfg, tile, compute_dtype, mixed_style)

@@ -164,17 +164,18 @@ def test_manual_grads_match_autodiff():
         assert np.allclose(a, b, atol=2e-2 * max(np.abs(a).max(), 1e-3))
 
 
-def test_scale_kernel_manual_backward_matches_tiled_oracle():
-    """backward='manual' in the whole-run kernel (interpret, f32, explicit
-    eps) == the same plain-XLA tiled oracle as the autodiff path — the
-    hand-written backward changes op structure, not semantics."""
+def test_scale_kernel_autodiff_backward_matches_tiled_oracle():
+    """backward='auto' (the traced-jax.value_and_grad path, no longer the
+    default — _resolve_backward picks the hand-written backward where
+    supported) still matches the tiled oracle: both gradient paths stay
+    oracle-pinned.  The default-path tests above now cover 'manual'."""
     w = _tiny_corpus(24)
     eps = np.asarray(
         jax.random.normal(jax.random.PRNGKey(7), (24, CFG.latent_dim))
     )
     params, hist = fused_train_scale(
         w, epochs=4, tile=8, compute_dtype=None, eps=eps, interpret=True,
-        backward="manual",
+        backward="auto",
     )
     ref_params, ref_hist = fused_scale_reference(
         init_params(jax.random.PRNGKey(0), CFG), w, eps, epochs=4, tile=8
@@ -187,16 +188,16 @@ def test_scale_kernel_manual_backward_matches_tiled_oracle():
     assert np.allclose(got, ref_hist, rtol=1e-5, atol=1e-5)
 
 
-def test_scale_kernel_manual_backward_bf16_descends():
-    """Manual backward in the f32_acts mixed style: finite, descending,
-    f32 masters (the production configuration of the manual path)."""
+def test_scale_kernel_autodiff_backward_bf16_descends():
+    """Autodiff backward in the f32_acts mixed style (the non-default
+    path): finite, descending, f32 masters."""
     w = _tiny_corpus(32, seed=9)
     eps = np.asarray(
         jax.random.normal(jax.random.PRNGKey(6), (32, CFG.latent_dim))
     )
     params, hist = fused_train_scale(
         w, epochs=6, tile=16, compute_dtype="bfloat16",
-        mixed_style="f32_acts", eps=eps, interpret=True, backward="manual",
+        mixed_style="f32_acts", eps=eps, interpret=True, backward="auto",
     )
     assert np.all(np.isfinite(hist["total"]))
     assert hist["total"][-1] < hist["total"][0]
@@ -205,9 +206,10 @@ def test_scale_kernel_manual_backward_bf16_descends():
         assert np.all(np.isfinite(np.asarray(p)))
 
 
-def test_scale_dp_manual_backward_matches_oracle_on_mesh():
-    """backward='manual' through the DP tier (per-epoch grad kernel in
-    shard_map) still reproduces the full-batch objective on the CPU mesh."""
+def test_scale_dp_autodiff_backward_matches_oracle_on_mesh():
+    """backward='auto' through the DP tier (per-epoch grad kernel in
+    shard_map) still reproduces the full-batch objective on the CPU mesh
+    (the DP default-path tests now cover the manual backward)."""
     n = 64
     w = _tiny_corpus(n, seed=13)
     eps = np.asarray(
@@ -216,7 +218,7 @@ def test_scale_dp_manual_backward_matches_oracle_on_mesh():
     mesh = create_mesh(shape=(8, 1))
     params, hist = fused_train_scale_dp(
         w, mesh=mesh, epochs=3, tile=8, compute_dtype=None, eps=eps,
-        interpret=True, backward="manual",
+        interpret=True, backward="auto",
     )
     ref_params, ref_hist = fused_scale_reference(
         init_params(jax.random.PRNGKey(0), CFG), w, eps, epochs=3, tile=None

@@ -205,7 +205,7 @@ def test_cli_train_fused_scale_wiring(tmp_path, all_windows, monkeypatch):
     seen = {}
 
     def fake_scale(windows, epochs, lr, weights, seed, tile, compute_dtype,
-                   backward="auto"):
+                   backward=None):
         seen.update(tile=tile, compute_dtype=compute_dtype, epochs=epochs,
                     backward=backward)
         from defensive_model_vae_tpu.models import CVAEConfig, init_params
@@ -242,7 +242,7 @@ def test_cli_train_fused_scale_wiring(tmp_path, all_windows, monkeypatch):
     seen_dp = {}
 
     def fake_scale_dp(windows, mesh, epochs, lr, weights, seed, tile,
-                      compute_dtype, backward="auto"):
+                      compute_dtype, backward=None):
         seen_dp.update(tile=tile, compute_dtype=compute_dtype,
                        epochs=epochs, dp=mesh.shape["data"],
                        backward=backward)
@@ -258,7 +258,7 @@ def test_cli_train_fused_scale_wiring(tmp_path, all_windows, monkeypatch):
     ])
     assert seen_dp == {
         "tile": 512, "compute_dtype": None, "epochs": 10, "dp": 8,
-        "backward": "auto",
+        "backward": None,
     }
     with open(ck_dp / "manifest.json") as f:
         assert json.load(f)["recipe"]["trainer"] == "fused-scale-dp"
