@@ -201,6 +201,15 @@ def _forward_loss(plist, x_flat, cond, eps, cfg: CVAEConfig, w: LossWeights,
     return total, jnp.stack([total, recon_loss, kld, start_loss, time_loss])
 
 
+def _check_backward_arg(backward):
+    """These kernels are pure-f32, so both gradient paths are always
+    available (no mixed-style restriction like fused_scale's)."""
+    if backward not in ("auto", "manual"):
+        raise ValueError(
+            f"backward must be 'auto' or 'manual' (got {backward!r})"
+        )
+
+
 def _check_epoch_budget(epochs: int, buffers: int = 2):
     """The kernels' metrics block ((epochs, 8) in VMEM, lane-padded to 128,
     and DOUBLE-buffered by the grid pipeline — ``buffers=2`` for the grid
@@ -275,19 +284,36 @@ def _adam_step(params, grads, m, v, tf, lr):
     return new_p, new_m, new_v
 
 
-def _epoch_body(cfg, weights, lr, x, cond, mask, get_eps, write_metrics):
+def _epoch_body(cfg, weights, lr, x, cond, mask, get_eps, write_metrics,
+                backward="manual"):
     """The per-epoch training step shared by BOTH Pallas kernels (single
-    whole-run and grid): explicit-or-core-PRNG noise, value_and_grad over
+    whole-run and grid): explicit-or-core-PRNG noise, forward+backward over
     the flat params, Adam via :func:`_adam_step`, metric write.  One body →
-    the single/grid kernels cannot drift apart."""
+    the single/grid kernels cannot drift apart.
+
+    ``backward`` selects the gradient path: ``"manual"`` (default) is the
+    hand-written backward of :mod:`.manual_grad` — fp-order-equivalent to
+    autodiff in these kernels' pure-f32 regime, measured faster on-chip
+    (the scale-kernel ablation pinned ~62% of traced-autodiff wall time on
+    Mosaic's backward lowering; see fused_scale) — ``"auto"`` keeps the
+    traced ``jax.value_and_grad``."""
 
     def body(t, carry):
         params, m, v = carry
         eps = get_eps()
-        (_, comps), grads = jax.value_and_grad(
-            lambda pl_: _forward_loss(pl_, x, cond, eps, cfg, weights, mask),
-            has_aux=True,
-        )(params)
+        if backward == "manual":
+            from .manual_grad import manual_value_and_grad
+
+            comps, grads = manual_value_and_grad(
+                params, x, cond, eps, cfg, weights, mask
+            )
+        else:
+            (_, comps), grads = jax.value_and_grad(
+                lambda pl_: _forward_loss(
+                    pl_, x, cond, eps, cfg, weights, mask
+                ),
+                has_aux=True,
+            )(params)
         new_p, new_m, new_v = _adam_step(
             params, grads, m, v, (t + 1).astype(jnp.float32), lr
         )
@@ -298,7 +324,7 @@ def _epoch_body(cfg, weights, lr, x, cond, mask, get_eps, write_metrics):
 
 
 def _make_kernel(cfg: CVAEConfig, weights: LossWeights, epochs: int, lr: float,
-                 n_params: int, eps_input: bool):
+                 n_params: int, eps_input: bool, backward="manual"):
     from jax.experimental.pallas import tpu as pltpu
 
     def kernel(*refs):
@@ -333,7 +359,8 @@ def _make_kernel(cfg: CVAEConfig, weights: LossWeights, epochs: int, lr: float,
         def write_metrics(t, comps):
             metrics_ref[t, :] = jnp.concatenate([comps, jnp.zeros(3)])
 
-        body = _epoch_body(cfg, weights, lr, x, cond, None, get_eps, write_metrics)
+        body = _epoch_body(cfg, weights, lr, x, cond, None, get_eps,
+                           write_metrics, backward)
         params, m, v = jax.lax.fori_loop(0, epochs, body, (params0, zeros, zeros))
         for r, p in zip(out_refs, params):
             r[:] = p
@@ -342,16 +369,17 @@ def _make_kernel(cfg: CVAEConfig, weights: LossWeights, epochs: int, lr: float,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "weights", "epochs", "lr", "interpret")
+    jax.jit,
+    static_argnames=("cfg", "weights", "epochs", "lr", "interpret", "backward"),
 )
 def _fused_call(plist, x_flat, cond, seed, cfg, weights, epochs, lr,
-                eps=None, interpret=False):
+                eps=None, interpret=False, backward="manual"):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n = len(plist)
     eps_input = eps is not None
-    kernel = _make_kernel(cfg, weights, epochs, lr, n, eps_input)
+    kernel = _make_kernel(cfg, weights, epochs, lr, n, eps_input, backward)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + (1 if eps_input else 0) + n)
@@ -381,12 +409,18 @@ def fused_train(
     weights: LossWeights = LossWeights(),
     seed: int = 0,
     interpret: bool = False,
+    backward: str = "manual",
 ) -> Tuple[Params, Dict[str, np.ndarray]]:
     """Train one scenario CVAE entirely inside one Pallas kernel.
 
     Drop-in equivalent of ``train.train(windows, ...)`` (same init, loss,
-    optimizer; PRNG stream differs — see module docstring).
+    optimizer; PRNG stream differs — see module docstring).  ``backward``:
+    ``"manual"`` (default — the hand-written backward of
+    :mod:`.manual_grad`, fp-order-equivalent in this kernel's pure-f32
+    regime and measured faster on-chip) or ``"auto"`` (traced
+    ``jax.value_and_grad``).
     """
+    _check_backward_arg(backward)
     cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
     _check_vmem_budget(cfg)
     _check_epoch_budget(epochs, buffers=1)
@@ -398,7 +432,7 @@ def fused_train(
 
     out_plist, metrics = _fused_call(
         tuple(plist), x_flat, start, seed_arr, cfg, weights, epochs, lr,
-        interpret=interpret,
+        interpret=interpret, backward=backward,
     )
     metrics = np.asarray(metrics)[:, :5]
     history = {k: metrics[:, i] for i, k in enumerate(FUSED_METRIC_KEYS)}
@@ -418,7 +452,8 @@ def fused_inputs(windows: np.ndarray) -> Tuple[jax.Array, jax.Array]:
 
 
 def _make_multi_kernel(cfg: CVAEConfig, weights: LossWeights, epochs: int,
-                       lr: float, n_params: int, eps_input: bool):
+                       lr: float, n_params: int, eps_input: bool,
+                       backward="manual"):
     """Grid kernel: grid index = scenario; each program trains its own
     model on its own (padded, masked) batch block.
 
@@ -465,7 +500,8 @@ def _make_multi_kernel(cfg: CVAEConfig, weights: LossWeights, epochs: int,
         def write_metrics(t, comps):
             metrics_ref[0, t, :] = jnp.concatenate([comps, jnp.zeros(3)])
 
-        body = _epoch_body(cfg, weights, lr, x, cond, mask, get_eps, write_metrics)
+        body = _epoch_body(cfg, weights, lr, x, cond, mask, get_eps,
+                           write_metrics, backward)
         params, _, _ = jax.lax.fori_loop(0, epochs, body, (params0, zeros, zeros))
         for r, p in zip(out_refs, params):
             r[0] = p
@@ -474,10 +510,11 @@ def _make_multi_kernel(cfg: CVAEConfig, weights: LossWeights, epochs: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "weights", "epochs", "lr", "interpret")
+    jax.jit,
+    static_argnames=("cfg", "weights", "epochs", "lr", "interpret", "backward"),
 )
 def _fused_multi_call(plists, x_flat, cond, mask, seed, cfg, weights, epochs, lr,
-                      eps=None, interpret=False):
+                      eps=None, interpret=False, backward="manual"):
     """plists: per-param stacked arrays with leading scenario axis (S, …)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -485,7 +522,7 @@ def _fused_multi_call(plists, x_flat, cond, mask, seed, cfg, weights, epochs, lr
     S = x_flat.shape[0]
     n = len(plists)
     eps_input = eps is not None
-    kernel = _make_multi_kernel(cfg, weights, epochs, lr, n, eps_input)
+    kernel = _make_multi_kernel(cfg, weights, epochs, lr, n, eps_input, backward)
 
     def block(arr):  # per-scenario block: slice leading axis by grid index
         shape = (1,) + arr.shape[1:]
@@ -525,6 +562,7 @@ def fused_train_multi(
     seed: int = 0,
     eps_by_scenario: Dict[str, np.ndarray] = None,
     interpret: bool = False,
+    backward: str = "manual",
 ) -> Tuple[Dict[str, Params], Dict[str, Dict[str, np.ndarray]]]:
     """Train every scenario model inside ONE Pallas kernel launch.
 
@@ -541,6 +579,7 @@ def fused_train_multi(
     mode the CPU-suite equivalence test runs in interpret mode
     (``test_fused.py::test_fused_train_multi_matches_single_kernel``).
     """
+    _check_backward_arg(backward)
     keys = sorted(windows_by_scenario.keys())
     first = next(iter(windows_by_scenario.values()))
     cfg = CVAEConfig(seq_len=first.shape[1], dim=first.shape[2])
@@ -586,7 +625,7 @@ def fused_train_multi(
 
     out_p, metrics = _fused_multi_call(
         plists, x_flat, cond, mask, seed_arr, cfg, weights, epochs, lr,
-        eps=eps, interpret=interpret,
+        eps=eps, interpret=interpret, backward=backward,
     )
     # fetch each STACKED array once, slice on host: per-buffer RPCs through
     # the remote tunnel cost ~30 ms each, so fetching S×24 param slices
@@ -610,6 +649,7 @@ def fused_train_seeds(
     weights: LossWeights = LossWeights(),
     eps_by_seed=None,
     interpret: bool = False,
+    backward: str = "manual",
 ) -> Tuple[Dict[int, Params], Dict[int, Dict[str, np.ndarray]]]:
     """Train the SAME corpus under many train seeds in ONE kernel launch.
 
@@ -629,6 +669,7 @@ def fused_train_seeds(
     PRNG for explicit noise, the interpret-mode escape hatch shared with
     the other kernels.
     """
+    _check_backward_arg(backward)
     seeds = [int(s) for s in seeds]
     if len(set(seeds)) != len(seeds):
         # results are keyed by seed value — duplicates would silently
@@ -659,7 +700,7 @@ def fused_train_seeds(
 
     out_p, metrics = _fused_multi_call(
         plists, x, cond, mask, seed_arr, cfg, weights, epochs, lr,
-        eps=eps, interpret=interpret,
+        eps=eps, interpret=interpret, backward=backward,
     )
     # one fetch per stacked array, host-side slicing (see fused_train_multi)
     out_host = [np.asarray(p) for p in out_p]

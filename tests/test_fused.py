@@ -153,9 +153,13 @@ def test_fused_train_multi_matches_single_kernel(all_windows):
             eps=jnp.asarray(eps_by[k]), interpret=True,
         )
         single = _unflatten_params(list(out_p))
+        # atol is fp-order, not semantics: XLA fuses the grid and single
+        # kernels' HLO differently, and the reassociation noise compounds
+        # over the feedback epochs (measured ~1.3e-6 after 4 epochs under
+        # the manual backward — same story as the scale-kernel oracle test)
         for name, lp in params_by[k].items():
-            assert np.allclose(lp["w"], np.asarray(single[name]["w"]), atol=1e-6), (k, name)
-            assert np.allclose(lp["b"], np.asarray(single[name]["b"]), atol=1e-6), (k, name)
+            assert np.allclose(lp["w"], np.asarray(single[name]["w"]), atol=1e-5), (k, name)
+            assert np.allclose(lp["b"], np.asarray(single[name]["b"]), atol=1e-5), (k, name)
         m = np.asarray(metrics)[:, :5]
         for j, key in enumerate(FUSED_METRIC_KEYS):
             assert np.allclose(hist_by[k][key], m[:, j], rtol=1e-5), (k, key)
@@ -190,9 +194,10 @@ def test_fused_train_seeds_matches_single_kernel(all_windows):
             eps=jnp.asarray(eps_by[s]), interpret=True,
         )
         single = _unflatten_params(list(out_p))
+        # atol 1e-5: cross-kernel fp reassociation (see the multi test)
         for name, lp in params_by[s].items():
-            assert np.allclose(lp["w"], np.asarray(single[name]["w"]), atol=1e-6), (s, name)
-            assert np.allclose(lp["b"], np.asarray(single[name]["b"]), atol=1e-6), (s, name)
+            assert np.allclose(lp["w"], np.asarray(single[name]["w"]), atol=1e-5), (s, name)
+            assert np.allclose(lp["b"], np.asarray(single[name]["b"]), atol=1e-5), (s, name)
         # all five metric columns: the seeds-path history harvest is its
         # own slicing code, distinct from the multi-scenario harvest
         m = np.asarray(metrics)[:, :5]
