@@ -58,6 +58,16 @@ def _cmd_train(args):
         raise SystemExit("--fused and --fused-scale are mutually exclusive")
     if args.backward is not None and not args.fused_scale:
         raise SystemExit("--backward applies to --fused-scale only")
+    resolved_backward = None
+    if args.fused_scale:
+        # resolve the default (None -> 'manual' where supported) HERE so the
+        # manifest records which gradient path actually trained the
+        # checkpoint — the two paths are numerically non-identical
+        from .ops.fused_scale import _resolve_backward
+
+        resolved_backward = _resolve_backward(
+            args.backward, args.dtype, "f32_acts"
+        )
     if args.fused or args.fused_scale:
         flag = "--fused" if args.fused else "--fused-scale"
         if args.fused and args.mesh:
@@ -132,8 +142,8 @@ def _cmd_train(args):
                         else "fused-scale-dp" if args.fused_scale and args.mesh
                         else "fused-scale" if args.fused_scale else "scan"),
             **({"compute_dtype": args.dtype} if args.dtype else {}),
-            **({"backward": args.backward} if args.backward is not None
-               else {}),
+            **({"backward": resolved_backward}
+               if resolved_backward is not None else {}),
         }},
     )
     print(

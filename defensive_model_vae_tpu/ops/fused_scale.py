@@ -331,8 +331,9 @@ def fused_train_scale(
         backward: ``"auto"`` (``jax.value_and_grad`` traced inside the
             kernel) or ``"manual"`` (the hand-written backward of
             :mod:`.manual_grad` — same math, restructured ops that dodge
-            Mosaic's autodiff-lowering overhead; f32 is bit-order-
-            equivalent, f32_acts differs in the last bf16 bit).  Default
+            Mosaic's autodiff-lowering overhead; f32 is fp-equivalent up
+            to merged-head sum reassociation, f32_acts additionally
+            differs in the last bf16 bit).  Default
             ``None`` selects manual wherever supported (measured 24-34%
             faster on-chip — see ``_resolve_backward``).
     """

@@ -27,7 +27,11 @@ against ``jax.grad`` of the shared ``_forward_loss`` — see
   the f32 cotangent is consumed as-is.  Here dy is cast to the compute
   dtype per dot, so every backward matmul is a pure-bf16 MXU op (f32
   accumulate as always).  The rounding differs from autodiff in the last
-  bf16 bit; the f32 path is bit-order-equivalent to autodiff.
+  bf16 bit; the f32 path is fp-equivalent to autodiff up to reassociation
+  of the merged-head sums (the (2H, 2Z) d_hcat dot contracts 2Z=16
+  columns in one accumulation where autodiff adds two Z-column dots —
+  same terms, different summation tree; tests bound the compounded
+  difference at 1e-5 over a full training run, tests/test_fused.py).
 - **No d_x / d_cond / d_eps.**  Gradients are taken w.r.t. parameters
   only, which drops the ``enc_0``/``cond_0``/ε input back-dots that
   ``jax.grad`` over the param list also avoids — listed here because the
@@ -48,10 +52,14 @@ import jax
 import jax.numpy as jnp
 
 from ..models import CVAEConfig, LossWeights
+from .fused_trainer import _LAYERS
 
-# fixed flat parameter order — must match fused_trainer._LAYERS
-_ENC = ("enc_0", "enc_1", "enc_2", "enc_3")
-_DEC = ("dec_0", "dec_1", "dec_2", "dec_3")
+# chain segments of the single source of truth for the flat parameter
+# order (gradients are returned positionally, so deriving these from
+# _LAYERS — rather than re-declaring them — makes drift impossible)
+_ENC = _LAYERS[2:6]
+_DEC = _LAYERS[8:12]
+assert ("cond_0", "cond_1") + _ENC + ("fc_mu", "fc_logvar") + _DEC == _LAYERS
 
 
 def manual_value_and_grad(plist, x_flat, cond, eps, cfg: CVAEConfig,
@@ -63,8 +71,9 @@ def manual_value_and_grad(plist, x_flat, cond, eps, cfg: CVAEConfig,
     denominator semantics) and returns ``(comps, grads)`` where ``comps``
     is the stacked ``[total, recon, kld, start, time]`` row and ``grads``
     matches ``plist``'s flat layout ``[W, b(1,-1), ...]`` in ``_LAYERS``
-    order.  Supports ``compute_dtype=None`` (pure f32, autodiff-bit-order
-    equivalent) and the ``f32_acts`` mixed style (bf16 matmul operands,
+    order.  Supports ``compute_dtype=None`` (pure f32, fp-equivalent to
+    autodiff up to merged-head sum reassociation — module docstring) and
+    the ``f32_acts`` mixed style (bf16 matmul operands,
     f32 everything else).  ``bf16_chain`` is not supported — its whole-
     chain casts are exactly the autodiff structure this module replaces.
     """
@@ -96,7 +105,7 @@ def manual_value_and_grad(plist, x_flat, cond, eps, cfg: CVAEConfig,
 
     F = cfg.seq_len * cfg.dim
     T, D, Z, H = cfg.seq_len, cfg.dim, cfg.latent_dim, cfg.hidden_dim
-    names = ("cond_0", "cond_1") + _ENC + ("fc_mu", "fc_logvar") + _DEC
+    names = _LAYERS
     p = {n: (plist[2 * i], plist[2 * i + 1]) for i, n in enumerate(names)}
 
     # ---- forward (saves post-relu activations for the backward) --------

@@ -212,6 +212,42 @@ def test_cli_train_trainer_flag_guards(tmp_path):
         main(base + ["--fused", "--fused-scale"])
 
 
+def test_cli_fused_scale_manifest_backward(tmp_path, monkeypatch):
+    """The checkpoint manifest records the RESOLVED backward (default None
+    -> 'manual' where supported), not just an explicitly passed flag: the
+    two gradient paths are numerically non-identical, so provenance must
+    say which one trained the checkpoint (ADVICE r3).  The kernel itself
+    is stubbed — resolution happens in the CLI before the kernel runs."""
+    import json
+
+    import jax
+
+    from defensive_model_vae_tpu import ops
+    from defensive_model_vae_tpu.models import CVAEConfig, init_params
+
+    calls = {}
+
+    def fake_scale(windows, **kw):
+        calls.update(kw)
+        cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        return params, {k: np.zeros(kw.get("epochs", 1))
+                        for k in ("total", "recon", "kld", "start", "time")}
+
+    monkeypatch.setattr(ops, "fused_train_scale", fake_scale)
+    w = tmp_path / "w.npy"
+    np.save(w, np.zeros((8, 10, 3), np.float32))
+    main(["train", "--scenario", "sce1", "--windows", str(w),
+          "--ckpt", str(tmp_path / "ck"), "--epochs", "2", "--fused-scale"])
+    recipe = json.loads(
+        (tmp_path / "ck" / "manifest.json").read_text()
+    )["recipe"]
+    # default dtype (None -> f32) supports the manual backward, so the
+    # resolved default is 'manual' even though --backward was not passed
+    assert recipe["backward"] == "manual"
+    assert calls["backward"] is None  # kernel still gets the raw flag
+
+
 def test_cli_export(tmp_path, capsys):
     """defvae export: native checkpoint → reference-format .pth."""
     import jax
