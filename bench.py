@@ -390,7 +390,7 @@ def bench_scale_fused(n=131072, epochs=200, tile=2048, compute_dtype="bfloat16")
         t0 = time.time()
         _, metrics = _fused_scale_call(
             plist, packed, seed_arr, cfg, LossWeights(), epochs, 1e-3,
-            tile, float(n), cdt, "f32_acts", False, backward="manual",
+            tile, float(n), cdt, "f32_acts", "hbm", backward="manual",
         )
         np.asarray(metrics)
         best = min(best, time.time() - t0)
@@ -400,7 +400,7 @@ def bench_scale_fused(n=131072, epochs=200, tile=2048, compute_dtype="bfloat16")
         t0 = time.time()
         _, metrics = _fused_scale_call(
             plist, packed, seed_arr, cfg, LossWeights(), epochs, 1e-3,
-            tile, float(n), cdt, "f32_acts", False, backward="auto",
+            tile, float(n), cdt, "f32_acts", "prng", backward="auto",
         )
         np.asarray(metrics)
         best_auto = min(best_auto, time.time() - t0)

@@ -111,7 +111,7 @@ def _cmd_train(args):
                     windows, mesh=create_mesh(), epochs=args.epochs,
                     lr=args.lr, weights=weights, seed=args.seed,
                     tile=args.tile, compute_dtype=args.dtype,
-                    backward=args.backward,
+                    backward=args.backward, noise=args.noise,
                 )
         else:
             from .ops import fused_train_scale
@@ -122,7 +122,7 @@ def _cmd_train(args):
                 params, hist = fused_train_scale(
                     windows, epochs=args.epochs, lr=args.lr, weights=weights,
                     seed=args.seed, tile=args.tile, compute_dtype=args.dtype,
-                    backward=args.backward,
+                    backward=args.backward, noise=args.noise,
                 )
     else:
         mesh = None
@@ -144,6 +144,7 @@ def _cmd_train(args):
             **({"compute_dtype": args.dtype} if args.dtype else {}),
             **({"backward": resolved_backward}
                if resolved_backward is not None else {}),
+            **({"noise": args.noise} if args.fused_scale else {}),
         }},
     )
     print(
@@ -726,6 +727,13 @@ def main(argv=None):
              "inside the kernel; 'manual' uses the hand-written backward "
              "(ops/manual_grad — same math, measured 24-34%% faster).  "
              "Default picks manual wherever supported",
+    )
+    t.add_argument(
+        "--noise", choices=("hbm", "prng"), default="hbm",
+        help="--fused-scale reparameterization noise: 'hbm' (default) "
+             "pre-generates every epoch's eps with XLA and streams it from "
+             "HBM; 'prng' uses the on-core generator (same statistical "
+             "semantics, no eps buffer — for very long runs)",
     )
     t.set_defaults(fn=_cmd_train)
 

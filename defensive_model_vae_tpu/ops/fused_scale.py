@@ -23,11 +23,18 @@ model on-core instead:
   because per-tile losses are scaled by the GLOBAL valid-row count
   (``_forward_loss(n_valid=N)``) so grads/metrics sum across tiles to the
   full-batch means;
-- reparameterization noise comes from the on-core PRNG, re-seeded per grid
-  step from ``seed + e·n_tiles + i`` (i.i.d. across epochs AND tiles —
-  fresh noise every epoch, like the scan trainer; the explicit-``eps``
-  escape hatch holds noise constant across epochs, like the other fused
-  kernels, and is what lets interpret mode cover this kernel on CPU).
+- reparameterization noise (``noise=``): the default ``"hbm"`` pre-generates
+  EVERY epoch's eps with one cheap XLA program inside the same jitted
+  program (threefry ``jax.random.normal``; ~16 B/window·epoch in bf16) and
+  streams it from HBM as a second double-buffered input — fresh i.i.d.
+  noise per epoch AND tile, like the scan trainer, with none of the
+  on-core PRNG's per-step Box–Muller cost (measured ~17% of the manual
+  kernel's wall — ``results/scale_ablation.json`` ``manual`` 67.1M vs
+  ``manual_eps`` 81.2M windows/s).  ``"prng"`` keeps the on-core PRNG
+  (re-seeded per grid step from ``seed + e·n_tiles + i``) for corpora/epoch
+  counts where the eps buffer would not fit HBM (guarded).  The
+  explicit-``eps`` escape hatch still holds one (N, Z) draw constant
+  across epochs, like the other fused kernels.
 
 Mixed precision (default ``compute_dtype="bfloat16"``) stores the streamed
 corpus in bf16 (halving HBM traffic) and runs the forward/backward in bf16
@@ -86,7 +93,7 @@ from .fused_trainer import (
 
 
 def _value_and_grad(backward, params, x, cond, eps, cfg, weights, mask,
-                    n_valid, compute_dtype, mixed_style):
+                    n_valid, compute_dtype, mixed_style, bias_via_dot=False):
     """Shared fwd+bwd step of both scale kernels: autodiff (traced
     ``jax.value_and_grad``) or the hand-written backward
     (:mod:`.manual_grad` — the ablation showed ~62% of kernel wall time is
@@ -97,6 +104,7 @@ def _value_and_grad(backward, params, x, cond, eps, cfg, weights, mask,
         return manual_value_and_grad(
             params, x, cond, eps, cfg, weights, mask, n_valid=n_valid,
             compute_dtype=compute_dtype, mixed_style=mixed_style,
+            bias_via_dot=bias_via_dot,
         )
     (_, comps), grads = jax.value_and_grad(
         lambda pl_: _forward_loss(
@@ -147,24 +155,33 @@ def _pack_corpus(x_flat, cond, mask, eps, latent_dim: int):
 
 def _make_scale_kernel(cfg: CVAEConfig, weights: LossWeights, lr: float,
                        n_params: int, n_tiles: int, n_valid: float,
-                       eps_input: bool, compute_dtype, mixed_style,
-                       backward="auto"):
+                       noise: str, compute_dtype, mixed_style,
+                       backward="auto", _ablate=()):
+    """``_ablate`` is ABLATION-ONLY (scripts/scale_ablation.py): a tuple of
+    knobs that remove one layer of work each to decompose the kernel's
+    wall — "noadam" (skip the last-tile Adam update), "noacc" (overwrite
+    instead of read-add in the cross-tile gradient accumulate), "biasdot"
+    (bias grads via an MXU ones-row dot instead of a VPU reduction —
+    a candidate optimization, promoted to default if it measures faster).
+    Production callers leave it empty."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     F = cfg.seq_len * cfg.dim
     C = cfg.cond_dim
     Z = cfg.latent_dim
+    n_in = 2 + (1 if noise == "hbm" else 0)
 
     def kernel(*refs):
-        # layout: [seed, packed, p_in0..] → [out_p0.., metrics] + scratch
-        # [m0.., v0.., acc0..]
+        # layout: [seed, packed, (eps if hbm), p_in0..] → [out_p0.., metrics]
+        # + scratch [m0.., v0.., acc0..]
         seed_ref = refs[0]
         x_ref = refs[1]
-        p_refs = refs[2 : 2 + n_params]
-        out_refs = refs[2 + n_params : 2 + 2 * n_params]
-        metrics_ref = refs[2 + 2 * n_params]
-        scratch = refs[3 + 2 * n_params :]
+        eps_ref = refs[2] if noise == "hbm" else None
+        p_refs = refs[n_in : n_in + n_params]
+        out_refs = refs[n_in + n_params : n_in + 2 * n_params]
+        metrics_ref = refs[n_in + 2 * n_params]
+        scratch = refs[n_in + 1 + 2 * n_params :]
         m_refs = scratch[:n_params]
         v_refs = scratch[n_params : 2 * n_params]
         acc_refs = scratch[2 * n_params : 3 * n_params]
@@ -185,16 +202,18 @@ def _make_scale_kernel(cfg: CVAEConfig, weights: LossWeights, lr: float,
         x = packed[:, :F]
         cond = packed[:, F : F + C]
         mask = packed[:, F + C : F + C + 1].astype(jnp.float32)
-        if eps_input:
+        if noise == "hbm":
+            eps = eps_ref[:]
+        elif noise == "packed":
             eps = packed[:, F + C + 1 : F + C + 1 + Z]
-        else:
+        else:  # "prng": on-core Box–Muller, fresh per (epoch, tile)
             pltpu.prng_seed(seed_ref[0, 0] + e * n_tiles + i)
             eps = _normal_noise((x.shape[0], Z))
 
         params = [r[:] for r in out_refs]
         comps, grads = _value_and_grad(
             backward, params, x, cond, eps, cfg, weights, mask, n_valid,
-            compute_dtype, mixed_style,
+            compute_dtype, mixed_style, bias_via_dot="biasdot" in _ablate,
         )
         row = jnp.concatenate([comps, jnp.zeros(3)])
 
@@ -211,8 +230,11 @@ def _make_scale_kernel(cfg: CVAEConfig, weights: LossWeights, lr: float,
         @pl.when(i != 0)
         def _accumulate():
             for r, g in zip(acc_refs, grads):
-                r[:] = r[:] + g
+                r[:] = g if "noacc" in _ablate else r[:] + g
             metrics_ref[mrow, :] = metrics_ref[mrow, :] + row
+
+        if "noadam" in _ablate:
+            return
 
         @pl.when(i == n_tiles - 1)
         def _adam():
@@ -236,12 +258,12 @@ def _make_scale_kernel(cfg: CVAEConfig, weights: LossWeights, lr: float,
     jax.jit,
     static_argnames=(
         "cfg", "weights", "epochs", "lr", "tile", "n_valid", "compute_dtype",
-        "mixed_style", "eps_input", "interpret", "backward",
+        "mixed_style", "noise", "interpret", "backward", "_ablate",
     ),
 )
 def _fused_scale_call(plist, packed, seed, cfg, weights, epochs, lr, tile,
-                      n_valid, compute_dtype, mixed_style, eps_input,
-                      interpret=False, backward="auto"):
+                      n_valid, compute_dtype, mixed_style, noise,
+                      interpret=False, backward="auto", _ablate=()):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -249,8 +271,8 @@ def _fused_scale_call(plist, packed, seed, cfg, weights, epochs, lr, tile,
     n_pad, width = packed.shape
     n_tiles = n_pad // tile
     kernel = _make_scale_kernel(
-        cfg, weights, lr, n, n_tiles, n_valid, eps_input, compute_dtype,
-        mixed_style, backward,
+        cfg, weights, lr, n, n_tiles, n_valid, noise, compute_dtype,
+        mixed_style, backward, _ablate=_ablate,
     )
 
     def const_block(arr):  # whole array, VMEM-resident across the grid
@@ -262,6 +284,28 @@ def _fused_scale_call(plist, packed, seed, cfg, weights, epochs, lr, tile,
     in_specs.append(
         pl.BlockSpec((tile, width), lambda e, i: (i, 0), memory_space=pltpu.VMEM)
     )
+    operands = [seed, packed]
+    if noise == "hbm":
+        # fresh-per-epoch reparameterization noise, pre-generated by ONE
+        # cheap XLA program in the same jitted program as the kernel (so
+        # its cost is inside every timing) and streamed from HBM one
+        # (tile, Z) block per grid step.  Layout: epoch-major rows, so the
+        # grid's (e, i) step reads block e·n_tiles + i — sequential blocks,
+        # double-buffered by Pallas like the corpus stream.
+        Z = cfg.latent_dim
+        noise_key = jax.random.fold_in(jax.random.PRNGKey(seed[0, 0]), 1)
+        eps_all = jax.random.normal(
+            noise_key, (epochs * n_pad, Z), jnp.float32
+        )
+        if compute_dtype is not None:
+            eps_all = eps_all.astype(compute_dtype)
+        in_specs.append(
+            pl.BlockSpec(
+                (tile, Z), lambda e, i, _nt=n_tiles: (e * _nt + i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(eps_all)
     in_specs += [const_block(p) for p in plist]
     # metrics rows are grouped 8 epochs per block (Mosaic block-shape rule:
     # sublane dim must be a multiple of 8 or the full array dim); callers
@@ -289,7 +333,7 @@ def _fused_scale_call(plist, packed, seed, cfg, weights, epochs, lr, tile,
             vmem_limit_bytes=_VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
-    )(seed, packed, *plist)
+    )(*operands, *plist)
     return outs[:n], outs[n]
 
 
@@ -303,6 +347,7 @@ def fused_train_scale(
     compute_dtype: str | None = "bfloat16",
     mixed_style: str = "f32_acts",
     eps: np.ndarray = None,
+    noise: str = "hbm",
     interpret: bool = False,
     backward: str = None,
 ) -> Tuple[Params, Dict[str, np.ndarray]]:
@@ -327,7 +372,13 @@ def fused_train_scale(
             see ``_forward_loss``.
         eps: optional (N, latent) explicit noise held constant across
             epochs — the interpret-mode escape hatch shared with the other
-            fused kernels.
+            fused kernels.  Overrides ``noise``.
+        noise: ``"hbm"`` (default — every epoch's eps pre-generated by XLA
+            in the same jitted program and streamed from HBM; fresh i.i.d.
+            noise per epoch like the scan trainer, without the on-core
+            PRNG's measured ~17% wall cost) or ``"prng"`` (on-core
+            Box–Muller; same statistical semantics, no eps buffer — the
+            fallback when ``epochs × N`` would not fit HBM, guarded).
         backward: ``"auto"`` (``jax.value_and_grad`` traced inside the
             kernel) or ``"manual"`` (the hand-written backward of
             :mod:`.manual_grad` — same math, restructured ops that dodge
@@ -350,7 +401,11 @@ def fused_train_scale(
     n = x_flat.shape[0]
     n_pad = -(-n // tile) * tile
 
-    eps_input = eps is not None
+    noise = "packed" if eps is not None else noise
+    if noise not in ("hbm", "prng", "packed"):
+        raise ValueError(f"noise must be 'hbm' or 'prng' (got {noise!r})")
+    if noise == "hbm":
+        _check_eps_hbm_budget(epochs, n_pad, cfg.latent_dim, compute_dtype)
     eps_j = None if eps is None else jnp.asarray(eps, jnp.float32)
     packed = _pack_corpus(
         x_flat, start, jnp.ones((n,), jnp.float32), eps_j, cfg.latent_dim
@@ -369,7 +424,7 @@ def fused_train_scale(
 
     out_plist, metrics = _fused_scale_call(
         tuple(plist), packed, seed_arr, cfg, weights, epochs, lr, tile,
-        float(n), cdt, mixed_style, eps_input, interpret=interpret,
+        float(n), cdt, mixed_style, noise, interpret=interpret,
         backward=backward,
     )
     metrics = np.asarray(metrics)[:epochs, :5]
@@ -378,7 +433,7 @@ def fused_train_scale(
 
 
 def _make_grad_kernel(cfg: CVAEConfig, weights: LossWeights, n_params: int,
-                      n_tiles: int, n_valid: float, eps_input: bool,
+                      n_tiles: int, n_valid: float, noise: str,
                       compute_dtype, mixed_style, backward="auto"):
     """ONE-EPOCH gradient kernel: grid over corpus tiles only.
 
@@ -394,21 +449,27 @@ def _make_grad_kernel(cfg: CVAEConfig, weights: LossWeights, n_params: int,
     F = cfg.seq_len * cfg.dim
     C = cfg.cond_dim
     Z = cfg.latent_dim
+    n_in = 2 + (1 if noise == "hbm" else 0)
 
     def kernel(*refs):
-        # layout: [stream_base, packed, p0..] → [g0.., metrics]
+        # layout: [stream_base, packed, (eps if hbm), p0..] → [g0.., metrics]
         base_ref = refs[0]
         x_ref = refs[1]
-        p_refs = refs[2 : 2 + n_params]
-        g_refs = refs[2 + n_params : 2 + 2 * n_params]
-        metrics_ref = refs[2 + 2 * n_params]
+        eps_ref = refs[2] if noise == "hbm" else None
+        p_refs = refs[n_in : n_in + n_params]
+        g_refs = refs[n_in + n_params : n_in + 2 * n_params]
+        metrics_ref = refs[n_in + 2 * n_params]
 
         i = pl.program_id(0)
         packed = x_ref[:]
         x = packed[:, :F]
         cond = packed[:, F : F + C]
         mask = packed[:, F + C : F + C + 1].astype(jnp.float32)
-        if eps_input:
+        if noise == "hbm":
+            # this epoch's eps shard, generated by the scan body's XLA
+            # program and streamed alongside the corpus
+            eps = eps_ref[:]
+        elif noise == "packed":
             eps = packed[:, F + C + 1 : F + C + 1 + Z]
         else:
             # stream base = seed + (device·epochs + epoch)·n_tiles, threaded
@@ -439,19 +500,21 @@ def _make_grad_kernel(cfg: CVAEConfig, weights: LossWeights, n_params: int,
 
 
 def _grad_epoch_call(plist, packed, stream_base, cfg, weights, tile, n_valid,
-                     compute_dtype, mixed_style, eps_input, interpret=False,
-                     backward="auto"):
+                     compute_dtype, mixed_style, noise, eps_epoch=None,
+                     interpret=False, backward="auto"):
     """One epoch's (grads, loss row) over one device's corpus shard.
 
     NOT jitted itself — it is traced inside ``fused_train_scale_dp``'s scan
-    body (one kernel launch per epoch inside one compiled program)."""
+    body (one kernel launch per epoch inside one compiled program).
+    ``eps_epoch`` ((n_pad, Z), required iff ``noise == "hbm"``) is this
+    epoch's noise, generated by the scan body and streamed tile by tile."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n_pad, width = packed.shape
     n_tiles = n_pad // tile
     kernel = _make_grad_kernel(
-        cfg, weights, len(plist), n_tiles, n_valid, eps_input, compute_dtype,
+        cfg, weights, len(plist), n_tiles, n_valid, noise, compute_dtype,
         mixed_style, backward,
     )
 
@@ -464,6 +527,15 @@ def _grad_epoch_call(plist, packed, stream_base, cfg, weights, tile, n_valid,
     in_specs.append(
         pl.BlockSpec((tile, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
     )
+    operands = [stream_base, packed]
+    if noise == "hbm":
+        in_specs.append(
+            pl.BlockSpec(
+                (tile, cfg.latent_dim), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(eps_epoch)
     in_specs += [const_block(p) for p in plist]
     out_shape = tuple(
         jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in plist
@@ -481,7 +553,7 @@ def _grad_epoch_call(plist, packed, stream_base, cfg, weights, tile, n_valid,
             vmem_limit_bytes=_VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
-    )(stream_base, packed, *plist)
+    )(*operands, *plist)
     return list(outs[:-1]), outs[-1]
 
 
@@ -496,6 +568,7 @@ def fused_train_scale_dp(
     compute_dtype: str | None = "bfloat16",
     mixed_style: str = "f32_acts",
     eps: np.ndarray = None,
+    noise: str = "hbm",
     interpret: bool = False,
     backward: str = None,
 ) -> Tuple[Params, Dict[str, np.ndarray]]:
@@ -525,8 +598,14 @@ def fused_train_scale_dp(
             per-epoch variant.
         eps: optional (N, latent) explicit noise held constant across
             epochs — the interpret-mode escape hatch shared with the other
-            fused kernels (on-core PRNG otherwise, seeded i.i.d. per
-            device x epoch x tile).
+            fused kernels.  Overrides ``noise``.
+        noise: ``"hbm"`` (default — each epoch's eps generated by XLA in
+            the scan body, per device from
+            ``fold_in(key, device·epochs + epoch)``, and streamed to the
+            kernel tile by tile) or ``"prng"`` (on-core Box–Muller, seeded
+            i.i.d. per device × epoch × tile).  Same statistical
+            semantics; the per-epoch buffer here is only (shard, Z), so
+            there is no HBM budget concern.
         backward: ``"auto"`` or ``"manual"`` — see
             :func:`fused_train_scale`.
     """
@@ -545,7 +624,9 @@ def fused_train_scale_dp(
     chunk = dp * tile
     n_pad = -(-n // chunk) * chunk
 
-    eps_input = eps is not None
+    noise = "packed" if eps is not None else noise
+    if noise not in ("hbm", "prng", "packed"):
+        raise ValueError(f"noise must be 'hbm' or 'prng' (got {noise!r})")
     eps_j = None if eps is None else jnp.asarray(eps, jnp.float32)
     packed = _pack_corpus(
         x_flat, start, jnp.ones((n,), jnp.float32), eps_j, cfg.latent_dim
@@ -572,10 +653,23 @@ def fused_train_scale_dp(
         def body(carry, e):
             pl_, m, v = carry
             base = seed_val + (dev * epochs + e) * local_tiles
+            eps_epoch = None
+            if noise == "hbm":
+                # fresh eps for this (device, epoch): one cheap XLA normal
+                # per scan step, streamed into the kernel alongside the
+                # corpus shard
+                k = jax.random.fold_in(
+                    jax.random.PRNGKey(seed_val), dev * epochs + e
+                )
+                eps_epoch = jax.random.normal(
+                    k, (packed_local.shape[0], cfg.latent_dim), jnp.float32
+                )
+                if cdt is not None:
+                    eps_epoch = eps_epoch.astype(cdt)
             grads, mrow = _grad_epoch_call(
                 pl_, packed_local, base.reshape(1, 1).astype(jnp.int32),
-                cfg, weights, tile, float(n), cdt, mixed_style, eps_input,
-                interpret=interpret, backward=backward,
+                cfg, weights, tile, float(n), cdt, mixed_style, noise,
+                eps_epoch=eps_epoch, interpret=interpret, backward=backward,
             )
             if mesh is not None:
                 grads = [jax.lax.psum(g, "data") for g in grads]
@@ -656,6 +750,23 @@ def _check_scale_tile(cfg: CVAEConfig, tile: int, compute_dtype,
         )
 
 
+def _check_eps_hbm_budget(epochs: int, n_pad: int, latent_dim: int,
+                          compute_dtype, limit_bytes: int = 2 << 30):
+    """The hbm noise mode materializes every epoch's eps at once
+    (epochs × n_pad × Z in the compute dtype); refuse configurations that
+    would not comfortably fit v5e HBM (16 GB) next to the corpus, and point
+    at the prng mode, whose semantics are identical."""
+    itemsize = 4 if compute_dtype is None else jnp.dtype(compute_dtype).itemsize
+    need = epochs * n_pad * latent_dim * itemsize
+    if need > limit_bytes:
+        raise ValueError(
+            f"noise='hbm' needs a {need / 2**30:.1f} GiB eps buffer "
+            f"({epochs} epochs x {n_pad} rows x {latent_dim}) — over the "
+            f"{limit_bytes >> 30} GiB guard; use noise='prng' (same "
+            f"statistical semantics, on-core generation)"
+        )
+
+
 def fused_scale_reference(
     params: Params,
     windows: np.ndarray,
@@ -668,6 +779,12 @@ def fused_scale_reference(
     """Plain-XLA mirror of the kernel's tiled accumulation — the oracle the
     scale kernel is validated against in tests (explicit eps, f32).
 
+    ``eps`` is either (N, Z) — held constant across epochs, mirroring the
+    kernels' explicit-``eps`` escape hatch — or (epochs, N, Z) — one draw
+    per epoch, mirroring the ``noise='hbm'``/``'prng'`` production
+    semantics (tests feed it the byte-identical stream the hbm mode
+    generates on device).
+
     ``tile=None`` runs full-batch (mathematically identical; fp summation
     order differs); an explicit ``tile`` reproduces the kernel's exact
     per-tile partial-sum order."""
@@ -675,6 +792,7 @@ def fused_scale_reference(
     x_flat, start = fused_inputs(windows)
     n = x_flat.shape[0]
     eps_j = jnp.asarray(eps, jnp.float32)
+    per_epoch = eps_j.ndim == 3
     mask = jnp.ones((n, 1), jnp.float32)
     if tile is None:
         tile = n
@@ -683,7 +801,10 @@ def fused_scale_reference(
         pad = n_pad - n
         x_flat = jnp.concatenate([x_flat, jnp.zeros((pad, x_flat.shape[1]))])
         start = jnp.concatenate([start, jnp.zeros((pad, start.shape[1]))])
-        eps_j = jnp.concatenate([eps_j, jnp.zeros((pad, eps_j.shape[1]))])
+        zpad = jnp.zeros(
+            eps_j.shape[:-2] + (pad, eps_j.shape[-1]), jnp.float32
+        )
+        eps_j = jnp.concatenate([eps_j, zpad], axis=-2)
         mask = jnp.concatenate([mask, jnp.zeros((pad, 1))])
 
     plist = _flatten_params(params)
@@ -691,13 +812,14 @@ def fused_scale_reference(
     v = [jnp.zeros_like(p) for p in plist]
     hist = []
     for t in range(epochs):
+        eps_t = eps_j[t] if per_epoch else eps_j
         acc = None
         comps_sum = None
         for i in range(n_pad // tile):
             sl = slice(i * tile, (i + 1) * tile)
             (_, comps), grads = jax.value_and_grad(
                 lambda pl_: _forward_loss(
-                    pl_, x_flat[sl], start[sl], eps_j[sl], cfg, weights,
+                    pl_, x_flat[sl], start[sl], eps_t[sl], cfg, weights,
                     mask[sl], n_valid=float(n),
                 ),
                 has_aux=True,

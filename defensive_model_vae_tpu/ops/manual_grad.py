@@ -64,7 +64,8 @@ assert ("cond_0", "cond_1") + _ENC + ("fc_mu", "fc_logvar") + _DEC == _LAYERS
 
 def manual_value_and_grad(plist, x_flat, cond, eps, cfg: CVAEConfig,
                           w: LossWeights, mask=None, n_valid=None,
-                          compute_dtype=None, mixed_style="f32_acts"):
+                          compute_dtype=None, mixed_style="f32_acts",
+                          bias_via_dot=False):
     """Forward loss + hand-written parameter gradients.
 
     Mirrors ``_forward_loss(plist, ...)`` (same args, same masked/global-
@@ -100,8 +101,19 @@ def manual_value_and_grad(plist, x_flat, cond, eps, cfg: CVAEConfig,
             preferred_element_type=jnp.float32,
         )
 
-    def dbias(dy):  # (1, fo) — matches the flat plist bias layout
-        return jnp.sum(dy, axis=0, keepdims=True)
+    if bias_via_dot:
+        # db as a (1, B)·(B, fo) MXU dot instead of a VPU sublane
+        # reduction — an ablation lever for the Pallas kernel, where the
+        # VPU (not the MXU) is the measured ceiling.  fp: a dot's
+        # accumulation order differs from jnp.sum's tree, same terms.
+        def dbias(dy):
+            ones_row = jnp.ones((1, dy.shape[0]), jnp.float32)
+            return jnp.dot(
+                dc(ones_row), dc(dy), preferred_element_type=jnp.float32
+            )
+    else:
+        def dbias(dy):  # (1, fo) — matches the flat plist bias layout
+            return jnp.sum(dy, axis=0, keepdims=True)
 
     F = cfg.seq_len * cfg.dim
     T, D, Z, H = cfg.seq_len, cfg.dim, cfg.latent_dim, cfg.hidden_dim

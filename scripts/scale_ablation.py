@@ -7,14 +7,21 @@ same (epochs x tiles) grid over the same streamed corpus, each removing one
 layer of work, timed interleaved in ONE process (entropy-fresh inputs per
 rep — identical-repeat elision is cross-process, CLAUDE.md):
 
-  full        the production kernel, on-core PRNG   (= bench scale_fused_*)
-  full_eps    production kernel, eps streamed        -> PRNG (Box-Muller) cost
-  manual      full kernel with the HAND-WRITTEN backward (ops/manual_grad),
-              on-core PRNG                           -> autodiff-lowering tax
-  manual_eps  manual backward, eps streamed
-  dx          backward w.r.t. x only, eps streamed   -> dW matmuls + grad
-              accumulation + Adam cost (the "transposed matmul" term)
-  fwd         forward loss only, eps streamed        -> whole dy-chain cost
+  full        autodiff backward, on-core PRNG
+  manual      HAND-WRITTEN backward (ops/manual_grad), on-core PRNG
+  full_eps    autodiff, eps packed in the corpus     -> PRNG (Box-Muller) cost
+  manual_eps  manual backward, eps packed (constant across epochs)
+  hbm         manual backward, fresh-per-epoch eps streamed from HBM
+              (the PRODUCTION DEFAULT; = bench scale_fused_*)
+  hbm_noadam  hbm minus the last-tile Adam update    -> Adam cost
+  hbm_noacc   hbm with overwrite instead of read-add -> cross-tile acc cost
+  hbm_biasdot hbm with bias grads as MXU ones-row dots instead of VPU
+              reductions                             -> candidate win
+  hbm_t1024 / hbm_t4096   tile re-sweep for the manual backward (the 2048
+              optimum was measured on the autodiff kernel)
+  dx          autodiff backward w.r.t. x only, eps packed -> dW matmuls +
+              grad accumulation + Adam cost (the "transposed matmul" term)
+  fwd         forward loss only, eps packed          -> whole dy-chain cost
   sol         FLOP-equivalent chained matmuls on the same streamed block,
               no slicing/relu/loss                   -> MXU+stream speed of light
   stream      read block, reduce, write              -> DMA/dispatch floor
@@ -300,7 +307,7 @@ def main():
             seed_arr = jnp.array([[_fresh()]], jnp.int32)
             _, m = _fused_scale_call(
                 plist, packed_zero, seed_arr, cfg, weights, EPOCHS, 1e-3,
-                TILE, float(N), cdt, "f32_acts", False, interpret=INTERPRET,
+                TILE, float(N), cdt, "f32_acts", "prng", interpret=INTERPRET,
                 backward="manual" if mode == "manual" else "auto",
             )
             return m
@@ -308,8 +315,28 @@ def main():
             seed_arr = jnp.array([[_fresh()]], jnp.int32)
             _, m = _fused_scale_call(
                 plist, packed_eps[rep], seed_arr, cfg, weights, EPOCHS, 1e-3,
-                TILE, float(N), cdt, "f32_acts", True, interpret=INTERPRET,
+                TILE, float(N), cdt, "f32_acts", "packed",
+                interpret=INTERPRET,
                 backward="manual" if mode == "manual_eps" else "auto",
+            )
+            return m
+        if mode.startswith("hbm"):
+            # fresh seed -> fresh eps stream inside the jitted program
+            # (identical-repeat elision, CLAUDE.md); the zero-eps packed
+            # buffer is shared since hbm ignores the packed eps columns.
+            # SMOKE pins the seed so the hbm family shares one eps stream
+            # and the epoch-0 cross-variant asserts hold exactly.
+            seed_arr = jnp.array([[42 if SMOKE else _fresh()]], jnp.int32)
+            tile = {"hbm_t1024": 1024, "hbm_t4096": 4096}.get(mode, TILE)
+            ablate = {
+                "hbm_noadam": ("noadam",),
+                "hbm_noacc": ("noacc",),
+                "hbm_biasdot": ("biasdot",),
+            }.get(mode, ())
+            _, m = _fused_scale_call(
+                plist, packed_zero, seed_arr, cfg, weights, EPOCHS, 1e-3,
+                tile, float(N), cdt, "f32_acts", "hbm", interpret=INTERPRET,
+                backward="manual", _ablate=ablate,
             )
             return m
         if mode == "sol":
@@ -328,7 +355,10 @@ def main():
     # the 'full'/'manual' (on-core PRNG) variants cannot run in interpret
     # mode — the prng_random_bits stub yields zeros that inf Box-Muller
     variants = (["full", "manual"] if not SMOKE else []) + [
-        "full_eps", "manual_eps", "dx", "fwd", "sol", "stream",
+        "full_eps", "manual_eps", "hbm", "hbm_noadam", "hbm_noacc",
+        "hbm_biasdot",
+    ] + ([] if SMOKE else ["hbm_t1024", "hbm_t4096"]) + [
+        "dx", "fwd", "sol", "stream",
     ]
     times = {v: [] for v in variants}
     last_m = {}
@@ -362,6 +392,17 @@ def main():
         assert np.isfinite(dx[0, 5])  # the dx reduction actually flowed
         assert np.isfinite(last_m["sol"][:EPOCHS, 0]).all()
         assert np.isfinite(last_m["stream"][:EPOCHS, 0]).all()
+        # hbm family: same seed -> same eps stream and same init, so all
+        # four share epoch-0 loss rows exactly (grads only differ later);
+        # noadam never updates params; the others descend
+        hb = last_m["hbm"]
+        for k in ("hbm_noadam", "hbm_noacc", "hbm_biasdot"):
+            assert np.allclose(last_m[k][0, :5], hb[0, :5], rtol=1e-5), k
+        assert not np.allclose(hb[0, 0], hb[EPOCHS - 1, 0], rtol=1e-3)
+        assert not np.allclose(
+            last_m["hbm_biasdot"][0, 0],
+            last_m["hbm_biasdot"][EPOCHS - 1, 0], rtol=1e-3,
+        )
         print("SMOKE OK: ablation variants agree on epoch-0 loss components")
         return
 
@@ -380,6 +421,11 @@ def main():
     out["breakdown_s"] = {
         "manual_backward_saves": round(b["full"] - b["manual"], 4),
         "prng": round(b["full"] - b["full_eps"], 4),
+        "prng_manual": round(b["manual"] - b["manual_eps"], 4),
+        "hbm_stream_overhead_vs_packed": round(b["hbm"] - b["manual_eps"], 4),
+        "adam": round(b["hbm"] - b["hbm_noadam"], 4),
+        "acc_read_add": round(b["hbm"] - b["hbm_noacc"], 4),
+        "biasdot_saves": round(b["hbm"] - b["hbm_biasdot"], 4),
         "dw_acc_adam": round(b["full_eps"] - b["dx"], 4),
         "dy_chain": round(b["dx"] - b["fwd"], 4),
         "fwd_overhead_vs_sol": round(b["fwd"] - b["sol"], 4),

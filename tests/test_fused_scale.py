@@ -108,6 +108,157 @@ def test_scale_kernel_bf16_descends():
         assert np.all(np.isfinite(np.asarray(p)))
 
 
+def test_scale_kernel_hbm_noise_matches_per_epoch_oracle():
+    """noise='hbm' (the production default: fresh-per-epoch eps pre-generated
+    by XLA and streamed from HBM) == the tiled oracle fed the byte-identical
+    per-epoch eps stream, reproduced on host from the same key derivation
+    (fold_in(PRNGKey(seed), 1), epoch-major rows)."""
+    w = _tiny_corpus(24)
+    seed, epochs, tile = 5, 4, 8
+    n_pad = 24  # already a multiple of tile
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), 1)
+    eps_pe = np.asarray(
+        jax.random.normal(key, (epochs * n_pad, CFG.latent_dim))
+    ).reshape(epochs, n_pad, CFG.latent_dim)
+    params, hist = fused_train_scale(
+        w, epochs=epochs, tile=tile, compute_dtype=None, seed=seed,
+        noise="hbm", interpret=True,
+    )
+    ref_params, ref_hist = fused_scale_reference(
+        init_params(jax.random.PRNGKey(seed), CFG), w, eps_pe,
+        epochs=epochs, tile=tile,
+    )
+    for a, b in zip(_flatten_params(params), _flatten_params(ref_params)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    got = np.stack(
+        [hist[k] for k in ("total", "recon", "kld", "start", "time")], 1
+    )
+    assert np.allclose(got, ref_hist, rtol=1e-5, atol=1e-5)
+    # the per-epoch draws actually differ (production semantics, unlike the
+    # constant explicit-eps escape hatch)
+    assert not np.allclose(eps_pe[0], eps_pe[1])
+
+
+def test_scale_kernel_hbm_ragged_pads():
+    """hbm noise + ragged corpus: padded rows are masked, so the kernel
+    equals the oracle fed the same stream truncated to the real rows."""
+    w = _tiny_corpus(13, seed=5)
+    seed, epochs, tile = 3, 2, 8
+    n_pad = 16
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), 1)
+    eps_pe = np.asarray(
+        jax.random.normal(key, (epochs * n_pad, CFG.latent_dim))
+    ).reshape(epochs, n_pad, CFG.latent_dim)[:, :13]
+    params, hist = fused_train_scale(
+        w, epochs=epochs, tile=tile, compute_dtype=None, seed=seed,
+        noise="hbm", interpret=True,
+    )
+    ref_params, ref_hist = fused_scale_reference(
+        init_params(jax.random.PRNGKey(seed), CFG), w, eps_pe,
+        epochs=epochs, tile=tile,
+    )
+    for a, b in zip(_flatten_params(params), _flatten_params(ref_params)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    got = np.stack(
+        [hist[k] for k in ("total", "recon", "kld", "start", "time")], 1
+    )
+    assert np.allclose(got, ref_hist, rtol=1e-5, atol=1e-5)
+
+
+def test_scale_dp_hbm_noise_matches_per_epoch_oracle():
+    """The DP tier's hbm mode (per-epoch eps from fold_in(key, dev·E + e)
+    generated in the scan body) == the full-batch oracle fed the host-
+    reproduced stream, on one device."""
+    w = _tiny_corpus(24, seed=7)
+    seed, epochs, tile = 9, 3, 8
+    eps_pe = np.stack([
+        np.asarray(jax.random.normal(
+            jax.random.fold_in(jax.random.PRNGKey(seed), e),
+            (24, CFG.latent_dim),
+        ))
+        for e in range(epochs)
+    ])
+    params, hist = fused_train_scale_dp(
+        w, mesh=None, epochs=epochs, tile=tile, compute_dtype=None,
+        seed=seed, noise="hbm", interpret=True,
+    )
+    ref_params, ref_hist = fused_scale_reference(
+        init_params(jax.random.PRNGKey(seed), CFG), w, eps_pe,
+        epochs=epochs, tile=None,
+    )
+    for a, b in zip(_flatten_params(params), _flatten_params(ref_params)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    got = np.stack(
+        [hist[k] for k in ("total", "recon", "kld", "start", "time")], 1
+    )
+    assert np.allclose(got, ref_hist, rtol=1e-4, atol=1e-5)
+
+
+def test_scale_dp_hbm_descends_on_mesh():
+    """hbm noise through shard_map on the 8-device CPU mesh: finite and
+    descending (per-device eps streams differ by design, so sharded ==
+    single does not hold for hbm; the objective/optimizer contract is
+    covered by the oracle tests above)."""
+    n = 64
+    w = _tiny_corpus(n, seed=29)
+    mesh = create_mesh(shape=(8, 1))
+    params, hist = fused_train_scale_dp(
+        w, mesh=mesh, epochs=6, tile=16, compute_dtype="bfloat16",
+        noise="hbm", interpret=True,
+    )
+    assert np.all(np.isfinite(hist["total"]))
+    assert hist["total"][-1] < hist["total"][0]
+    for p in _flatten_params(params):
+        assert np.asarray(p).dtype == np.float32
+
+
+def test_scale_kernel_hbm_bf16_descends():
+    w = _tiny_corpus(32, seed=9)
+    params, hist = fused_train_scale(
+        w, epochs=6, tile=16, compute_dtype="bfloat16", noise="hbm",
+        interpret=True,
+    )
+    assert np.all(np.isfinite(hist["total"]))
+    assert hist["total"][-1] < hist["total"][0]
+
+
+def test_scale_noise_guards():
+    w = _tiny_corpus(16)
+    with pytest.raises(ValueError, match="noise"):
+        fused_train_scale(w, epochs=1, tile=16, compute_dtype=None,
+                          noise="vmem", interpret=True)
+    with pytest.raises(ValueError, match="GiB eps buffer"):
+        # 4M epochs x 2048-row pad x 8 x 4B ≈ 250 GiB
+        fused_train_scale(w, epochs=1 << 22, tile=2048, compute_dtype=None,
+                          noise="hbm", interpret=True)
+    with pytest.raises(ValueError, match="noise"):
+        fused_train_scale_dp(w, epochs=1, tile=16, compute_dtype=None,
+                             noise="vmem", interpret=True)
+
+
+def test_manual_bias_via_dot_matches_sum():
+    """The biasdot ablation lever (db via an MXU ones-row dot) returns the
+    same gradients as the VPU-reduction default to fp order (f32)."""
+    from defensive_model_vae_tpu.models import LossWeights
+    from defensive_model_vae_tpu.ops.fused_trainer import fused_inputs
+    from defensive_model_vae_tpu.ops.manual_grad import manual_value_and_grad
+
+    w = _tiny_corpus(24, seed=31)
+    x_flat, start = fused_inputs(w)
+    eps = jax.random.normal(jax.random.PRNGKey(12), (24, CFG.latent_dim))
+    plist = _flatten_params(init_params(jax.random.PRNGKey(0), CFG))
+    comps_a, grads_a = manual_value_and_grad(
+        plist, x_flat, start, eps, CFG, LossWeights()
+    )
+    comps_b, grads_b = manual_value_and_grad(
+        plist, x_flat, start, eps, CFG, LossWeights(), bias_via_dot=True
+    )
+    assert np.allclose(np.asarray(comps_a), np.asarray(comps_b), atol=1e-7)
+    for a, b in zip(grads_a, grads_b):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.allclose(a, b, atol=2e-6 * max(np.abs(a).max(), 1e-3))
+
+
 def test_manual_grads_match_autodiff():
     """The hand-written backward (ops/manual_grad) == jax.grad of the
     shared _forward_loss to fp order in f32, for every masking mode; the
