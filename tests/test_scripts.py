@@ -171,16 +171,43 @@ def test_bench_scale_smoke_tiny():
 
     import numpy as np
 
-    rate, tflops, _ = bench.bench_scale(n=64, epochs=8)
+    rate, tflops, _, rate_med = bench.bench_scale(n=64, epochs=8)
     assert rate > 0 and tflops > 0
-    assert np.isfinite(rate) and np.isfinite(tflops)
+    assert np.isfinite(rate) and np.isfinite(tflops) and np.isfinite(rate_med)
 
     # the mixed-precision variant must run and converge too (bf16
     # forward/backward over f32 master params — TrainConfig.compute_dtype)
-    rate16, tflops16, _ = bench.bench_scale(
+    rate16, tflops16, _, _ = bench.bench_scale(
         n=64, epochs=8, compute_dtype="bfloat16"
     )
     assert rate16 > 0 and np.isfinite(tflops16)
+
+
+def test_bench_drift_report_flags_large_moves():
+    """The cross-round drift report: echoing the previous round's values
+    flags nothing; a >20% move on a headline key is flagged; renamed keys
+    compare through the alias map (r03's scale_fused headline was the
+    prng+manual kernel)."""
+    spec = importlib.util.spec_from_file_location(
+        "bench", str(REPO_ROOT / "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    prev, tag = bench._load_prev_bench()
+    assert prev is not None and tag.startswith("r")
+    assert "value" in prev
+
+    same = bench._drift_report({"value": prev["value"]})
+    assert same["flagged"] == {}
+    moved = bench._drift_report({"value": prev["value"] * 2})
+    assert "value" in moved["flagged"]
+    # alias: the new manual_prng key compares against the old headline
+    aliased = bench._drift_report(
+        {"scale_fused_manual_prng_windows_per_sec":
+         prev["scale_fused_windows_per_sec"] * 3}
+    )
+    assert "scale_fused_manual_prng_windows_per_sec" in aliased["flagged"]
 
 
 def test_multiseed_default_band_matches_committed_artifact():
