@@ -183,6 +183,31 @@ def test_bench_scale_smoke_tiny():
     assert rate16 > 0 and np.isfinite(tflops16)
 
 
+def test_robustness_row_reproduces_from_sweeps():
+    """The committed selection-free robustness artifact
+    (results/robustness_row.json, the PARITY table) must reproduce exactly
+    from the committed sweep artifacts via the current script."""
+    import json
+
+    rr = _load("robustness_row")
+    built = rr.build()
+    committed = json.loads(
+        (REPO_ROOT / "results" / "robustness_row.json").read_text()
+    )
+    assert built == committed
+    # structural sanity: 4 scenarios x 4 metrics, medians positive, and
+    # the headline disclosure (11/16 median-beats) holds
+    n_beat = sum(
+        c["median_beats"]
+        for s in built["scenarios"].values() for c in s["cells"].values()
+    )
+    assert n_beat == 11
+    for s in built["scenarios"].values():
+        assert len(s["cells"]) == 4
+        for c in s["cells"].values():
+            assert c["median"] > 0 and c["n_seeds"] >= 8
+
+
 def test_bench_drift_report_flags_large_moves():
     """The cross-round drift report: echoing the previous round's values
     flags nothing; a >20% move on a headline key is flagged; renamed keys
