@@ -378,3 +378,56 @@ def test_align_model_trajectory_differential_vs_live_reference():
     states = rng.normal(0.0, 1.0, (8, 4))
     assert align_model_trajectory(human, 999.0, 999.0, states, 0.02) is None
     assert RT.process_model_trajectory(human, 999.0, 999.0, states, 0.02) is None
+
+
+@requires_reference
+def test_legacy_processed_datasets_dispositioned():
+    """SURVEY C3's legacy dataset variants, dispositioned (PARITY C3):
+    every npy in DefensiveDataProcessed is either reproduced by this
+    pipeline (the four _cond corpora — byte-exact tests above), the
+    random-walk demo set (regenerated by ``generate_random_trajectories``,
+    tested above), or a dead/legacy artifact with NO live consumer in the
+    reference tree:
+
+    - ``trajectory_<sce>.npy`` (non-cond, pre-"modified start/end
+      conditions" per the shipped Documentation.txt): their only textual
+      reference in reference code is ``Distribution.py:403``'s
+      ``human_trajectory_path`` — ASSIGNED and never read (the active
+      pipeline extracts humans from CSVs at ``:488``, which this repo
+      mirrors and which reproduces the published JS exactly).  sce3's
+      (75, 12, 3) variant is the legacy corpus behind the stale n=75 JS
+      line (PARITY published-cell table, JS_divergence.txt:23).
+    - ``trajectory_sce3_extend1.npy`` (150, 6, 2): referenced by nothing
+      in the reference tree — an orphan of an earlier extraction config
+      (only a *save*-path for a never-shipped sce2_extend1 appears, in
+      ``Traj_Data_Process.py:172``).
+    """
+    root = REFERENCE_ROOT / "training" / "DefensiveDataProcessed"
+    names = sorted(p.name for p in root.glob("*.npy"))
+    assert names == [
+        "random_trajectory.npy",
+        "trajectory_sce1.npy", "trajectory_sce1_cond.npy",
+        "trajectory_sce2.npy", "trajectory_sce2_cond.npy",
+        "trajectory_sce3.npy", "trajectory_sce3_cond.npy",
+        "trajectory_sce3_extend1.npy",
+        "trajectory_sce4.npy", "trajectory_sce4_cond.npy",
+    ]
+    # the legacy shapes SURVEY C3 lists
+    assert np.load(root / "trajectory_sce3.npy").shape == (75, 12, 3)
+    assert np.load(root / "trajectory_sce3_extend1.npy").shape == (150, 6, 2)
+    assert np.load(root / "random_trajectory.npy").shape == (100, 50, 2)
+    # the non-cond corpora are NOT the _cond ones (a real fork, not copies)
+    for key in ("sce1", "sce2", "sce4"):
+        a = np.load(root / f"trajectory_{key}.npy")
+        b = np.load(root / f"trajectory_{key}_cond.npy")
+        assert not np.array_equal(a, b), key
+    # consumer evidence: the one mention of the non-cond path is a dead
+    # assignment, and extend1 is referenced nowhere
+    dist_src = (REFERENCE_ROOT / "Distribution.py").read_text(
+        encoding="utf-8", errors="ignore"
+    )
+    assert dist_src.count("human_trajectory_path") == 1  # assigned, unread
+    for py in REFERENCE_ROOT.rglob("*.py"):
+        assert "extend1" not in py.name
+        src = py.read_text(encoding="utf-8", errors="ignore")
+        assert "sce3_extend1" not in src, py
