@@ -81,7 +81,9 @@ TILE = 2048
 REPS = 5  # 1 untimed warm + 4 timed, interleaved across variants
 INTERPRET = False
 if SMOKE:
-    N, EPOCHS, TILE, REPS, INTERPRET = 64, 9, 16, 2, True
+    # one pass is enough: the smoke asserts read last_m (correctness), not
+    # the timing lists — keeps the per-commit test tier fast
+    N, EPOCHS, TILE, REPS, INTERPRET = 64, 9, 16, 1, True
 
 
 def _fresh(lo=1 << 20):

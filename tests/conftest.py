@@ -43,6 +43,32 @@ requires_reference = pytest.mark.skipif(
 )
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow", action="store_true", default=False,
+        help="include the slow tier (the full CI-equivalent suite; "
+             "default deselects @pytest.mark.slow to keep the per-commit "
+             "loop under ~5 min on this 1-core box — REPRODUCING.md)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: the default run deselects @pytest.mark.slow (the
+    heavyweight compile-bound tests — serving end-to-ends, conv trainers,
+    GIF renders, the largest oracle parities), keeping a fast per-commit
+    loop; ``--slow`` runs everything (the CI-equivalent tier, required
+    before shipping — every slow test still runs there, zero coverage
+    loss overall)."""
+    if config.getoption("--slow"):
+        return
+    kept, dropped = [], []
+    for it in items:
+        (dropped if "slow" in it.keywords else kept).append(it)
+    if dropped:
+        config.hook.pytest_deselected(items=dropped)
+        items[:] = kept
+
+
 @pytest.fixture(scope="session")
 def windows_sce1() -> np.ndarray:
     """(38, 10, 3) [t, x, y] float32 windows for sce1 (fixture copy)."""

@@ -133,6 +133,7 @@ def test_cli_mpc_sweep(tmp_path, capsys):
         assert r["max_error_m"] < 5.0
 
 
+@pytest.mark.slow
 def test_cli_serve(tmp_path, all_windows, capsys):
     np.save(tmp_path / "w.npy", all_windows["sce2"])
     main([

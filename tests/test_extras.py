@@ -28,6 +28,7 @@ from defensive_model_vae_tpu.utils import MetricWriter, StageTimer
 from conftest import REFERENCE_ROOT, REPO_ROOT, requires_reference
 
 
+@pytest.mark.slow
 def test_resume_matches_continuous_run(all_windows):
     """Train 100 then resume 100 with ``start_epoch=100`` ≡ train 200
     straight, BIT-EXACTLY: the per-epoch noise folds the global epoch
@@ -119,6 +120,7 @@ def test_conditioned_corpus_honors_sce4_trial_suffix(all_windows):
     assert np.isclose(extra[i3, -1], 40.0 / v3, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_conv_vae_trains_on_long_windows():
     """BASELINE config 3: Conv1D VAE over 50-point random-walk windows."""
     import jax.numpy as jnp
@@ -235,6 +237,7 @@ def test_band_stats_golden_and_artifact_consistency(tmp_path):
     assert checked >= 16, f"only {checked} scoreboard cells checked"
 
 
+@pytest.mark.slow
 def test_train_conv_api():
     from defensive_model_vae_tpu.train import train_conv
 
@@ -272,6 +275,7 @@ def test_orbax_checkpoint_backend(tmp_path):
     save_checkpoint(d, params, cfg, "sce2", backend="orbax")
 
 
+@pytest.mark.slow
 def test_conv_train_sample_consistency_nonorigin():
     """conv_sample must return trajectories anchored at the conditioned
     start for corpora that do NOT start at the origin (review finding:

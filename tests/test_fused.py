@@ -55,6 +55,7 @@ def test_forward_loss_matches_model_stack(all_windows):
         assert np.isclose(float(comps_k[i]), float(comps_m[key]), rtol=1e-5), key
 
 
+@pytest.mark.slow
 def test_fused_single_step_matches_oracle(all_windows):
     w = all_windows["sce2"]
     params = init_params(jax.random.PRNGKey(0), CFG)
@@ -120,6 +121,7 @@ def test_forward_loss_masked_matches_padded():
     assert np.allclose(np.asarray(comps_ref), np.asarray(comps_m), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_train_multi_matches_single_kernel(all_windows):
     """Multi-scenario grid kernel vs the single-scenario kernel, per-commit
     on the CPU suite: with explicit eps (the deterministic escape hatch both
@@ -165,6 +167,7 @@ def test_fused_train_multi_matches_single_kernel(all_windows):
             assert np.allclose(hist_by[k][key], m[:, j], rtol=1e-5), (k, key)
 
 
+@pytest.mark.slow
 def test_fused_train_seeds_matches_single_kernel(all_windows):
     """Seed-grid kernel (one launch trains K seeds of one corpus) vs the
     single-scenario kernel, per seed, in interpret mode with explicit eps.

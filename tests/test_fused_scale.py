@@ -32,6 +32,7 @@ def _tiny_corpus(n, seed=3):
     return np.concatenate([t[..., None], xy], axis=-1).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_scale_kernel_matches_tiled_oracle():
     """Kernel (interpret, f32, explicit eps) == the plain-XLA tiled oracle
     after several epochs — params AND the per-epoch metric rows."""
@@ -54,6 +55,7 @@ def test_scale_kernel_matches_tiled_oracle():
     assert np.allclose(got, ref_hist, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_tiled_oracle_matches_full_batch():
     """The grad-accumulation contract: tiling changes only fp summation
     order, so the tiled oracle tracks the full-batch objective."""
@@ -69,6 +71,7 @@ def test_tiled_oracle_matches_full_batch():
     assert np.allclose(h_tiled, h_full, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_scale_kernel_pads_ragged_corpus():
     """N not a multiple of tile: padded rows are masked zero windows, so
     the result equals the unpadded oracle exactly."""
@@ -90,6 +93,7 @@ def test_scale_kernel_pads_ragged_corpus():
     )
 
 
+@pytest.mark.slow
 def test_scale_kernel_bf16_descends():
     """Mixed-precision mode in interpret: finite history that descends over
     a short run (bit-parity is not the contract — the recon target is the
@@ -194,6 +198,7 @@ def test_scale_dp_hbm_noise_matches_per_epoch_oracle():
     assert np.allclose(got, ref_hist, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_scale_dp_hbm_descends_on_mesh():
     """hbm noise through shard_map on the 8-device CPU mesh: finite and
     descending (per-device eps streams differ by design, so sharded ==
@@ -357,6 +362,7 @@ def test_scale_kernel_autodiff_backward_bf16_descends():
         assert np.all(np.isfinite(np.asarray(p)))
 
 
+@pytest.mark.slow
 def test_scale_dp_autodiff_backward_matches_oracle_on_mesh():
     """backward='auto' through the DP tier (per-epoch grad kernel in
     shard_map) still reproduces the full-batch objective on the CPU mesh
@@ -416,6 +422,7 @@ def test_scale_dp_matches_oracle_on_mesh():
     assert np.allclose(got, ref_hist, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_scale_dp_sharded_equals_single_device():
     """Sharded-vs-single equality (the dryrun pattern): the mesh run and the
     mesh=None run execute the same per-epoch program modulo psum order."""

@@ -153,6 +153,7 @@ def test_checkpoint_roundtrip(tmp_path, windows_sce1):
     assert load_history(d2) is None
 
 
+@pytest.mark.slow
 def test_conv_cvae_forward_and_grad():
     cfg = ConvCVAEConfig(seq_len=50, dim=2)
     params = init_conv_params(jax.random.PRNGKey(0), cfg)
@@ -171,6 +172,7 @@ def test_conv_cvae_forward_and_grad():
     assert any(np.abs(leaf).max() > 0 for leaf in flat)
 
 
+@pytest.mark.slow
 def test_multi_scenario_training(all_windows):
     subset = {k: all_windows[k] for k in ("sce1", "sce2")}
     params_by, hist_by = train_multi_scenario(subset, TrainConfig(epochs=100))
@@ -210,6 +212,7 @@ def test_all_loadable_reference_checkpoints_import():
     assert orphans == [f"vae_random_{i}.pth" for i in (1, 2, 3, 4)]
 
 
+@pytest.mark.slow
 def test_mixed_precision_training(windows_sce1, trained_sce1):
     """``TrainConfig.compute_dtype="bfloat16"``: the forward/backward run
     in bf16 while master params and Adam stay float32.  Checks: (a) the

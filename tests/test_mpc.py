@@ -210,6 +210,7 @@ def test_linear_mpc_sine_road():
     assert states[-1, 2] > 1.5
 
 
+@pytest.mark.slow
 def test_device_reference_matches_host(windows_sce1):
     """The JAX not-a-knot reference construction must match the host
     scipy implementation (f32 serving precision)."""
@@ -247,6 +248,7 @@ def test_device_reference_matches_host(windows_sce1):
         assert np.abs(host[..., 1] - dev[..., 1]).max() < 0.05  # v (f32)
 
 
+@pytest.mark.slow
 def test_serve_fn_end_to_end(windows_sce1):
     """One jitted device program: sample → reference → MPC; the result must
     track its own generated waypoints."""
@@ -329,6 +331,7 @@ def test_select_valid_trajectory():
     assert np.allclose(out[:, 1:], shifted[:, 1:])
 
 
+@pytest.mark.slow
 def test_serve_offset_mode():
     """offset_mode=False must skip the start shift (legacy non-offset
     checkpoints decode absolute coordinates).  At start=(0,0) the shift is

@@ -178,6 +178,7 @@ def test_mesh_training_matches_unpadded_objective(windows_sce1):
     )
 
 
+@pytest.mark.slow
 def test_serve_fn_sharded_over_mesh_matches():
     """Serving sharded over the mesh 'data' axis (make_serve_fn(mesh=…))
     must reproduce the single-device program exactly — requests are

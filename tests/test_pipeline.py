@@ -205,9 +205,9 @@ def test_cli_train_fused_scale_wiring(tmp_path, all_windows, monkeypatch):
     seen = {}
 
     def fake_scale(windows, epochs, lr, weights, seed, tile, compute_dtype,
-                   backward=None):
+                   backward=None, noise="hbm"):
         seen.update(tile=tile, compute_dtype=compute_dtype, epochs=epochs,
-                    backward=backward)
+                    backward=backward, noise=noise)
         from defensive_model_vae_tpu.models import CVAEConfig, init_params
         import jax
         cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
@@ -221,13 +221,15 @@ def test_cli_train_fused_scale_wiring(tmp_path, all_windows, monkeypatch):
         "train", "--scenario", "sce2", "--windows", str(w),
         "--ckpt", str(ck), "--epochs", "10", "--fused-scale",
         "--tile", "1024", "--dtype", "bfloat16", "--backward", "manual",
+        "--noise", "prng",
     ])
     assert seen == {"tile": 1024, "compute_dtype": "bfloat16", "epochs": 10,
-                    "backward": "manual"}
+                    "backward": "manual", "noise": "prng"}
     with open(ck / "manifest.json") as f:
         recipe = json.load(f)["recipe"]
     assert recipe["trainer"] == "fused-scale"
     assert recipe["backward"] == "manual"
+    assert recipe["noise"] == "prng"
 
     with pytest.raises(SystemExit, match="mutually exclusive"):
         main([
@@ -242,10 +244,10 @@ def test_cli_train_fused_scale_wiring(tmp_path, all_windows, monkeypatch):
     seen_dp = {}
 
     def fake_scale_dp(windows, mesh, epochs, lr, weights, seed, tile,
-                      compute_dtype, backward=None):
+                      compute_dtype, backward=None, noise="hbm"):
         seen_dp.update(tile=tile, compute_dtype=compute_dtype,
                        epochs=epochs, dp=mesh.shape["data"],
-                       backward=backward)
+                       backward=backward, noise=noise)
         return fake_scale(windows, epochs, lr, weights, seed, tile,
                           compute_dtype)
 
@@ -258,7 +260,7 @@ def test_cli_train_fused_scale_wiring(tmp_path, all_windows, monkeypatch):
     ])
     assert seen_dp == {
         "tile": 512, "compute_dtype": None, "epochs": 10, "dp": 8,
-        "backward": None,
+        "backward": None, "noise": "hbm",
     }
     with open(ck_dp / "manifest.json") as f:
         assert json.load(f)["recipe"]["trainer"] == "fused-scale-dp"
@@ -429,6 +431,7 @@ def test_reproduce_scoreboard_wiring(tmp_path, monkeypatch):
 
 
 @requires_reference
+@pytest.mark.slow
 def test_reference_torch_checkpoint_through_our_pipeline(tmp_path):
     """Migration path: the reference's own shipped .pth weights load into
     our parameter pytree and reproduce the published JS divergence through
@@ -618,6 +621,7 @@ def test_serve_rejects_raw_jump_guard():
 
 
 @requires_reference
+@pytest.mark.slow
 def test_run_scenario_offset_mode_and_stale_cleanup(tmp_path, all_windows):
     """run_scenario must (a) honor the manifest's offset_mode=False (legacy
     non-offset decoders emit absolute coordinates — generating with the

@@ -9,6 +9,8 @@ checkpoint — so the pure parts are tested here without touching a device.
 
 import importlib.util
 
+import pytest
+
 from conftest import REPO_ROOT
 
 
@@ -417,6 +419,7 @@ def test_scale_ablation_smoke(monkeypatch):
     sa.main()  # raises on any variant disagreement
 
 
+@pytest.mark.slow
 def test_serve_latency_script_end_to_end(tmp_path, monkeypatch):
     """scripts/serve_latency.py produces its evidence JSON against a live
     endpoint (tiny steps/reps on the CPU backend)."""

@@ -54,6 +54,7 @@ def _call(server, payload=None, path="/serve", method="POST"):
         return e.code, json.loads(e.read())
 
 
+@pytest.mark.slow
 def test_healthz(served):
     server, _ = served
     code, body = _call(server, path="/healthz", method="GET")
@@ -109,6 +110,7 @@ def test_serve_matches_direct_call_and_pads(served):
     )
 
 
+@pytest.mark.slow
 def test_generate_route(tmp_path):
     """POST /generate returns raw sampled trajectories (no MPC) matching a
     direct call of the same jitted sampler; servers built without
@@ -242,6 +244,7 @@ def test_serve_entropy_seed_and_pinned_seed(served):
     assert c["seed"] != d["seed"]  # entropy default → fresh draws
 
 
+@pytest.mark.slow
 def test_multi_model_routing(tmp_path):
     """One warm endpoint hosts several models: requests route by 'model',
     each model returns its own weights' trajectories, and the field is
@@ -332,6 +335,7 @@ def test_conv_checkpoint_rejected_at_the_boundary(tmp_path):
         load_and_generate(d, 0.0, 0.0)
 
 
+@pytest.mark.slow
 def test_serve_client_example(tmp_path):
     """examples/serve_client.py works against a live endpoint exactly as
     its docstring promises (stdlib-only client, healthz + /serve)."""
@@ -378,6 +382,7 @@ def test_serve_client_example(tmp_path):
         t.join(timeout=10)
 
 
+@pytest.mark.slow
 def test_serve_checkpoint_end_to_end(tmp_path):
     """The --listen CLI path: checkpoint → warmed program → live endpoint
     (manifest offset_mode honored via make_serve_fn, same as one-shot)."""

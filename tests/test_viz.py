@@ -276,6 +276,7 @@ def test_cli_loss_plot(tmp_path):
 
 
 @requires_reference
+@pytest.mark.slow
 def test_cli_gif_and_case(tmp_path):
     """defvae gif/case render from a real CSV + tracked trace."""
     import numpy as np
