@@ -112,6 +112,7 @@ def generate_and_track(
     seed: int = 0,
     mpc_cfg: Optional[MPCConfig] = None,
     shift_start: bool = True,
+    timer=None,
 ) -> Tuple[List[np.ndarray], List[str]]:
     """Generate one tracked trajectory per CSV, batched on device.
 
@@ -127,18 +128,35 @@ def generate_and_track(
     already cached — re-bucketing would shift every committed metric by
     ulps for no compile saving in practice.
 
+    ``timer`` (optional ``utils.profiling.StageTimer``) accumulates the
+    three sub-stages under ``<sce>_conditions`` (host pandas over every
+    CSV), ``<sce>_generate`` (device sampling incl. degenerate re-draws)
+    and ``<sce>_track`` (the vmapped MPC program) — the per-stage
+    attribution behind ``results/stage_timings.json``.
+
     Returns (state traces [N_b, 4] clipped to each path's own step count,
     trace names)."""
+    import contextlib
+
     sce = scenarios.get(scenario) if isinstance(scenario, str) else scenario
     if mpc_cfg is None:
         mpc_cfg = default_mpc_cfg(sce)
+    stage = (
+        (lambda name: timer.stage(f"{sce.key}_{name}"))
+        if timer is not None
+        else (lambda name: contextlib.nullcontext())
+    )
 
     # validate trace names (format + collisions) before any device work
     _validated_trace_names(sce.key, csv_files)
-    conds = [get_start_conditions(c, sce) for c in csv_files]
-    starts = np.array([[c.x, c.y] for c in conds], np.float32)
+    with stage("conditions"):
+        conds = [get_start_conditions(c, sce) for c in csv_files]
+        starts = np.array([[c.x, c.y] for c in conds], np.float32)
 
-    gen, ok = _draw_valid_samples(params, model_cfg, starts, seed, shift_start)
+    with stage("generate"):
+        gen, ok = _draw_valid_samples(
+            params, model_cfg, starts, seed, shift_start
+        )
 
     # [t, x, y] → [x, y, t] waypoints, first timestamp zeroed
     wps = gen[:, :, [1, 2, 0]].astype(float)
@@ -151,7 +169,8 @@ def generate_and_track(
         # track_batch materializes to host numpy internally (one stacked
         # fetch — control/mpc.py:305), so the per-row slicing below is pure
         # numpy with no further device round-trips
-        _, states, _, steps = track_batch(wps[idx], inits[idx], mpc_cfg)
+        with stage("track"):
+            _, states, _, steps = track_batch(wps[idx], inits[idx], mpc_cfg)
         for row, b in enumerate(idx):
             n = int(steps[row])
             traces.append(states[row, : n + 1].copy())

@@ -67,10 +67,14 @@ def main():
         # (CLAUDE.md hazards)
         generate_and_track(params, cfg, sce, csvs, seed=_fresh_seed())
         with timer.stage(f"pipeline_{key}"):
+            # sub-stage attribution rides the same timed run: <key>_conditions
+            # (host pandas), <key>_generate (device sampling), <key>_track
+            # (vmapped MPC), <key>_validate (host metrics)
             traces, _ = generate_and_track(
-                params, cfg, sce, csvs, seed=_fresh_seed()
+                params, cfg, sce, csvs, seed=_fresh_seed(), timer=timer
             )
-            validate(traces, humans, sce)
+            with timer.stage(f"{key}_validate"):
+                validate(traces, humans, sce)
 
     corpora = {
         k: np.load(os.path.join(here, "fixtures", f"trajectory_{k}_cond.npy"))
