@@ -92,8 +92,16 @@ from .fused_trainer import (
 )
 
 
+# PRNG implementation for the hbm noise buffer ("threefry2x32" | "rbg" |
+# "unsafe_rbg"): threefry is JAX's deterministic default; rbg lowers to the
+# hardware RngBitGenerator.  Measured on-chip before choosing the default —
+# see results/hot_probe.json.
+_DEFAULT_NOISE_IMPL = "threefry2x32"
+
+
 def _value_and_grad(backward, params, x, cond, eps, cfg, weights, mask,
-                    n_valid, compute_dtype, mixed_style, bias_via_dot=False):
+                    n_valid, compute_dtype, mixed_style, bias_via_dot=False,
+                    dw_mode="contract0"):
     """Shared fwd+bwd step of both scale kernels: autodiff (traced
     ``jax.value_and_grad``) or the hand-written backward
     (:mod:`.manual_grad` — the ablation showed ~62% of kernel wall time is
@@ -104,7 +112,7 @@ def _value_and_grad(backward, params, x, cond, eps, cfg, weights, mask,
         return manual_value_and_grad(
             params, x, cond, eps, cfg, weights, mask, n_valid=n_valid,
             compute_dtype=compute_dtype, mixed_style=mixed_style,
-            bias_via_dot=bias_via_dot,
+            bias_via_dot=bias_via_dot, dw_mode=dw_mode,
         )
     (_, comps), grads = jax.value_and_grad(
         lambda pl_: _forward_loss(
@@ -162,8 +170,9 @@ def _make_scale_kernel(cfg: CVAEConfig, weights: LossWeights, lr: float,
     wall — "noadam" (skip the last-tile Adam update), "noacc" (overwrite
     instead of read-add in the cross-tile gradient accumulate), "biasdot"
     (bias grads via an MXU ones-row dot instead of a VPU reduction —
-    a candidate optimization, promoted to default if it measures faster).
-    Production callers leave it empty."""
+    measured 37 ms SLOWER, kept as evidence), "dwT" (dW via explicit
+    transpose + plain matmul instead of the batch-dim-contracting
+    dot_general).  Production callers leave it empty."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -214,6 +223,7 @@ def _make_scale_kernel(cfg: CVAEConfig, weights: LossWeights, lr: float,
         comps, grads = _value_and_grad(
             backward, params, x, cond, eps, cfg, weights, mask, n_valid,
             compute_dtype, mixed_style, bias_via_dot="biasdot" in _ablate,
+            dw_mode="transpose" if "dwT" in _ablate else "contract0",
         )
         row = jnp.concatenate([comps, jnp.zeros(3)])
 
@@ -258,12 +268,14 @@ def _make_scale_kernel(cfg: CVAEConfig, weights: LossWeights, lr: float,
     jax.jit,
     static_argnames=(
         "cfg", "weights", "epochs", "lr", "tile", "n_valid", "compute_dtype",
-        "mixed_style", "noise", "interpret", "backward", "_ablate",
+        "mixed_style", "noise", "interpret", "backward", "noise_impl",
+        "_ablate",
     ),
 )
 def _fused_scale_call(plist, packed, seed, cfg, weights, epochs, lr, tile,
                       n_valid, compute_dtype, mixed_style, noise,
-                      interpret=False, backward="auto", _ablate=()):
+                      interpret=False, backward="auto",
+                      noise_impl=_DEFAULT_NOISE_IMPL, _ablate=()):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -293,7 +305,9 @@ def _fused_scale_call(plist, packed, seed, cfg, weights, epochs, lr, tile,
         # grid's (e, i) step reads block e·n_tiles + i — sequential blocks,
         # double-buffered by Pallas like the corpus stream.
         Z = cfg.latent_dim
-        noise_key = jax.random.fold_in(jax.random.PRNGKey(seed[0, 0]), 1)
+        noise_key = jax.random.fold_in(
+            jax.random.key(seed[0, 0], impl=noise_impl), 1
+        )
         eps_all = jax.random.normal(
             noise_key, (epochs * n_pad, Z), jnp.float32
         )
@@ -348,6 +362,7 @@ def fused_train_scale(
     mixed_style: str = "f32_acts",
     eps: np.ndarray = None,
     noise: str = "hbm",
+    noise_impl: str = _DEFAULT_NOISE_IMPL,
     interpret: bool = False,
     backward: str = None,
 ) -> Tuple[Params, Dict[str, np.ndarray]]:
@@ -425,7 +440,7 @@ def fused_train_scale(
     out_plist, metrics = _fused_scale_call(
         tuple(plist), packed, seed_arr, cfg, weights, epochs, lr, tile,
         float(n), cdt, mixed_style, noise, interpret=interpret,
-        backward=backward,
+        backward=backward, noise_impl=noise_impl,
     )
     metrics = np.asarray(metrics)[:epochs, :5]
     history = {k: metrics[:, i] for i, k in enumerate(FUSED_METRIC_KEYS)}
@@ -569,6 +584,7 @@ def fused_train_scale_dp(
     mixed_style: str = "f32_acts",
     eps: np.ndarray = None,
     noise: str = "hbm",
+    noise_impl: str = _DEFAULT_NOISE_IMPL,
     interpret: bool = False,
     backward: str = None,
 ) -> Tuple[Params, Dict[str, np.ndarray]]:
@@ -659,7 +675,8 @@ def fused_train_scale_dp(
                 # per scan step, streamed into the kernel alongside the
                 # corpus shard
                 k = jax.random.fold_in(
-                    jax.random.PRNGKey(seed_val), dev * epochs + e
+                    jax.random.key(seed_val, impl=noise_impl),
+                    dev * epochs + e,
                 )
                 eps_epoch = jax.random.normal(
                     k, (packed_local.shape[0], cfg.latent_dim), jnp.float32

@@ -65,7 +65,7 @@ assert ("cond_0", "cond_1") + _ENC + ("fc_mu", "fc_logvar") + _DEC == _LAYERS
 def manual_value_and_grad(plist, x_flat, cond, eps, cfg: CVAEConfig,
                           w: LossWeights, mask=None, n_valid=None,
                           compute_dtype=None, mixed_style="f32_acts",
-                          bias_via_dot=False):
+                          bias_via_dot=False, dw_mode="contract0"):
     """Forward loss + hand-written parameter gradients.
 
     Mirrors ``_forward_loss(plist, ...)`` (same args, same masked/global-
@@ -95,11 +95,21 @@ def manual_value_and_grad(plist, x_flat, cond, eps, cfg: CVAEConfig,
             preferred_element_type=jnp.float32,
         )
 
-    def ddot_w(a, dy):  # a^T @ dy: contract the batch dim directly
-        return jax.lax.dot_general(
-            dc(a), dc(dy), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    if dw_mode == "transpose":
+        # ablation lever: materialize aᵀ (a Mosaic relayout) and run a
+        # standard matmul, instead of the batch-dim-contracting dot_general
+        # — A/B for which formulation Mosaic lowers faster
+        def ddot_w(a, dy):
+            return jnp.dot(
+                jnp.transpose(dc(a)), dc(dy),
+                preferred_element_type=jnp.float32,
+            )
+    else:
+        def ddot_w(a, dy):  # a^T @ dy: contract the batch dim directly
+            return jax.lax.dot_general(
+                dc(a), dc(dy), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     if bias_via_dot:
         # db as a (1, B)·(B, fo) MXU dot instead of a VPU sublane

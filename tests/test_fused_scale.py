@@ -262,6 +262,15 @@ def test_manual_bias_via_dot_matches_sum():
     for a, b in zip(grads_a, grads_b):
         a, b = np.asarray(a), np.asarray(b)
         assert np.allclose(a, b, atol=2e-6 * max(np.abs(a).max(), 1e-3))
+    # the transpose dW formulation (ablation lever "dwT") is the same
+    # contraction written as explicit-transpose + plain matmul
+    comps_t, grads_t = manual_value_and_grad(
+        plist, x_flat, start, eps, CFG, LossWeights(), dw_mode="transpose"
+    )
+    assert np.allclose(np.asarray(comps_a), np.asarray(comps_t), atol=1e-7)
+    for a, b in zip(grads_a, grads_t):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.allclose(a, b, atol=2e-6 * max(np.abs(a).max(), 1e-3))
 
 
 def test_manual_grads_match_autodiff():
