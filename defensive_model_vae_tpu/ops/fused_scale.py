@@ -25,16 +25,18 @@ model on-core instead:
   full-batch means;
 - reparameterization noise (``noise=``): the default ``"hbm"`` pre-generates
   EVERY epoch's eps with one cheap XLA program inside the same jitted
-  program (threefry ``jax.random.normal``; ~16 B/window·epoch in bf16) and
-  streams it from HBM as a second double-buffered input — fresh i.i.d.
-  noise per epoch AND tile, like the scan trainer, with none of the
-  on-core PRNG's per-step Box–Muller cost (measured ~17% of the manual
-  kernel's wall — ``results/scale_ablation.json`` ``manual`` 67.1M vs
-  ``manual_eps`` 81.2M windows/s).  ``"prng"`` keeps the on-core PRNG
-  (re-seeded per grid step from ``seed + e·n_tiles + i``) for corpora/epoch
-  counts where the eps buffer would not fit HBM (guarded).  The
-  explicit-``eps`` escape hatch still holds one (N, Z) draw constant
-  across epochs, like the other fused kernels.
+  program (hardware-RBG ``jax.random.normal`` by default — ``noise_impl``;
+  ~16 B/window·epoch in bf16) and streams it from HBM as a second
+  double-buffered input — fresh i.i.d. noise per epoch AND tile, like the
+  scan trainer, with none of the on-core PRNG's per-step Box–Muller cost.
+  Measured at the bench shape (``results/hot_probe.json``): hbm+rbg
+  0.309 s vs on-core PRNG 0.383 s vs hbm+threefry 0.396 s — threefry's
+  generation alone costs ~28% of the kernel, which is why ``noise_impl``
+  defaults to rbg.  ``"prng"`` keeps the on-core PRNG (re-seeded per grid
+  step from ``seed + e·n_tiles + i``) for corpora/epoch counts where the
+  eps buffer would not fit HBM (guarded).  The explicit-``eps`` escape
+  hatch still holds one (N, Z) draw constant across epochs, like the
+  other fused kernels.
 
 Mixed precision (default ``compute_dtype="bfloat16"``) stores the streamed
 corpus in bf16 (halving HBM traffic) and runs the forward/backward in bf16
@@ -93,10 +95,13 @@ from .fused_trainer import (
 
 
 # PRNG implementation for the hbm noise buffer ("threefry2x32" | "rbg" |
-# "unsafe_rbg"): threefry is JAX's deterministic default; rbg lowers to the
-# hardware RngBitGenerator.  Measured on-chip before choosing the default —
-# see results/hot_probe.json.
-_DEFAULT_NOISE_IMPL = "threefry2x32"
+# "unsafe_rbg"): rbg lowers to the hardware RngBitGenerator and is the
+# measured winner — kernel wall 0.309 s vs 0.396 s under threefry at the
+# bench shape (results/hot_probe.json), i.e. threefry generation alone was
+# costing ~28% of the kernel.  rbg's bit stream is backend-dependent (the
+# oracle tests derive the expected stream with the SAME impl on the same
+# backend; threefry stays available for a backend-stable stream).
+_DEFAULT_NOISE_IMPL = "rbg"
 
 
 def _value_and_grad(backward, params, x, cond, eps, cfg, weights, mask,
@@ -308,11 +313,16 @@ def _fused_scale_call(plist, packed, seed, cfg, weights, epochs, lr, tile,
         noise_key = jax.random.fold_in(
             jax.random.key(seed[0, 0], impl=noise_impl), 1
         )
+        # generate FLAT, then reshape: a (rows, 8) generation request pads
+        # its u32 bits temp to 128 lanes — measured 12.5 GiB for the bench
+        # shape under rbg, an instant HBM OOM — while the flat request is
+        # unpadded and value-identical (row-major) for every impl
         eps_all = jax.random.normal(
-            noise_key, (epochs * n_pad, Z), jnp.float32
+            noise_key, (epochs * n_pad * Z,), jnp.float32
         )
         if compute_dtype is not None:
             eps_all = eps_all.astype(compute_dtype)
+        eps_all = eps_all.reshape(epochs * n_pad, Z)
         in_specs.append(
             pl.BlockSpec(
                 (tile, Z), lambda e, i, _nt=n_tiles: (e * _nt + i, 0),
@@ -390,10 +400,14 @@ def fused_train_scale(
             fused kernels.  Overrides ``noise``.
         noise: ``"hbm"`` (default — every epoch's eps pre-generated by XLA
             in the same jitted program and streamed from HBM; fresh i.i.d.
-            noise per epoch like the scan trainer, without the on-core
-            PRNG's measured ~17% wall cost) or ``"prng"`` (on-core
-            Box–Muller; same statistical semantics, no eps buffer — the
-            fallback when ``epochs × N`` would not fit HBM, guarded).
+            noise per epoch like the scan trainer, measured fastest) or
+            ``"prng"`` (on-core Box–Muller; same statistical semantics, no
+            eps buffer — the fallback when ``epochs × N`` would not fit
+            HBM, guarded).
+        noise_impl: PRNG behind the hbm buffer — ``"rbg"`` (default, the
+            hardware RngBitGenerator; bit stream is backend-dependent) or
+            ``"threefry2x32"`` (backend-stable, ~28% slower kernel at the
+            bench shape — results/hot_probe.json).
         backward: ``"auto"`` (``jax.value_and_grad`` traced inside the
             kernel) or ``"manual"`` (the hand-written backward of
             :mod:`.manual_grad` — same math, restructured ops that dodge

@@ -61,8 +61,11 @@ def _fresh(lo=1 << 20):
 
 @functools.partial(jax.jit, static_argnames=("impl", "rows", "z"))
 def _gen_eps(seed, impl, rows, z):
+    # flat generation, like the production kernel: a (rows, 8) request
+    # pads its u32 bits temp to 128 lanes (12.5 GiB at this shape -> OOM)
     key = jax.random.fold_in(jax.random.key(seed[0, 0], impl=impl), 1)
-    return jax.random.normal(key, (rows, z), jnp.float32).astype(jnp.bfloat16)
+    flat = jax.random.normal(key, (rows * z,), jnp.float32)
+    return flat.astype(jnp.bfloat16).reshape(rows, z)
 
 
 def main():

@@ -112,21 +112,23 @@ def test_scale_kernel_bf16_descends():
         assert np.all(np.isfinite(np.asarray(p)))
 
 
-def test_scale_kernel_hbm_noise_matches_per_epoch_oracle():
+@pytest.mark.parametrize("impl", ["rbg", "threefry2x32"])
+def test_scale_kernel_hbm_noise_matches_per_epoch_oracle(impl):
     """noise='hbm' (the production default: fresh-per-epoch eps pre-generated
     by XLA and streamed from HBM) == the tiled oracle fed the byte-identical
     per-epoch eps stream, reproduced on host from the same key derivation
-    (fold_in(PRNGKey(seed), 1), epoch-major rows)."""
+    (fold_in(key(seed, impl), 1), flat row-major draw, epoch-major rows) —
+    for both the rbg production default and the backend-stable threefry."""
     w = _tiny_corpus(24)
     seed, epochs, tile = 5, 4, 8
     n_pad = 24  # already a multiple of tile
-    key = jax.random.fold_in(jax.random.PRNGKey(seed), 1)
+    key = jax.random.fold_in(jax.random.key(seed, impl=impl), 1)
     eps_pe = np.asarray(
-        jax.random.normal(key, (epochs * n_pad, CFG.latent_dim))
+        jax.random.normal(key, (epochs * n_pad * CFG.latent_dim,))
     ).reshape(epochs, n_pad, CFG.latent_dim)
     params, hist = fused_train_scale(
         w, epochs=epochs, tile=tile, compute_dtype=None, seed=seed,
-        noise="hbm", interpret=True,
+        noise="hbm", noise_impl=impl, interpret=True,
     )
     ref_params, ref_hist = fused_scale_reference(
         init_params(jax.random.PRNGKey(seed), CFG), w, eps_pe,
@@ -149,9 +151,9 @@ def test_scale_kernel_hbm_ragged_pads():
     w = _tiny_corpus(13, seed=5)
     seed, epochs, tile = 3, 2, 8
     n_pad = 16
-    key = jax.random.fold_in(jax.random.PRNGKey(seed), 1)
+    key = jax.random.fold_in(jax.random.key(seed, impl="rbg"), 1)
     eps_pe = np.asarray(
-        jax.random.normal(key, (epochs * n_pad, CFG.latent_dim))
+        jax.random.normal(key, (epochs * n_pad * CFG.latent_dim,))
     ).reshape(epochs, n_pad, CFG.latent_dim)[:, :13]
     params, hist = fused_train_scale(
         w, epochs=epochs, tile=tile, compute_dtype=None, seed=seed,
@@ -177,7 +179,7 @@ def test_scale_dp_hbm_noise_matches_per_epoch_oracle():
     seed, epochs, tile = 9, 3, 8
     eps_pe = np.stack([
         np.asarray(jax.random.normal(
-            jax.random.fold_in(jax.random.PRNGKey(seed), e),
+            jax.random.fold_in(jax.random.key(seed, impl="rbg"), e),
             (24, CFG.latent_dim),
         ))
         for e in range(epochs)
