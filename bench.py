@@ -651,14 +651,19 @@ def bench_seed_grid(windows, n_seeds=32, epochs=3000):
     # leave the executable load charged to the timed launch
     wbase = _fresh_seed()
     fused_train_seeds(windows, list(range(wbase, wbase + n_seeds)), epochs=epochs)
-    # fresh seed values for the timed run (identical-repeat hazard is
-    # cross-process — CLAUDE.md; a fixed literal range can time the cache)
-    base = _fresh_seed()
-    t0 = time.time()
-    _, hist_by = fused_train_seeds(
-        windows, list(range(base, base + n_seeds)), epochs=epochs
-    )
-    dt = time.time() - t0
+    # fresh seed values per timed rep (identical-repeat hazard is
+    # cross-process — CLAUDE.md; a fixed literal range can time the cache);
+    # 2 reps: this kernel's wall has a documented ~2x lowering/tunnel
+    # spread, so a single-shot number is the noisiest key in the record
+    rep_times = []
+    for _ in range(2):
+        base = _fresh_seed()
+        t0 = time.time()
+        _, hist_by = fused_train_seeds(
+            windows, list(range(base, base + n_seeds)), epochs=epochs
+        )
+        rep_times.append(time.time() - t0)
+    dt = min(rep_times)
     for s, h in hist_by.items():
         first, last = float(h["total"][0]), float(h["total"][-1])
         if not np.isfinite(last) or last >= first / 5:
@@ -667,7 +672,8 @@ def bench_seed_grid(windows, n_seeds=32, epochs=3000):
             )
     rate = n_seeds * epochs * len(windows) / dt
     _log(f"seed-grid: {n_seeds} trainings x {epochs} epochs in ONE launch, "
-         f"{dt:.2f}s warm ({rate/1e6:.2f}M windows/s aggregate)")
+         f"best {dt:.2f}s / median {_median(rep_times):.2f}s of "
+         f"{len(rep_times)} warm ({rate/1e6:.2f}M windows/s aggregate)")
     return dt
 
 
