@@ -453,7 +453,7 @@ def fused_inputs(windows: np.ndarray) -> Tuple[jax.Array, jax.Array]:
 
 def _make_multi_kernel(cfg: CVAEConfig, weights: LossWeights, epochs: int,
                        lr: float, n_params: int, eps_input: bool,
-                       backward="manual"):
+                       backward="manual", use_mask=True, _metrics="full"):
     """Grid kernel: grid index = scenario; each program trains its own
     model on its own (padded, masked) batch block.
 
@@ -461,7 +461,16 @@ def _make_multi_kernel(cfg: CVAEConfig, weights: LossWeights, epochs: int,
     block (held constant across epochs), the same escape hatch the
     single-scenario kernel has — it is what lets interpret mode (whose
     ``prng_random_bits`` stub yields zeros that inf the Box–Muller
-    transform) cover this kernel in the CPU suite."""
+    transform) cover this kernel in the CPU suite.
+
+    ``use_mask=False`` runs the UNMASKED epoch body (same one the
+    single-scenario kernel uses): for callers whose batches have no
+    padding (``fused_train_seeds`` — every program trains the full
+    corpus) the all-ones mask only added dead VPU work to the per-epoch
+    dependent chain.  ``_metrics`` is ABLATION-ONLY
+    (scripts/grid_probe.py): "static" replaces the per-epoch
+    dynamic-index metrics store with a row-0 overwrite to isolate its
+    cost — history is invalid in that mode."""
     from jax.experimental.pallas import tpu as pltpu
 
     def kernel(*refs):
@@ -486,7 +495,8 @@ def _make_multi_kernel(cfg: CVAEConfig, weights: LossWeights, epochs: int,
             pltpu.prng_seed(seed_ref[0, s])
         x = x_ref[0]
         cond = cond_ref[0]
-        mask = mask_ref[0]  # (B, 1), kept 2-D for Mosaic-friendly reductions
+        # (B, 1), kept 2-D for Mosaic-friendly reductions
+        mask = mask_ref[0] if use_mask else None
         B = x.shape[0]
 
         params0 = [r[0] for r in p_refs]
@@ -497,8 +507,12 @@ def _make_multi_kernel(cfg: CVAEConfig, weights: LossWeights, epochs: int,
                 return eps_ref[0]
             return _normal_noise((B, cfg.latent_dim))
 
-        def write_metrics(t, comps):
-            metrics_ref[0, t, :] = jnp.concatenate([comps, jnp.zeros(3)])
+        if _metrics == "static":
+            def write_metrics(t, comps):
+                metrics_ref[0, 0, :] = jnp.concatenate([comps, jnp.zeros(3)])
+        else:
+            def write_metrics(t, comps):
+                metrics_ref[0, t, :] = jnp.concatenate([comps, jnp.zeros(3)])
 
         body = _epoch_body(cfg, weights, lr, x, cond, mask, get_eps,
                            write_metrics, backward)
@@ -511,10 +525,12 @@ def _make_multi_kernel(cfg: CVAEConfig, weights: LossWeights, epochs: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "weights", "epochs", "lr", "interpret", "backward"),
+    static_argnames=("cfg", "weights", "epochs", "lr", "interpret", "backward",
+                     "use_mask", "_metrics"),
 )
 def _fused_multi_call(plists, x_flat, cond, mask, seed, cfg, weights, epochs, lr,
-                      eps=None, interpret=False, backward="manual"):
+                      eps=None, interpret=False, backward="manual",
+                      use_mask=True, _metrics="full"):
     """plists: per-param stacked arrays with leading scenario axis (S, …)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -522,7 +538,8 @@ def _fused_multi_call(plists, x_flat, cond, mask, seed, cfg, weights, epochs, lr
     S = x_flat.shape[0]
     n = len(plists)
     eps_input = eps is not None
-    kernel = _make_multi_kernel(cfg, weights, epochs, lr, n, eps_input, backward)
+    kernel = _make_multi_kernel(cfg, weights, epochs, lr, n, eps_input, backward,
+                                use_mask=use_mask, _metrics=_metrics)
 
     def block(arr):  # per-scenario block: slice leading axis by grid index
         shape = (1,) + arr.shape[1:]
@@ -701,6 +718,9 @@ def fused_train_seeds(
     out_p, metrics = _fused_multi_call(
         plists, x, cond, mask, seed_arr, cfg, weights, epochs, lr,
         eps=eps, interpret=interpret, backward=backward,
+        # every program trains the FULL corpus (no padding), so the mask
+        # would be all-ones: run the single-kernel's unmasked epoch body
+        use_mask=False,
     )
     # one fetch per stacked array, host-side slicing (see fused_train_multi)
     out_host = [np.asarray(p) for p in out_p]

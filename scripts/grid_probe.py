@@ -1,0 +1,156 @@
+"""Probe the seed-grid kernel's per-epoch gap vs the single-run kernel.
+
+The whole-run kernel trains 3000 epochs of the 38-window sce1 corpus in
+~19 ms (~6.3 µs/epoch), yet the 32-seed grid kernel — the SAME epoch body
+under a grid=(S,) launch — has measured 2.6–6.4 s for 32×3000
+(27–67 µs/epoch·seed), a 4–10× per-epoch gap with a documented ~2×
+lowering spread on top.  Candidate mechanisms, timed here as kernel
+variants on the real corpus (32 seeds × 3000 epochs, interleaved reps):
+
+  grid        fused_train_seeds as shipped (now unmasked — round 4 moved
+              its all-ones mask out of the per-epoch dependent chain)
+  grid_masked the pre-round-4 masked body (the production path of
+              fused_train_multi, whose padded batches NEED the mask)
+  grid_static the per-epoch metrics store made STATIC (row-0 overwrite)
+              -> isolates the dynamic-index store into the (1, 3000, 8)
+              block (diagnostic only; history invalid)
+  grid_s8     8 seeds instead of 32 -> does per-seed cost scale with S
+              (VMEM pressure / scheduling), or is it constant?
+  single_x32  32 independent single-run kernels dispatched back-to-back,
+              one sync — the per-epoch floor including dispatch
+
+Writes results/grid_probe.json.  Run ALONE on the real chip.
+"""
+
+import json
+import os
+import secrets
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from defensive_model_vae_tpu.utils.cache import (
+    enable_persistent_cache,
+    ensure_deterministic_hash_seed,
+)
+
+ensure_deterministic_hash_seed()
+enable_persistent_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from defensive_model_vae_tpu.models import (  # noqa: E402
+    CVAEConfig, LossWeights, init_params,
+)
+from defensive_model_vae_tpu.ops import fused_trainer as ft  # noqa: E402
+
+S, EPOCHS = 32, 3000
+REPS = 4
+
+
+def _fresh(lo=1 << 20):
+    return lo + secrets.randbelow((1 << 30) - lo)
+
+
+def _windows():
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return np.load(os.path.join(here, "fixtures", "trajectory_sce1_cond.npy"))
+
+
+def main():
+    windows = _windows()
+    cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
+    weights = LossWeights()
+    x_flat, start = ft.fused_inputs(windows)
+    B = x_flat.shape[0]
+
+    def grid_operands(n_seeds, base):
+        seeds = list(range(base, base + n_seeds))
+        x = jnp.broadcast_to(x_flat, (n_seeds,) + x_flat.shape)
+        cond = jnp.broadcast_to(start, (n_seeds,) + start.shape)
+        mask = jnp.ones((n_seeds, B, 1), jnp.float32)
+        per_seed = [
+            ft._flatten_params(init_params(jax.random.PRNGKey(s), cfg))
+            for s in seeds
+        ]
+        plists = tuple(
+            jnp.stack([p[j] for p in per_seed])
+            for j in range(len(per_seed[0]))
+        )
+        return plists, x, cond, mask, jnp.array([seeds], jnp.int32)
+
+    def run(mode, base):
+        if mode == "single_x32":
+            plist = tuple(ft._flatten_params(
+                init_params(jax.random.PRNGKey(base), cfg)
+            ))
+            outs = [
+                ft._fused_call(
+                    plist, x_flat, start,
+                    jnp.array([[base + i]], jnp.int32), cfg, weights,
+                    EPOCHS, 1e-3,
+                )
+                for i in range(S)
+            ]
+            jax.block_until_ready(outs[-1][1])
+            return np.asarray(outs[-1][1])
+        n_seeds = 8 if mode == "grid_s8" else S
+        kw = {}
+        if mode == "grid_masked":
+            kw = {"use_mask": True}
+        elif mode == "grid_static":
+            kw = {"use_mask": False, "_metrics": "static"}
+        else:
+            kw = {"use_mask": False}
+        plists, x, cond, mask, seed_arr = grid_operands(n_seeds, base)
+        _, m = ft._fused_multi_call(
+            plists, x, cond, mask, seed_arr, cfg, weights, EPOCHS, 1e-3,
+            **kw,
+        )
+        return np.asarray(m)
+
+    variants = ["grid", "grid_masked", "grid_static", "grid_s8", "single_x32"]
+    times = {v: [] for v in variants}
+    last = {}
+    for rep in range(REPS + 1):
+        for v in variants:
+            t0 = time.time()
+            m = run(v, _fresh())
+            dt = time.time() - t0
+            last[v] = m
+            if rep == 0:
+                print(f"cold {v}: {dt:.1f}s", file=sys.stderr)
+            else:
+                times[v].append(dt)
+                print(f"rep{rep} {v}: {dt:.3f}s", file=sys.stderr)
+
+    # sanity: trained histories descend (not grid_static — its history is
+    # a single overwritten row; not single_x32's fetched final metrics row)
+    for v in ("grid", "grid_masked", "grid_s8"):
+        m = last[v]
+        assert np.isfinite(m[:, EPOCHS - 1, 0]).all()
+        assert (m[:, EPOCHS - 1, 0] < m[:, 0, 0] / 5).all(), v
+
+    out = {"seeds": S, "epochs": EPOCHS, "reps": REPS, "variants": {}}
+    for v in variants:
+        best = min(times[v])
+        n_seeds = 8 if v == "grid_s8" else S
+        out["variants"][v] = {
+            "best_s": round(best, 4),
+            "all_s": [round(t, 4) for t in times[v]],
+            "us_per_epoch_seed": round(best / (EPOCHS * n_seeds) * 1e6, 2),
+        }
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, "results", "grid_probe.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    print(json.dumps({v: out["variants"][v] for v in variants}))
+    print(f"wrote {path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
