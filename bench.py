@@ -642,9 +642,12 @@ def bench_multi_kernel():
 
 
 def bench_seed_grid(windows, n_seeds=32, epochs=3000):
-    """Seed-grid kernel: n_seeds full trainings of one corpus in ONE kernel
-    launch (``ops.fused_train_seeds``) — the train-seed selection sweep's
-    workload.  Asserts every seed converges; returns warm seconds."""
+    """Seed sweep: n_seeds full trainings of one corpus in one compiled
+    pipelined sweep (``ops.fused_train_seeds`` — per-seed single-run
+    kernels dispatched back-to-back, stacked device-side harvest; replaced
+    the grid-axis kernel in round 4, measured 6x faster per epoch) — the
+    train-seed selection sweep's workload.  Asserts every seed converges;
+    returns warm seconds."""
     from defensive_model_vae_tpu.ops import fused_train_seeds
 
     # compile/warm-up with entropy seeds too — an elided warm-up would
@@ -671,7 +674,7 @@ def bench_seed_grid(windows, n_seeds=32, epochs=3000):
                 f"seed-grid kernel regressed: seed {s} loss {first:.3f} → {last:.3f}"
             )
     rate = n_seeds * epochs * len(windows) / dt
-    _log(f"seed-grid: {n_seeds} trainings x {epochs} epochs in ONE launch, "
+    _log(f"seed-grid: {n_seeds} trainings x {epochs} epochs pipelined, "
          f"best {dt:.2f}s / median {_median(rep_times):.2f}s of "
          f"{len(rep_times)} warm ({rate/1e6:.2f}M windows/s aggregate)")
     return dt

@@ -668,19 +668,26 @@ def fused_train_seeds(
     interpret: bool = False,
     backward: str = "manual",
 ) -> Tuple[Dict[int, Params], Dict[int, Dict[str, np.ndarray]]]:
-    """Train the SAME corpus under many train seeds in ONE kernel launch.
+    """Train the SAME corpus under many train seeds in one compiled sweep.
 
-    The Pallas grid axis enumerates seeds (init ``PRNGKey(seed)``, core
-    PRNG stream ``seed`` — identical semantics to calling
-    :func:`fused_train` per seed, which is asserted in tests via the
-    explicit-eps mode).  This is the train-seed selection sweep's workload
-    (``scripts/seed_sweep.py``): a 110-candidate sweep collapses from 110
-    kernel launches (plus per-launch dispatch/tunnel overhead) to one.
+    BIT-IDENTICAL to calling :func:`fused_train` per seed BY CONSTRUCTION:
+    each seed is its own single-run kernel launch (init ``PRNGKey(seed)``,
+    core PRNG stream ``seed``), dispatched back-to-back without
+    intermediate syncs — the chip executes them serially while dispatch
+    and tunnel RTT amortize — and harvested through ONE device-side stack
+    per parameter (a per-launch fetch pays 4–30 ms per buffer through the
+    tunnel; the stacked fetch is the documented mitigation, CLAUDE.md).
 
-    The corpus operand is materialized per seed (pallas_call inputs are
-    dense, so ``broadcast_to`` becomes S copies — ~4.6 KB each for sce1);
-    the dominant per-seed HBM cost is params + metrics (~0.5 MB/seed at
-    hidden=128, 3000 epochs).
+    This replaced the round-2 grid-axis kernel in round 4: the on-chip
+    probe (``scripts/grid_probe.py`` → ``results/grid_probe.json``)
+    measured the grid's per-epoch cost at 41–47 µs/epoch·seed REGARDLESS
+    of mask, metrics-store mode, or seed count, vs 7.1 µs/epoch·seed for
+    the same work as pipelined single-run kernels — a 6× structural gap
+    in how Mosaic schedules the training loop under a grid program, on
+    top of the grid lowering's documented ~2× variance.  32×3000 epochs:
+    4.2–6.9 s (grid) → ~0.7 s (pipelined).  The grid kernel remains the
+    right shape for :func:`fused_train_multi`, whose per-scenario padded
+    batches share one executable.
 
     ``eps_by_seed`` (optional ``{seed: (B, latent)}``) swaps the on-core
     PRNG for explicit noise, the interpret-mode escape hatch shared with
@@ -694,42 +701,87 @@ def fused_train_seeds(
         raise ValueError("duplicate seeds in fused_train_seeds")
     cfg = CVAEConfig(seq_len=windows.shape[1], dim=windows.shape[2])
     _check_vmem_budget(cfg)
-    _check_grid_epoch_budget(epochs)
+    _check_epoch_budget(epochs, buffers=1)
     x_flat, start = fused_inputs(windows)
-    S, B = len(seeds), x_flat.shape[0]
+    seeds_arr = jnp.asarray(seeds, jnp.int32)
 
-    x = jnp.broadcast_to(x_flat, (S,) + x_flat.shape)
-    cond = jnp.broadcast_to(start, (S,) + start.shape)
-    mask = jnp.ones((S, B, 1), jnp.float32)
-
-    per_seed_params = [
-        _flatten_params(init_params(jax.random.PRNGKey(s), cfg)) for s in seeds
+    # dispatch hygiene (measured: the naive per-seed loop spent 4 s of a
+    # 0.7 s sweep on host-side op dispatch through the tunnel): ONE vmapped
+    # init program for all seeds' params, ONE kernel executable that
+    # slices the stacked params by a traced index (so every launch is a
+    # single dispatch of the same executable), ONE harvest program that
+    # stacks all outputs for a single-buffer-per-leaf fetch
+    stacked_p = _stacked_init(seeds_arr, cfg)
+    eps_stacked = (
+        None if eps_by_seed is None
+        else jnp.stack(
+            [jnp.asarray(eps_by_seed[s], jnp.float32) for s in seeds]
+        )
+    )
+    outs = [
+        _fused_call_at(
+            stacked_p, x_flat, start, seeds_arr, jnp.int32(i), cfg, weights,
+            epochs, lr, eps_stacked=eps_stacked, interpret=interpret,
+            backward=backward,
+        )
+        for i in range(len(seeds))
     ]
-    plists = tuple(
-        jnp.stack([p[j] for p in per_seed_params])
-        for j in range(len(per_seed_params[0]))
-    )
-    seed_arr = jnp.array([seeds], jnp.int32)
-
-    eps = None
-    if eps_by_seed is not None:
-        eps = jnp.stack([jnp.asarray(eps_by_seed[s], jnp.float32) for s in seeds])
-
-    out_p, metrics = _fused_multi_call(
-        plists, x, cond, mask, seed_arr, cfg, weights, epochs, lr,
-        eps=eps, interpret=interpret, backward=backward,
-        # every program trains the FULL corpus (no padding), so the mask
-        # would be all-ones: run the single-kernel's unmasked epoch body
-        use_mask=False,
-    )
-    # one fetch per stacked array, host-side slicing (see fused_train_multi)
-    out_host = [np.asarray(p) for p in out_p]
+    packed, metrics = _stack_outputs(outs)
+    packed = np.asarray(packed)  # ONE (S, n_param_floats) fetch
     metrics = np.asarray(metrics)[:, :, :5]
+    shapes = [p.shape for p in outs[0][0]]
+    sizes = np.cumsum([0] + [int(np.prod(sh)) for sh in shapes])
     params_by, hist_by = {}, {}
     for i, s in enumerate(seeds):
-        params_by[s] = _unflatten_params([p[i] for p in out_host])
+        flat = [
+            packed[i, sizes[j]:sizes[j + 1]].reshape(shapes[j])
+            for j in range(len(shapes))
+        ]
+        params_by[s] = _unflatten_params(flat)
         hist_by[s] = {m: metrics[i, :, j] for j, m in enumerate(FUSED_METRIC_KEYS)}
     return params_by, hist_by
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _stacked_init(seeds_arr, cfg):
+    """All seeds' init params in ONE device program: (S, …) per leaf.
+    vmapped jax.random is elementwise-identical to per-seed
+    ``init_params(PRNGKey(s))`` (asserted by the seeds-vs-single test)."""
+    return jax.vmap(
+        lambda s: tuple(_flatten_params(init_params(jax.random.PRNGKey(s), cfg)))
+    )(seeds_arr)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "weights", "epochs", "lr", "interpret", "backward"),
+)
+def _fused_call_at(stacked_p, x_flat, cond, seeds_arr, idx, cfg, weights,
+                   epochs, lr, eps_stacked=None, interpret=False,
+                   backward="manual"):
+    """One sweep launch: slice seed ``idx``'s params/eps from the stacked
+    buffers INSIDE the jit, then run the single-run kernel — every seed is
+    one dispatch of one shared executable (idx is traced)."""
+    plist = tuple(a[idx] for a in stacked_p)
+    seed = seeds_arr[idx].reshape(1, 1)
+    eps = None if eps_stacked is None else eps_stacked[idx]
+    return _fused_call(
+        plist, x_flat, cond, seed, cfg, weights, epochs, lr, eps=eps,
+        interpret=interpret, backward=backward,
+    )
+
+
+@jax.jit
+def _stack_outputs(outs):
+    """Pack every launch's plist into ONE (S, n_param_floats) buffer and
+    stack the metrics, in one device program — the host fetch is then TWO
+    buffers total instead of S×25 small ones (per-buffer tunnel RPC
+    overhead, 4–30 ms each — CLAUDE.md measurement hazards)."""
+    packed = jnp.stack([
+        jnp.concatenate([a.reshape(-1) for a in o[0]]) for o in outs
+    ])
+    metrics = jnp.stack([o[1] for o in outs])
+    return packed, metrics
 
 
 def fused_step_reference(params: Params, windows, eps, lr=1e-3,

@@ -7,8 +7,8 @@ under a grid=(S,) launch — has measured 2.6–6.4 s for 32×3000
 lowering spread on top.  Candidate mechanisms, timed here as kernel
 variants on the real corpus (32 seeds × 3000 epochs, interleaved reps):
 
-  grid        fused_train_seeds as shipped (now unmasked — round 4 moved
-              its all-ones mask out of the per-epoch dependent chain)
+  grid        the round-2/3 grid-axis sweep kernel, unmasked epoch body
+              (what fused_train_seeds shipped as before round 4)
   grid_masked the pre-round-4 masked body (the production path of
               fused_train_multi, whose padded batches NEED the mask)
   grid_static the per-epoch metrics store made STATIC (row-0 overwrite)

@@ -9,7 +9,7 @@ Trainer choice: candidates train with ``train.train`` (the scan trainer)
 because the committed checkpoints do — a selected seed only transfers if
 the final checkpoint reuses the candidate's exact PRNG stream.  For
 throughput-oriented sweeps where the sweep's own params ARE the product,
-``ops.fused_train_seeds`` trains every candidate in one kernel launch
+``ops.fused_train_seeds`` trains every candidate in one compiled pipelined sweep
 (32×3000 epochs ≈ 3 s wall); the evaluate stage (generate+track per
 candidate) dominates either way.
 Scoring (``score_candidate``/``rank_candidates``): number of published
