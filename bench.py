@@ -82,7 +82,9 @@ _DRIFT_ALIASES = {
 def _drift_report(result):
     """Compare this round's headline keys against the previous BENCH_r*.json
     and flag >20% moves (CLAUDE.md documents a ~2x Pallas lowering spread;
-    the medians exist precisely so this comparison means something)."""
+    where both rounds carry a ``*_median`` the comparison uses it — best-of-N
+    of a 2x-spread quantity drifts spuriously, which is what the medians
+    were added to damp)."""
     prev, tag = _load_prev_bench()
     if prev is None:
         return None
@@ -98,14 +100,23 @@ def _drift_report(result):
         old_k = k if k in prev else _DRIFT_ALIASES.get(k)
         if k not in result or old_k is None or old_k not in prev:
             continue
+        if any(ok == k and nk not in prev for nk, ok in _DRIFT_ALIASES.items()):
+            # prev predates the rename, so prev[k] holds the OLD definition
+            # (e.g. r03's scale_fused headline was the prng kernel, now a
+            # separate series) — comparing across definitions would flag a
+            # rename as a perf move
+            continue
+        base, label = k, k
+        if f"{k}_median" in result and f"{old_k}_median" in prev:
+            k, old_k, label = f"{k}_median", f"{old_k}_median", f"{k} (median)"
         new, old = float(result[k]), float(prev[old_k])
         if old == 0:
             continue
         ratio = new / old
-        line = f"drift vs {tag} {k}: {old:.4g} -> {new:.4g} ({ratio:.2f}x)"
+        line = f"drift vs {tag} {label}: {old:.4g} -> {new:.4g} ({ratio:.2f}x)"
         if not 0.8 <= ratio <= 1.25:
             line += "  ** >20% move **"
-            flags[k] = round(ratio, 3)
+            flags[base] = round(ratio, 3)
         _log(line)
     return {"vs": tag, "flagged": flags}
 
@@ -465,8 +476,11 @@ def bench_scale_fused(n=131072, epochs=200, tile=2048, compute_dtype="bfloat16")
         jax.block_until_ready(p)
         for p in _flatten_params(init_params(jax.random.PRNGKey(0), cfg))
     )
-    # three kernel variants, timed INTERLEAVED (4 entropy-seeded reps each,
-    # median + best — the cross-round variance protocol):
+    # three kernel variants, timed INTERLEAVED over 4 entropy-seeded rounds
+    # (median + best — the cross-round variance protocol).  hbm records 4
+    # timed reps (its executable was loaded by the cold call above); the
+    # other two variants' rep 0 absorbs their executable load untimed, so
+    # they record 3 — per-variant counts are emitted alongside the rates:
     #   hbm          noise='hbm', manual backward — the production default
     #   manual_prng  noise='prng', manual backward — r03's headline
     #                definition, kept as its own series key
@@ -526,6 +540,8 @@ def bench_scale_fused(n=131072, epochs=200, tile=2048, compute_dtype="bfloat16")
         "rate": rate, "rate_median": rate_median, "tflops": tflops,
         "gbps": gbps, "rate_prng": rate_prng, "rate_auto": rate_auto,
         "n_reps": len(times["hbm"]),
+        "n_reps_prng": len(times["manual_prng"]),
+        "n_reps_auto": len(times["autodiff"]),
     }
 
 
@@ -986,9 +1002,11 @@ def main():
         result["scale_fused_manual_prng_windows_per_sec"] = round(
             scale_fused["rate_prng"], 1
         )
+        result["scale_fused_manual_prng_n_reps"] = scale_fused["n_reps_prng"]
         result["scale_fused_autodiff_windows_per_sec"] = round(
             scale_fused["rate_auto"], 1
         )
+        result["scale_fused_autodiff_n_reps"] = scale_fused["n_reps_auto"]
     drift = _drift_report(result)
     if drift is not None and drift["flagged"]:
         result["drift_flags"] = drift["flagged"]

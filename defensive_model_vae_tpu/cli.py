@@ -58,6 +58,11 @@ def _cmd_train(args):
         raise SystemExit("--fused and --fused-scale are mutually exclusive")
     if args.backward is not None and not args.fused_scale:
         raise SystemExit("--backward applies to --fused-scale only")
+    if args.noise is not None and not args.fused_scale:
+        raise SystemExit("--noise applies to --fused-scale only")
+    # resolve the 'hbm' default HERE (argparse default is None) so passing
+    # --noise to another trainer errors instead of being silently dropped
+    resolved_noise = (args.noise or "hbm") if args.fused_scale else None
     resolved_backward = None
     if args.fused_scale:
         # resolve the default (None -> 'manual' where supported) HERE so the
@@ -111,7 +116,7 @@ def _cmd_train(args):
                     windows, mesh=create_mesh(), epochs=args.epochs,
                     lr=args.lr, weights=weights, seed=args.seed,
                     tile=args.tile, compute_dtype=args.dtype,
-                    backward=args.backward, noise=args.noise,
+                    backward=args.backward, noise=resolved_noise,
                 )
         else:
             from .ops import fused_train_scale
@@ -122,7 +127,7 @@ def _cmd_train(args):
                 params, hist = fused_train_scale(
                     windows, epochs=args.epochs, lr=args.lr, weights=weights,
                     seed=args.seed, tile=args.tile, compute_dtype=args.dtype,
-                    backward=args.backward, noise=args.noise,
+                    backward=args.backward, noise=resolved_noise,
                 )
     else:
         mesh = None
@@ -144,7 +149,7 @@ def _cmd_train(args):
             **({"compute_dtype": args.dtype} if args.dtype else {}),
             **({"backward": resolved_backward}
                if resolved_backward is not None else {}),
-            **({"noise": args.noise} if args.fused_scale else {}),
+            **({"noise": resolved_noise} if args.fused_scale else {}),
         }},
     )
     print(
@@ -729,7 +734,7 @@ def main(argv=None):
              "Default picks manual wherever supported",
     )
     t.add_argument(
-        "--noise", choices=("hbm", "prng"), default="hbm",
+        "--noise", choices=("hbm", "prng"), default=None,
         help="--fused-scale reparameterization noise: 'hbm' (default) "
              "pre-generates every epoch's eps with XLA and streams it from "
              "HBM; 'prng' uses the on-core generator (same statistical "

@@ -430,8 +430,12 @@ def fused_train_scale(
     n = x_flat.shape[0]
     n_pad = -(-n // tile) * tile
 
-    noise = "packed" if eps is not None else noise
-    if noise not in ("hbm", "prng", "packed"):
+    # 'packed' (eps baked into the corpus rows) is reachable ONLY via the
+    # explicit-eps override: passed directly it would silently train with
+    # the zero eps columns _pack_corpus fills in (z = mu, no sampling)
+    if eps is not None:
+        noise = "packed"
+    elif noise not in ("hbm", "prng"):
         raise ValueError(f"noise must be 'hbm' or 'prng' (got {noise!r})")
     if noise == "hbm":
         _check_eps_hbm_budget(epochs, n_pad, cfg.latent_dim, compute_dtype)
@@ -654,8 +658,10 @@ def fused_train_scale_dp(
     chunk = dp * tile
     n_pad = -(-n // chunk) * chunk
 
-    noise = "packed" if eps is not None else noise
-    if noise not in ("hbm", "prng", "packed"):
+    # as in fused_train_scale: 'packed' only via the explicit-eps override
+    if eps is not None:
+        noise = "packed"
+    elif noise not in ("hbm", "prng"):
         raise ValueError(f"noise must be 'hbm' or 'prng' (got {noise!r})")
     eps_j = None if eps is None else jnp.asarray(eps, jnp.float32)
     packed = _pack_corpus(

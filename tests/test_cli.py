@@ -247,6 +247,25 @@ def test_cli_fused_scale_manifest_backward(tmp_path, monkeypatch):
     # resolved default is 'manual' even though --backward was not passed
     assert recipe["backward"] == "manual"
     assert calls["backward"] is None  # kernel still gets the raw flag
+    # --noise resolves the same way: default None -> 'hbm', recorded in
+    # the manifest and forwarded resolved to the kernel
+    assert recipe["noise"] == "hbm"
+    assert calls["noise"] == "hbm"
+
+
+def test_cli_train_flag_guards(tmp_path):
+    """--backward and --noise apply to --fused-scale only: passing either
+    to another trainer must error, not be silently dropped."""
+    w = tmp_path / "w.npy"
+    np.save(w, np.zeros((8, 10, 3), np.float32))
+    base = ["train", "--scenario", "sce1", "--windows", str(w),
+            "--ckpt", str(tmp_path / "ck"), "--epochs", "1"]
+    with pytest.raises(SystemExit, match="--backward applies"):
+        main(base + ["--backward", "manual"])
+    with pytest.raises(SystemExit, match="--noise applies"):
+        main(base + ["--noise", "prng"])
+    with pytest.raises(SystemExit, match="--noise applies"):
+        main(base + ["--fused", "--noise", "hbm"])
 
 
 def test_cli_export(tmp_path, capsys):

@@ -234,6 +234,15 @@ def test_scale_noise_guards():
     with pytest.raises(ValueError, match="noise"):
         fused_train_scale(w, epochs=1, tile=16, compute_dtype=None,
                           noise="vmem", interpret=True)
+    # the internal 'packed' mode (eps baked into corpus rows) must NOT be
+    # reachable without an explicit eps — it would silently train with the
+    # zero eps columns _pack_corpus fills (z = mu, no posterior sampling)
+    with pytest.raises(ValueError, match="noise"):
+        fused_train_scale(w, epochs=1, tile=16, compute_dtype=None,
+                          noise="packed", interpret=True)
+    with pytest.raises(ValueError, match="noise"):
+        fused_train_scale_dp(w, epochs=1, tile=16, compute_dtype=None,
+                             noise="packed", interpret=True)
     with pytest.raises(ValueError, match="GiB eps buffer"):
         # 4M epochs x 2048-row pad x 8 x 4B ≈ 250 GiB
         fused_train_scale(w, epochs=1 << 22, tile=2048, compute_dtype=None,

@@ -235,6 +235,30 @@ def test_bench_drift_report_flags_large_moves():
          prev["scale_fused_windows_per_sec"] * 3}
     )
     assert "scale_fused_manual_prng_windows_per_sec" in aliased["flagged"]
+    # redefinition skip: prev (r03) predates the rename, so its
+    # scale_fused headline is the OLD (prng) definition — a direct
+    # same-name comparison would flag the rename as a perf move
+    redefined = bench._drift_report(
+        {"scale_fused_windows_per_sec":
+         prev["scale_fused_windows_per_sec"] * 3}
+    )
+    assert redefined["flagged"] == {}
+    # median preference: when BOTH rounds carry a *_median the comparison
+    # uses it (damps best-of-N spread); flag keyed by the base name
+    orig_load = bench._load_prev_bench
+    try:
+        fake_prev = {"value": 100.0, "value_median": 100.0}
+        bench._load_prev_bench = lambda: (fake_prev, "r99")
+        med = bench._drift_report(
+            {"value": 200.0, "value_median": 110.0}  # best moved, median flat
+        )
+        assert med["flagged"] == {}
+        med2 = bench._drift_report(
+            {"value": 105.0, "value_median": 200.0}  # median moved
+        )
+        assert med2["flagged"] == {"value": 2.0}
+    finally:
+        bench._load_prev_bench = orig_load
 
 
 def test_multiseed_default_band_matches_committed_artifact():
