@@ -117,6 +117,15 @@ def _drift_report(result):
         if not 0.8 <= ratio <= 1.25:
             line += "  ** >20% move **"
             flags[base] = round(ratio, 3)
+            if base == "value_sync" and "value" not in flags:
+                # sync per-call time charges a full tunnel round-trip
+                # (load-dependent tens-to-hundreds of ms; measured 0.07-0.31 s
+                # across hours for the same executable) to a ~0.023 s kernel,
+                # so it flags whenever tunnel conditions shift between rounds.
+                # With the pipelined `value` series steady the kernel itself
+                # did not move — the key exists only for continuity with the
+                # sync-timed BENCH_r01 series.
+                line += "  [RTT-dominated; pipelined `value` steady -> tunnel noise]"
         _log(line)
     return {"vs": tag, "flagged": flags}
 

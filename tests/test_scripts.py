@@ -257,6 +257,23 @@ def test_bench_drift_report_flags_large_moves():
             {"value": 105.0, "value_median": 200.0}  # median moved
         )
         assert med2["flagged"] == {"value": 2.0}
+        # a value_sync-only flag is annotated as tunnel-RTT noise (the sync
+        # per-call time charges a load-dependent round-trip to a ~23 ms
+        # kernel); a flag on BOTH keys is a real move and gets no annotation
+        fake_prev = {"value": 100.0, "value_sync": 50.0}
+        bench._load_prev_bench = lambda: (fake_prev, "r99")
+        lines = []
+        orig_log, bench._log = bench._log, lines.append
+        try:
+            out = bench._drift_report({"value": 101.0, "value_sync": 25.0})
+            assert out["flagged"] == {"value_sync": 0.5}
+            assert any("RTT-dominated" in ln for ln in lines)
+            lines.clear()
+            out = bench._drift_report({"value": 200.0, "value_sync": 25.0})
+            assert set(out["flagged"]) == {"value", "value_sync"}
+            assert not any("RTT-dominated" in ln for ln in lines)
+        finally:
+            bench._log = orig_log
     finally:
         bench._load_prev_bench = orig_load
 
