@@ -45,29 +45,34 @@ def _median(ts):
     return statistics.median(ts)
 
 
-def _load_prev_bench():
-    """Parsed dict of the latest BENCH_r*.json (the driver's record of the
-    previous round), or None — the baseline for the cross-round drift
-    report."""
+def _load_prev_bench(here=None):
+    """Parsed dict of the latest successful BENCH_r*.json (the driver's
+    record of the previous round), or None — the baseline for the
+    cross-round drift report."""
     import glob
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    best = None
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if m:
-            rnd = int(m.group(1))
-            if best is None or rnd > best[0]:
-                best = (rnd, path)
-    if best is None:
-        return None, None
-    try:
-        with open(best[1]) as f:
-            rec = json.load(f)
-        return rec.get("parsed", rec), f"r{best[0]:02d}"
-    except Exception:
-        return None, None
+            rounds.append((int(m.group(1)), path))
+    # newest round first, but skip failed records (the driver writes
+    # "parsed": null with rc/tail fields when a round's bench errored) —
+    # fall back to the last GOOD baseline instead of silently disabling
+    # the drift report for the round after a failure
+    for rnd, path in sorted(rounds, reverse=True):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except Exception:
+            continue
+        parsed = rec.get("parsed", rec)
+        if isinstance(parsed, dict) and parsed:
+            return parsed, f"r{rnd:02d}"
+    return None, None
 
 
 # keys that renamed between rounds: new_key -> old_key to compare against
@@ -525,10 +530,10 @@ def bench_scale_fused(n=131072, epochs=200, tile=2048, compute_dtype="bfloat16")
     rate_median = epochs * n / med
     fpw = _flops_per_window(windows)
     tflops = rate * fpw / 1e12
-    # corpus-stream traffic: the packed (x|cond|mask|eps) row plus the hbm
-    # eps stream, read once per epoch in the compute dtype — the kernel's
-    # only per-epoch HBM traffic
-    width = cfg.seq_len * cfg.dim + cfg.cond_dim + 1 + 2 * cfg.latent_dim
+    # corpus-stream traffic: the packed (x|cond|mask) row plus the hbm eps
+    # stream, read once per epoch in the compute dtype — the kernel's only
+    # per-epoch HBM traffic (hbm/prng corpora carry no eps columns)
+    width = cfg.seq_len * cfg.dim + cfg.cond_dim + 1 + cfg.latent_dim
     bpw = width * (2 if compute_dtype == "bfloat16" else 4)
     gbps = rate * bpw / 1e9
     rate_prng = epochs * n / min(times["manual_prng"])
@@ -683,7 +688,7 @@ def bench_seed_grid(windows, n_seeds=32, epochs=3000):
     # cross-process — CLAUDE.md; a fixed literal range can time the cache);
     # 2 reps: this kernel's wall has a documented ~2x lowering/tunnel
     # spread, so a single-shot number is the noisiest key in the record
-    rep_times = []
+    rep_times, rep_hists = [], []
     for _ in range(2):
         base = _fresh_seed()
         t0 = time.time()
@@ -691,13 +696,19 @@ def bench_seed_grid(windows, n_seeds=32, epochs=3000):
             windows, list(range(base, base + n_seeds)), epochs=epochs
         )
         rep_times.append(time.time() - t0)
+        rep_hists.append(hist_by)
     dt = min(rep_times)
-    for s, h in hist_by.items():
-        first, last = float(h["total"][0]), float(h["total"][-1])
-        if not np.isfinite(last) or last >= first / 5:
-            raise RuntimeError(
-                f"seed-grid kernel regressed: seed {s} loss {first:.3f} → {last:.3f}"
-            )
+    # validate EVERY timed rep, not just the last: dt is min() over the
+    # reps, so a diverging seed in an earlier rep would otherwise be
+    # reported as the headline time with converged=true
+    for rep, hists in enumerate(rep_hists):
+        for s, h in hists.items():
+            first, last = float(h["total"][0]), float(h["total"][-1])
+            if not np.isfinite(last) or last >= first / 5:
+                raise RuntimeError(
+                    f"seed-grid kernel regressed (rep {rep}): "
+                    f"seed {s} loss {first:.3f} → {last:.3f}"
+                )
     rate = n_seeds * epochs * len(windows) / dt
     _log(f"seed-grid: {n_seeds} trainings x {epochs} epochs pipelined, "
          f"best {dt:.2f}s / median {_median(rep_times):.2f}s of "

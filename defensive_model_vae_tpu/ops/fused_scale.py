@@ -30,9 +30,13 @@ model on-core instead:
   double-buffered input — fresh i.i.d. noise per epoch AND tile, like the
   scan trainer, with none of the on-core PRNG's per-step Box–Muller cost.
   Measured at the bench shape (``results/hot_probe.json``): hbm+rbg
-  0.309 s vs on-core PRNG 0.383 s vs hbm+threefry 0.396 s — threefry's
-  generation alone costs ~28% of the kernel, which is why ``noise_impl``
-  defaults to rbg.  ``"prng"`` keeps the on-core PRNG (re-seeded per grid
+  0.309 s vs on-core PRNG 0.383 s vs hbm+threefry 0.396 s, so
+  ``noise_impl`` defaults to rbg.  The 87 ms threefry→rbg delta is NOT
+  generation cost (the same artifact times generation standalone:
+  threefry 35 ms, rbg 54 ms — threefry's is smaller); it appears only
+  where the generated buffer feeds the streaming custom call inside one
+  program (plausibly layout/fusion of the threefry output), so the
+  default is chosen on the end-to-end measurement.  ``"prng"`` keeps the on-core PRNG (re-seeded per grid
   step from ``seed + e·n_tiles + i``) for corpora/epoch counts where the
   eps buffer would not fit HBM (guarded).  The explicit-``eps`` escape
   hatch still holds one (N, Z) draw constant across epochs, like the
@@ -96,11 +100,14 @@ from .fused_trainer import (
 
 # PRNG implementation for the hbm noise buffer ("threefry2x32" | "rbg" |
 # "unsafe_rbg"): rbg lowers to the hardware RngBitGenerator and is the
-# measured winner — kernel wall 0.309 s vs 0.396 s under threefry at the
-# bench shape (results/hot_probe.json), i.e. threefry generation alone was
-# costing ~28% of the kernel.  rbg's bit stream is backend-dependent (the
-# oracle tests derive the expected stream with the SAME impl on the same
-# backend; threefry stays available for a backend-stable stream).
+# measured END-TO-END winner — kernel wall 0.309 s vs 0.396 s under
+# threefry at the bench shape (results/hot_probe.json).  Generation alone
+# does NOT explain the delta (standalone: threefry 35 ms < rbg 54 ms,
+# same artifact); the cost shows up only where the threefry buffer feeds
+# the streaming custom call in one program.  rbg's bit stream is
+# backend-dependent (the oracle tests derive the expected stream with the
+# SAME impl on the same backend; threefry stays available for a
+# backend-stable stream).
 _DEFAULT_NOISE_IMPL = "rbg"
 
 
@@ -153,17 +160,19 @@ def _resolve_backward(backward, compute_dtype, mixed_style):
 
 
 def _pack_corpus(x_flat, cond, mask, eps, latent_dim: int):
-    """Pack [x_flat | cond | mask | eps] into ONE (N, F+C+1+Z) operand.
+    """Pack [x_flat | cond | mask (| eps)] into ONE (N, F+C+1[+Z]) operand.
 
-    One streamed input instead of four: the packed width (~41) still lane-
-    pads to 128 in VMEM, so the narrow side arrays ride along for free
-    instead of each paying their own (tile, 128) double-buffered block."""
+    One streamed input instead of four: the packed width (~33-41) still
+    lane-pads to 128 in VMEM, so the narrow side arrays ride along for free
+    instead of each paying their own (tile, 128) double-buffered block.
+    The eps columns exist ONLY for the explicit-eps ('packed') mode — the
+    hbm/prng modes never read them, and zero-filling them would stream
+    Z dead columns (~20% of the corpus row) from HBM every epoch."""
     n = x_flat.shape[0]
-    if eps is None:
-        eps = jnp.zeros((n, latent_dim), jnp.float32)
-    return jnp.concatenate(
-        [x_flat, cond, mask.reshape(n, 1), eps], axis=1
-    )
+    cols = [x_flat, cond, mask.reshape(n, 1)]
+    if eps is not None:
+        cols.append(eps)
+    return jnp.concatenate(cols, axis=1)
 
 
 def _make_scale_kernel(cfg: CVAEConfig, weights: LossWeights, lr: float,
@@ -406,8 +415,9 @@ def fused_train_scale(
             HBM, guarded).
         noise_impl: PRNG behind the hbm buffer — ``"rbg"`` (default, the
             hardware RngBitGenerator; bit stream is backend-dependent) or
-            ``"threefry2x32"`` (backend-stable, ~28% slower kernel at the
-            bench shape — results/hot_probe.json).
+            ``"threefry2x32"`` (backend-stable; 28% slower END-TO-END at
+            the bench shape — results/hot_probe.json, mechanism note in
+            the module docstring).
         backward: ``"auto"`` (``jax.value_and_grad`` traced inside the
             kernel) or ``"manual"`` (the hand-written backward of
             :mod:`.manual_grad` — same math, restructured ops that dodge
@@ -431,8 +441,9 @@ def fused_train_scale(
     n_pad = -(-n // tile) * tile
 
     # 'packed' (eps baked into the corpus rows) is reachable ONLY via the
-    # explicit-eps override: passed directly it would silently train with
-    # the zero eps columns _pack_corpus fills in (z = mu, no sampling)
+    # explicit-eps override: the corpus carries eps columns exactly when an
+    # explicit eps is given (hbm/prng corpora are packed without them —
+    # zero-filled eps columns would be dead HBM traffic every epoch)
     if eps is not None:
         noise = "packed"
     elif noise not in ("hbm", "prng"):
@@ -658,7 +669,8 @@ def fused_train_scale_dp(
     chunk = dp * tile
     n_pad = -(-n // chunk) * chunk
 
-    # as in fused_train_scale: 'packed' only via the explicit-eps override
+    # as in fused_train_scale: 'packed' (and its eps columns) only via the
+    # explicit-eps override
     if eps is not None:
         noise = "packed"
     elif noise not in ("hbm", "prng"):
@@ -790,17 +802,24 @@ def _check_scale_tile(cfg: CVAEConfig, tile: int, compute_dtype,
 def _check_eps_hbm_budget(epochs: int, n_pad: int, latent_dim: int,
                           compute_dtype, limit_bytes: int = 2 << 30):
     """The hbm noise mode materializes every epoch's eps at once
-    (epochs × n_pad × Z in the compute dtype); refuse configurations that
-    would not comfortably fit v5e HBM (16 GB) next to the corpus, and point
-    at the prng mode, whose semantics are identical."""
+    (epochs × n_pad × Z); refuse configurations that would not comfortably
+    fit v5e HBM (16 GB) next to the corpus, and point at the prng mode,
+    whose semantics are identical.  The accounting includes the
+    GENERATION transient, not just the final buffer: the XLA program
+    materializes the RngBitGenerator's u32 bits (4 B/elem) before the
+    normal-transform + cast can fuse into the compute-dtype output, so
+    peak allocation is ~(4 + itemsize) B/elem — 3× the bf16 buffer
+    alone."""
     itemsize = 4 if compute_dtype is None else jnp.dtype(compute_dtype).itemsize
-    need = epochs * n_pad * latent_dim * itemsize
+    elems = epochs * n_pad * latent_dim
+    need = elems * (4 + itemsize)  # u32 bits temp + final buffer
     if need > limit_bytes:
         raise ValueError(
-            f"noise='hbm' needs a {need / 2**30:.1f} GiB eps buffer "
-            f"({epochs} epochs x {n_pad} rows x {latent_dim}) — over the "
-            f"{limit_bytes >> 30} GiB guard; use noise='prng' (same "
-            f"statistical semantics, on-core generation)"
+            f"noise='hbm' peaks at {need / 2**30:.1f} GiB for the eps "
+            f"buffer + its u32 generation temp ({epochs} epochs x {n_pad} "
+            f"rows x {latent_dim}) — over the {limit_bytes >> 30} GiB "
+            f"guard; use noise='prng' (same statistical semantics, "
+            f"on-core generation)"
         )
 
 

@@ -114,8 +114,12 @@ def manual_value_and_grad(plist, x_flat, cond, eps, cfg: CVAEConfig,
     if bias_via_dot:
         # db as a (1, B)·(B, fo) MXU dot instead of a VPU sublane
         # reduction — an ablation lever for the Pallas kernel, where the
-        # VPU (not the MXU) is the measured ceiling.  fp: a dot's
-        # accumulation order differs from jnp.sum's tree, same terms.
+        # VPU (not the MXU) is the measured ceiling.  fp: in f32 the only
+        # difference is the dot's accumulation order vs jnp.sum's tree
+        # (same terms); under a bf16 compute dtype dc() additionally
+        # QUANTIZES dy to bf16 before the dot, where the default sums the
+        # f32 dy — a precision change, not just reassociation (covered at
+        # bf16 tolerance by test_manual_bias_via_dot_matches_sum).
         def dbias(dy):
             ones_row = jnp.ones((1, dy.shape[0]), jnp.float32)
             return jnp.dot(

@@ -19,12 +19,15 @@ variants on the real corpus (32 seeds × 3000 epochs, interleaved reps):
   single_x32  32 independent single-run kernels dispatched back-to-back,
               one sync — the per-epoch floor including dispatch
 
+Operand prep (host init_params / stacking / transfers) is pre-built and
+synced OUTSIDE the timed regions for every variant, so the timings
+compare kernel dispatch+execution+fetch only.
+
 Writes results/grid_probe.json.  Run ALONE on the real chip.
 """
 
 import json
 import os
-import secrets
 import sys
 import time
 
@@ -42,6 +45,8 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
+from bench import _fresh_seed as _fresh  # noqa: E402
+from bench import _load_windows as _windows  # noqa: E402
 from defensive_model_vae_tpu.models import (  # noqa: E402
     CVAEConfig, LossWeights, init_params,
 )
@@ -49,15 +54,6 @@ from defensive_model_vae_tpu.ops import fused_trainer as ft  # noqa: E402
 
 S, EPOCHS = 32, 3000
 REPS = 4
-
-
-def _fresh(lo=1 << 20):
-    return lo + secrets.randbelow((1 << 30) - lo)
-
-
-def _windows():
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    return np.load(os.path.join(here, "fixtures", "trajectory_sce1_cond.npy"))
 
 
 def main():
@@ -82,22 +78,39 @@ def main():
         )
         return plists, x, cond, mask, jnp.array([seeds], jnp.int32)
 
-    def run(mode, base):
+    # Operand prep (per-seed host init_params, stacking, transfers) is
+    # hoisted OUT of the timed region: the grid variants' prep builds 32
+    # param sets + 25 stacked arrays while single_x32's builds one plist —
+    # timing it would confound the per-epoch kernel comparison this probe
+    # exists to make (and prep scales with seed count, exactly like the
+    # effect under test).  One operand set per rep (fresh entropy seeds —
+    # identical-repeat hazard, CLAUDE.md); variants share a rep's operands,
+    # which is safe because elision is per (inputs, executable) pair and
+    # each variant is its own executable.
+    prep = []
+    for _rep in range(REPS + 1):
+        base = _fresh()
+        g32 = grid_operands(S, base)
+        g8 = grid_operands(8, base + (1 << 14))
+        plist = tuple(ft._flatten_params(
+            init_params(jax.random.PRNGKey(base), cfg)
+        ))
+        seed_arrs = [jnp.array([[base + i]], jnp.int32) for i in range(S)]
+        jax.block_until_ready((g32, g8, plist, seed_arrs))
+        prep.append({"g32": g32, "g8": g8, "plist": plist,
+                     "seeds": seed_arrs})
+
+    def run(mode, rep):
         if mode == "single_x32":
-            plist = tuple(ft._flatten_params(
-                init_params(jax.random.PRNGKey(base), cfg)
-            ))
             outs = [
                 ft._fused_call(
-                    plist, x_flat, start,
-                    jnp.array([[base + i]], jnp.int32), cfg, weights,
+                    prep[rep]["plist"], x_flat, start, sa, cfg, weights,
                     EPOCHS, 1e-3,
                 )
-                for i in range(S)
+                for sa in prep[rep]["seeds"]
             ]
             jax.block_until_ready(outs[-1][1])
             return np.asarray(outs[-1][1])
-        n_seeds = 8 if mode == "grid_s8" else S
         kw = {}
         if mode == "grid_masked":
             kw = {"use_mask": True}
@@ -105,7 +118,9 @@ def main():
             kw = {"use_mask": False, "_metrics": "static"}
         else:
             kw = {"use_mask": False}
-        plists, x, cond, mask, seed_arr = grid_operands(n_seeds, base)
+        plists, x, cond, mask, seed_arr = prep[rep][
+            "g8" if mode == "grid_s8" else "g32"
+        ]
         _, m = ft._fused_multi_call(
             plists, x, cond, mask, seed_arr, cfg, weights, EPOCHS, 1e-3,
             **kw,
@@ -118,7 +133,7 @@ def main():
     for rep in range(REPS + 1):
         for v in variants:
             t0 = time.time()
-            m = run(v, _fresh())
+            m = run(v, rep)
             dt = time.time() - t0
             last[v] = m
             if rep == 0:

@@ -6,8 +6,13 @@
    normals in XLA) or the extra stream?  Probes: time the generation
    program alone under threefry / rbg / unsafe_rbg (rbg lowers to the
    hardware RngBitGenerator), then the full hbm kernel under each impl.
-   If rbg generation is ~free, flipping ``_DEFAULT_NOISE_IMPL`` claims
-   most of the 82 ms back at identical statistical semantics.
+   OUTCOME (results/hot_probe.json): rbg wins end-to-end (hbm_rbg
+   0.309 s vs hbm 0.396 s) but NOT via generation cost — standalone,
+   threefry generation (35 ms) is both small and FASTER than rbg's
+   (54 ms), so the threefry penalty lives in how the generated buffer
+   composes with the streaming custom call inside one program
+   (plausibly layout/fusion); the default is chosen on the end-to-end
+   number.
 
 2. **The 12 transposed dW matmuls are ~0.18 s = 56% of the manual
    kernel's wall** (adam 1.7 ms and the cross-tile accumulate ~0 are
@@ -21,7 +26,6 @@ as bench.py).
 
 import json
 import os
-import secrets
 import sys
 import time
 
@@ -41,6 +45,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
+from bench import _fresh_seed as _fresh  # noqa: E402
 from bench import _scale_corpus  # noqa: E402
 from defensive_model_vae_tpu.models import (  # noqa: E402
     CVAEConfig, LossWeights, init_params,
@@ -53,10 +58,6 @@ from defensive_model_vae_tpu.ops.fused_trainer import (  # noqa: E402
 )
 
 N, EPOCHS, TILE, REPS = 131072, 200, 2048, 4
-
-
-def _fresh(lo=1 << 20):
-    return lo + secrets.randbelow((1 << 30) - lo)
 
 
 @functools.partial(jax.jit, static_argnames=("impl", "rows", "z"))

@@ -33,7 +33,6 @@ Run ALONE on the real chip (same rules as bench.py).
 
 import json
 import os
-import secrets
 import sys
 import time
 
@@ -64,6 +63,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
+from bench import _fresh_seed as _fresh  # noqa: E402
 from bench import _scale_corpus  # noqa: E402
 from defensive_model_vae_tpu.models import (  # noqa: E402
     CVAEConfig, LossWeights, init_params,
@@ -84,10 +84,6 @@ if SMOKE:
     # one pass is enough: the smoke asserts read last_m (correctness), not
     # the timing lists — keeps the per-commit test tier fast
     N, EPOCHS, TILE, REPS, INTERPRET = 64, 9, 16, 1, True
-
-
-def _fresh(lo=1 << 20):
-    return lo + secrets.randbelow((1 << 30) - lo)
 
 
 def _make_ablation_kernel(mode, cfg, weights, n_valid, n_params, compute_dtype):

@@ -235,16 +235,17 @@ def test_scale_noise_guards():
         fused_train_scale(w, epochs=1, tile=16, compute_dtype=None,
                           noise="vmem", interpret=True)
     # the internal 'packed' mode (eps baked into corpus rows) must NOT be
-    # reachable without an explicit eps — it would silently train with the
-    # zero eps columns _pack_corpus fills (z = mu, no posterior sampling)
+    # reachable without an explicit eps — the hbm/prng corpora are packed
+    # WITHOUT eps columns, so the kernel's packed-eps slice would read
+    # out-of-range lanes
     with pytest.raises(ValueError, match="noise"):
         fused_train_scale(w, epochs=1, tile=16, compute_dtype=None,
                           noise="packed", interpret=True)
     with pytest.raises(ValueError, match="noise"):
         fused_train_scale_dp(w, epochs=1, tile=16, compute_dtype=None,
                              noise="packed", interpret=True)
-    with pytest.raises(ValueError, match="GiB eps buffer"):
-        # 4M epochs x 2048-row pad x 8 x 4B ≈ 250 GiB
+    with pytest.raises(ValueError, match="GiB for the eps buffer"):
+        # 4M epochs x 2048-row pad x 8 x (4B u32 temp + 4B f32) ≈ 500 GiB
         fused_train_scale(w, epochs=1 << 22, tile=2048, compute_dtype=None,
                           noise="hbm", interpret=True)
     with pytest.raises(ValueError, match="noise"):
@@ -282,6 +283,23 @@ def test_manual_bias_via_dot_matches_sum():
     for a, b in zip(grads_a, grads_t):
         a, b = np.asarray(a), np.asarray(b)
         assert np.allclose(a, b, atol=2e-6 * max(np.abs(a).max(), 1e-3))
+    # under the bf16 f32_acts mode (where the ablation actually runs the
+    # lever) the dot path additionally QUANTIZES dy to bf16 before the
+    # ones-row dot, while the default sums the f32 dy — a precision
+    # change, so the agreement bound is bf16 rounding, not fp reassociation
+    import jax.numpy as jnp
+
+    kw = dict(compute_dtype=jnp.bfloat16, mixed_style="f32_acts")
+    comps_m, grads_m = manual_value_and_grad(
+        plist, x_flat, start, eps, CFG, LossWeights(), **kw
+    )
+    comps_mb, grads_mb = manual_value_and_grad(
+        plist, x_flat, start, eps, CFG, LossWeights(), bias_via_dot=True, **kw
+    )
+    assert np.allclose(np.asarray(comps_m), np.asarray(comps_mb), atol=1e-6)
+    for a, b in zip(grads_m, grads_mb):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.allclose(a, b, atol=1e-2 * max(np.abs(a).max(), 1e-3))
 
 
 def test_manual_grads_match_autodiff():

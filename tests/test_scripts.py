@@ -278,6 +278,39 @@ def test_bench_drift_report_flags_large_moves():
         bench._load_prev_bench = orig_load
 
 
+def test_bench_prev_round_loader_skips_failed_records(tmp_path):
+    """A failed round's BENCH record (the driver writes \"parsed\": null
+    with rc/tail fields) must not become the drift baseline — the loader
+    falls back to the last GOOD round instead of disabling the report."""
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", str(REPO_ROOT / "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    good = {"value": 123.0}
+    (tmp_path / "BENCH_r03.json").write_text(json.dumps({"parsed": good}))
+    (tmp_path / "BENCH_r04.json").write_text(
+        json.dumps({"parsed": None, "rc": 1, "tail": "Traceback ..."})
+    )
+    prev, tag = bench._load_prev_bench(here=str(tmp_path))
+    assert (prev, tag) == (good, "r03")
+    # corrupt newest + failed next-newest -> still reaches the good one
+    (tmp_path / "BENCH_r05.json").write_text("{not json")
+    prev, tag = bench._load_prev_bench(here=str(tmp_path))
+    assert (prev, tag) == (good, "r03")
+    # bare legacy records (no "parsed" wrapper) still load
+    (tmp_path / "BENCH_r06.json").write_text(json.dumps({"value": 9.0}))
+    prev, tag = bench._load_prev_bench(here=str(tmp_path))
+    assert (prev, tag) == ({"value": 9.0}, "r06")
+    # nothing loadable -> (None, None)
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert bench._load_prev_bench(here=str(empty)) == (None, None)
+
+
 def test_multiseed_default_band_matches_committed_artifact():
     """`python scripts/multiseed_validate.py` (no args) must regenerate the
     COMMITTED band: its default --gen-seeds equals the seed list recorded
