@@ -675,7 +675,8 @@ def bench_seed_grid(windows, n_seeds=32, epochs=3000):
     """Seed sweep: n_seeds full trainings of one corpus in one compiled
     pipelined sweep (``ops.fused_train_seeds`` — per-seed single-run
     kernels dispatched back-to-back, stacked device-side harvest; replaced
-    the grid-axis kernel in round 4, measured 6x faster per epoch) — the
+    the grid-axis sweep in round 4 — the end-to-end win is host-side
+    prep/harvest, not the kernel body; results/grid_probe.json) — the
     train-seed selection sweep's workload.  Asserts every seed converges;
     returns warm seconds."""
     from defensive_model_vae_tpu.ops import fused_train_seeds

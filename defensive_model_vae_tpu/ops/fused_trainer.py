@@ -678,16 +678,22 @@ def fused_train_seeds(
     per parameter (a per-launch fetch pays 4–30 ms per buffer through the
     tunnel; the stacked fetch is the documented mitigation, CLAUDE.md).
 
-    This replaced the round-2 grid-axis kernel in round 4: the on-chip
-    probe (``scripts/grid_probe.py`` → ``results/grid_probe.json``)
-    measured the grid's per-epoch cost at 41–47 µs/epoch·seed REGARDLESS
-    of mask, metrics-store mode, or seed count, vs 7.1 µs/epoch·seed for
-    the same work as pipelined single-run kernels — a 6× structural gap
-    in how Mosaic schedules the training loop under a grid program, on
-    top of the grid lowering's documented ~2× variance.  32×3000 epochs:
-    4.2–6.9 s (grid) → ~0.7 s (pipelined).  The grid kernel remains the
-    right shape for :func:`fused_train_multi`, whose per-scenario padded
-    batches share one executable.
+    This replaced the round-2 grid-axis kernel in round 4.  The original
+    probe appeared to show a 6× per-epoch kernel gap, but that reading
+    timed 32 host ``init_params`` + 25 stacking dispatches inside the
+    grid variants' window; the CORRECTED probe (operand prep hoisted out
+    of every timed region — ``scripts/grid_probe.py`` →
+    ``results/grid_probe.json``) shows the grid body itself runs within
+    ~1.2× of pipelined single-run kernels (7.3 vs 6.1 µs/epoch·seed;
+    the masked grid body 5.8).  The real, end-to-end win of the
+    pipelined path is HOST-side: one vmapped init instead of K host
+    ``init_params``, one shared seed-indexed executable, and the packed
+    two-buffer harvest instead of 24 per-buffer tunnel fetches —
+    measured by bench as 2.58 s → 1.1–1.7 s for the 32×3000 sweep —
+    plus bit-identity with :func:`fused_train` per seed by construction.
+    The grid kernel remains the right shape for
+    :func:`fused_train_multi`, whose per-scenario padded batches share
+    one executable.
 
     ``eps_by_seed`` (optional ``{seed: (B, latent)}``) swaps the on-core
     PRNG for explicit noise, the interpret-mode escape hatch shared with

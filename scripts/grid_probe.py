@@ -23,6 +23,14 @@ Operand prep (host init_params / stacking / transfers) is pre-built and
 synced OUTSIDE the timed regions for every variant, so the timings
 compare kernel dispatch+execution+fetch only.
 
+OUTCOME (corrected methodology, results/grid_probe.json): the grid
+kernel BODY runs within ~1.2× of pipelined single-run kernels (7.3 vs
+6.1 µs/epoch·seed; masked 5.8) — the original probe's "6× structural
+gap" reading had timed the per-seed host prep, which scales with seed
+count exactly like the effect under test.  The pipelined sweep's real
+end-to-end win (bench: 2.58 → 1.1–1.7 s) is host-side: one vmapped
+init, one shared indexed executable, one packed harvest.
+
 Writes results/grid_probe.json.  Run ALONE on the real chip.
 """
 
