@@ -30,13 +30,13 @@ model on-core instead:
   double-buffered input — fresh i.i.d. noise per epoch AND tile, like the
   scan trainer, with none of the on-core PRNG's per-step Box–Muller cost.
   Measured at the bench shape (``results/hot_probe.json``): hbm+rbg
-  0.309 s vs on-core PRNG 0.383 s vs hbm+threefry 0.396 s, so
-  ``noise_impl`` defaults to rbg.  The 87 ms threefry→rbg delta is NOT
+  0.308 s vs on-core PRNG 0.383 s vs hbm+threefry 0.395 s, so
+  ``noise_impl`` defaults to rbg.  The ~87 ms threefry→rbg delta is NOT
   generation cost (the same artifact times generation standalone:
-  threefry 35 ms, rbg 54 ms — threefry's is smaller); it appears only
-  where the generated buffer feeds the streaming custom call inside one
-  program (plausibly layout/fusion of the threefry output), so the
-  default is chosen on the end-to-end measurement.  ``"prng"`` keeps the on-core PRNG (re-seeded per grid
+  threefry 35–47 ms, rbg 54 ms — threefry's is smaller); it appears
+  only where the generated buffer feeds the streaming custom call
+  inside one program (plausibly layout/fusion of the threefry output),
+  so the default is chosen on the end-to-end measurement.  ``"prng"`` keeps the on-core PRNG (re-seeded per grid
   step from ``seed + e·n_tiles + i``) for corpora/epoch counts where the
   eps buffer would not fit HBM (guarded).  The explicit-``eps`` escape
   hatch still holds one (N, Z) draw constant across epochs, like the
@@ -100,9 +100,9 @@ from .fused_trainer import (
 
 # PRNG implementation for the hbm noise buffer ("threefry2x32" | "rbg" |
 # "unsafe_rbg"): rbg lowers to the hardware RngBitGenerator and is the
-# measured END-TO-END winner — kernel wall 0.309 s vs 0.396 s under
+# measured END-TO-END winner — kernel wall 0.308 s vs 0.395 s under
 # threefry at the bench shape (results/hot_probe.json).  Generation alone
-# does NOT explain the delta (standalone: threefry 35 ms < rbg 54 ms,
+# does NOT explain the delta (standalone: threefry 35-47 ms < rbg 54 ms,
 # same artifact); the cost shows up only where the threefry buffer feeds
 # the streaming custom call in one program.  rbg's bit stream is
 # backend-dependent (the oracle tests derive the expected stream with the

@@ -7,12 +7,12 @@
    program alone under threefry / rbg / unsafe_rbg (rbg lowers to the
    hardware RngBitGenerator), then the full hbm kernel under each impl.
    OUTCOME (results/hot_probe.json): rbg wins end-to-end (hbm_rbg
-   0.309 s vs hbm 0.396 s) but NOT via generation cost — standalone,
-   threefry generation (35 ms) is both small and FASTER than rbg's
-   (54 ms), so the threefry penalty lives in how the generated buffer
-   composes with the streaming custom call inside one program
-   (plausibly layout/fusion); the default is chosen on the end-to-end
-   number.
+   0.308 s vs hbm 0.395 s) but NOT via generation cost — standalone,
+   threefry generation (35–47 ms across regenerations) is both small
+   and FASTER than rbg's (54 ms), so the threefry penalty lives in how
+   the generated buffer composes with the streaming custom call inside
+   one program (plausibly layout/fusion); the default is chosen on the
+   end-to-end number.
 
 2. **The 12 transposed dW matmuls are ~0.18 s = 56% of the manual
    kernel's wall** (adam 1.7 ms and the cross-tile accumulate ~0 are
