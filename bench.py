@@ -67,9 +67,12 @@ def _load_prev_bench(here=None):
         try:
             with open(path) as f:
                 rec = json.load(f)
+            # valid-JSON non-dict records (null / list / bare string from a
+            # partial driver write) must be skipped, not crash the drift
+            # report at the end of a full bench run
+            parsed = rec.get("parsed", rec) if isinstance(rec, dict) else None
         except Exception:
             continue
-        parsed = rec.get("parsed", rec)
         if isinstance(parsed, dict) and parsed:
             return parsed, f"r{rnd:02d}"
     return None, None
@@ -245,7 +248,13 @@ def bench_jax(windows, epochs=3000):
                       for i in range(K)]
                 for rep in range(4)
             }
-            _jax.block_until_ready(seed_arrays[3][-1])
+            # force the staging transfers with real fetches (block_until_
+            # ready is not a reliable barrier on the tunnel — CLAUDE.md);
+            # the arrays are (1,1) so this is one tiny RPC each, all
+            # before the untimed rep-0 warm-up
+            for rep_arrays in seed_arrays.values():
+                for sa in rep_arrays:
+                    np.asarray(sa)
 
             def _k_runs(rep):
                 outs = [
@@ -253,10 +262,15 @@ def bench_jax(windows, epochs=3000):
                                 cfg, LossWeights(), epochs, 1e-3)
                     for i in range(K)
                 ]
-                # execution is serial on the chip, so the last run's metrics
-                # being ready implies all K runs finished; blocking on the
-                # whole pytree instead costs ~100 per-buffer tunnel RPCs
-                _jax.block_until_ready(outs[-1][1])
+                # completion barrier: a TINY fetch of the last run's final
+                # metrics row.  jax.block_until_ready is NOT a barrier for
+                # Pallas outputs on the axon tunnel (measured: a 0.56 s
+                # kernel read 0.000 s behind it — CLAUDE.md hazards); the
+                # chip executes runs serially, so the last run's row being
+                # fetchable implies all K finished.  (Measured equal to the
+                # old block-based reading, 0.113 vs 0.115 s — dispatch sends
+                # rate-limit at ~23 ms/kernel — but honest by construction.)
+                np.asarray(outs[-1][1][-1])
 
             _k_runs(0)  # untimed: absorbs the direct-call path's one-time trace
             rep_times = []
@@ -370,15 +384,18 @@ def bench_scale(n=131072, epochs=200, seq_len=10, dim=3, compute_dtype=None):
     # cross-process, so fixed keys can time the cache (CLAUDE.md hazards)
     t0 = time.time()
     out = run(params, opt_state, jax.random.PRNGKey(sbase), batch, None, None)
-    jax.block_until_ready(out[2])
+    np.asarray(out[2][-1])
     cold = time.time() - t0
     rep_times = []
     # fresh PRNG key per timed call (identical-repeat hazard, CLAUDE.md);
-    # out[2] is the (epochs, 5) metrics stack — a tiny single-buffer sync
+    # the completion barrier is a TINY fetch of the last metrics row —
+    # block_until_ready is not a reliable barrier on the tunnel (CLAUDE.md;
+    # it read honestly for THIS plain-XLA program, but the fetch is honest
+    # by construction)
     for s in range(sbase + 1, sbase + 4):
         t0 = time.time()
         out = run(params, opt_state, jax.random.PRNGKey(s), batch, None, None)
-        jax.block_until_ready(out[2])
+        np.asarray(out[2][-1])
         rep_times.append(time.time() - t0)
     best = min(rep_times)
     last = float(np.asarray(out[2])[-1, 0])
@@ -485,11 +502,15 @@ def bench_scale_fused(n=131072, epochs=200, tile=2048, compute_dtype="bfloat16")
     cdt = None if compute_dtype is None else jnp.dtype(compute_dtype)
     if cdt is not None:
         packed = packed.astype(cdt)
-    packed = jax.block_until_ready(packed)
-    plist = tuple(
-        jax.block_until_ready(p)
-        for p in _flatten_params(init_params(jax.random.PRNGKey(0), cfg))
-    )
+    # force staging with real fetches — block_until_ready is not a reliable
+    # barrier on the tunnel (CLAUDE.md hazards), and hbm's rep 0 is TIMED
+    # (its executable was loaded by the cold call), so a lazy ~16 MB corpus
+    # transfer must not land inside it.  The corpus barrier is a tiny
+    # last-element fetch; the params are ~0.4 MB total, fetched whole.
+    np.asarray(packed[-1, -1])
+    plist = tuple(_flatten_params(init_params(jax.random.PRNGKey(0), cfg)))
+    for p in plist:
+        np.asarray(p)
     # three kernel variants, timed INTERLEAVED over 4 entropy-seeded rounds
     # (median + best — the cross-round variance protocol).  hbm records 4
     # timed reps (its executable was loaded by the cold call above); the
@@ -841,13 +862,17 @@ def bench_generation(windows, n=4096):
         K = 8
 
         def _k_batches(base):
-            # fresh seeds per timed rep (identical-repeat hazard, CLAUDE.md)
+            # fresh seeds per timed rep (identical-repeat hazard, CLAUDE.md);
+            # completion barrier = a TINY fetch of the last batch's last
+            # row — block_until_ready is not a reliable barrier on the
+            # tunnel (CLAUDE.md hazards), and the chip executes batches
+            # serially so the last row being fetchable implies all K done
             outs = [
                 generate_trajectories(params, cfg, starts, seed=base + s,
                                       materialize=False)
                 for s in range(K)
             ]
-            jax.block_until_ready(outs[-1])
+            np.asarray(outs[-1][-1, -1])
 
         _k_batches(gbase + 5000)  # untimed warm rep (entropy: see gbase)
         dt_pipe = float("inf")

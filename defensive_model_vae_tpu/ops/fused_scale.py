@@ -29,11 +29,12 @@ model on-core instead:
   ~16 B/window·epoch in bf16) and streams it from HBM as a second
   double-buffered input — fresh i.i.d. noise per epoch AND tile, like the
   scan trainer, with none of the on-core PRNG's per-step Box–Muller cost.
-  Measured at the bench shape (``results/hot_probe.json``): hbm+rbg
-  0.308 s vs on-core PRNG 0.383 s vs hbm+threefry 0.395 s, so
-  ``noise_impl`` defaults to rbg.  The ~87 ms threefry→rbg delta is NOT
+  Measured at the bench shape: hbm+rbg 0.308 s vs hbm+threefry 0.395 s
+  (``results/hot_probe.json``) vs on-core PRNG 0.383 s (the ``manual``
+  variant of ``results/scale_ablation.json`` — a separate run of the
+  same kernel/shape), so ``noise_impl`` defaults to rbg.  The ~87 ms threefry→rbg delta is NOT
   generation cost (the same artifact times generation standalone:
-  threefry 35–47 ms, rbg 54 ms — threefry's is smaller); it appears
+  threefry 33–47 ms, rbg 54 ms — threefry's is smaller); it appears
   only where the generated buffer feeds the streaming custom call
   inside one program (plausibly layout/fusion of the threefry output),
   so the default is chosen on the end-to-end measurement.  ``"prng"`` keeps the on-core PRNG (re-seeded per grid
@@ -102,7 +103,7 @@ from .fused_trainer import (
 # "unsafe_rbg"): rbg lowers to the hardware RngBitGenerator and is the
 # measured END-TO-END winner — kernel wall 0.308 s vs 0.395 s under
 # threefry at the bench shape (results/hot_probe.json).  Generation alone
-# does NOT explain the delta (standalone: threefry 35-47 ms < rbg 54 ms,
+# does NOT explain the delta (standalone: threefry 33-47 ms < rbg 54 ms,
 # same artifact); the cost shows up only where the threefry buffer feeds
 # the streaming custom call in one program.  rbg's bit stream is
 # backend-dependent (the oracle tests derive the expected stream with the
@@ -171,6 +172,12 @@ def _pack_corpus(x_flat, cond, mask, eps, latent_dim: int):
     n = x_flat.shape[0]
     cols = [x_flat, cond, mask.reshape(n, 1)]
     if eps is not None:
+        # the kernels slice the eps columns at [F+C+1 : F+C+1+latent_dim]
+        if eps.shape[1] != latent_dim:
+            raise ValueError(
+                f"explicit eps has {eps.shape[1]} columns, expected "
+                f"latent_dim={latent_dim}"
+            )
         cols.append(eps)
     return jnp.concatenate(cols, axis=1)
 

@@ -681,19 +681,20 @@ def fused_train_seeds(
     This replaced the round-2 grid-axis kernel in round 4.  The original
     probe appeared to show a 6× per-epoch kernel gap, but that reading
     timed 32 host ``init_params`` + 25 stacking dispatches inside the
-    grid variants' window; the CORRECTED probe (operand prep hoisted out
-    of every timed region — ``scripts/grid_probe.py`` →
-    ``results/grid_probe.json``) shows the grid body itself runs within
-    ~1.2× of pipelined single-run kernels (7.3 vs 6.1 µs/epoch·seed;
-    the masked grid body 5.8).  The real, end-to-end win of the
-    pipelined path is HOST-side: one vmapped init instead of K host
-    ``init_params``, one shared seed-indexed executable, and the packed
-    two-buffer harvest instead of 24 per-buffer tunnel fetches —
-    measured by bench as 2.58 s → 1.1–1.7 s for the 32×3000 sweep —
-    plus bit-identity with :func:`fused_train` per seed by construction.
-    The grid kernel remains the right shape for
-    :func:`fused_train_multi`, whose per-scenario padded batches share
-    one executable.
+    grid variants' window (and a later pass found its fetch asymmetric
+    and its block_until_ready barrier a no-op — CLAUDE.md hazards); the
+    CORRECTED probe (prep hoisted, symmetric tiny-fetch barriers —
+    ``scripts/grid_probe.py`` → ``results/grid_probe.json``) shows the
+    grid body runs at PARITY with pipelined single-run kernels (5.73 vs
+    5.74 µs/epoch·seed; the masked grid body is 28% faster at 4.1).
+    The real, end-to-end win of the pipelined path is HOST-side: one
+    vmapped init instead of K host ``init_params``, one shared
+    seed-indexed executable, and the packed two-buffer harvest instead
+    of 24 per-buffer tunnel fetches — measured by bench as 2.58 s →
+    1.1–1.7 s for the 32×3000 sweep — plus bit-identity with
+    :func:`fused_train` per seed by construction.  The grid kernel
+    remains the right shape for :func:`fused_train_multi`, whose
+    per-scenario padded batches share one executable.
 
     ``eps_by_seed`` (optional ``{seed: (B, latent)}``) swaps the on-core
     PRNG for explicit noise, the interpret-mode escape hatch shared with

@@ -62,7 +62,11 @@ def _lower_specs():
         for s in (_sds((fi, fo)), _sds((1, fo)))
     )
     seed = _sds((1, 1), jnp.int32)
-    width = F + CFG.cond_dim + 1 + CFG.latent_dim
+    # the LIVE corpus width: hbm/prng corpora are packed WITHOUT eps
+    # columns (fused_scale._pack_corpus appends them only for explicit
+    # eps) — probing the old +latent_dim width would verify programs
+    # bench.py no longer compiles
+    width = F + CFG.cond_dim + 1
 
     packed = _sds((n, width), jnp.bfloat16)
     scale_statics = (

@@ -109,6 +109,15 @@ def main():
                      "seeds": seed_arrs})
 
     def run(mode, rep):
+        """Dispatch + execute; returns the DEVICE metrics array(s).  The
+        timed window's completion barrier is a TINY fetch of the final
+        metrics row — symmetric across variants (one small RPC each).
+        jax.block_until_ready is NOT a barrier on the axon tunnel
+        (measured: this probe's kernels read 0.000 s behind it), and a
+        full in-window np.asarray would charge the grid variants a ~32x
+        larger device->host transfer than single_x32's — both documented
+        CLAUDE.md hazards.  Validation fetches happen after the timing
+        loop."""
         if mode == "single_x32":
             outs = [
                 ft._fused_call(
@@ -117,8 +126,10 @@ def main():
                 )
                 for sa in prep[rep]["seeds"]
             ]
-            jax.block_until_ready(outs[-1][1])
-            return np.asarray(outs[-1][1])
+            # execution is serial on the chip: the last run's final row
+            # being fetchable implies all 32 finished
+            np.asarray(outs[-1][1][-1])
+            return outs[-1][1]
         kw = {}
         if mode == "grid_masked":
             kw = {"use_mask": True}
@@ -133,7 +144,8 @@ def main():
             plists, x, cond, mask, seed_arr, cfg, weights, EPOCHS, 1e-3,
             **kw,
         )
-        return np.asarray(m)
+        np.asarray(m[-1, -1])
+        return m
 
     variants = ["grid", "grid_masked", "grid_static", "grid_s8", "single_x32"]
     times = {v: [] for v in variants}
@@ -150,10 +162,11 @@ def main():
                 times[v].append(dt)
                 print(f"rep{rep} {v}: {dt:.3f}s", file=sys.stderr)
 
-    # sanity: trained histories descend (not grid_static — its history is
-    # a single overwritten row; not single_x32's fetched final metrics row)
+    # sanity (fetched OUTSIDE the timed windows): trained histories descend
+    # (not grid_static — its history is a single overwritten row; not
+    # single_x32's final metrics row)
     for v in ("grid", "grid_masked", "grid_s8"):
-        m = last[v]
+        m = np.asarray(last[v])
         assert np.isfinite(m[:, EPOCHS - 1, 0]).all()
         assert (m[:, EPOCHS - 1, 0] < m[:, 0, 0] / 5).all(), v
 

@@ -8,7 +8,8 @@
    hardware RngBitGenerator), then the full hbm kernel under each impl.
    OUTCOME (results/hot_probe.json): rbg wins end-to-end (hbm_rbg
    0.308 s vs hbm 0.395 s) but NOT via generation cost — standalone,
-   threefry generation (35–47 ms across regenerations) is both small
+   threefry generation (33–47 ms across regenerations, incl. one with
+   a fetch barrier after block_until_ready was found unreliable) is small
    and FASTER than rbg's (54 ms), so the threefry penalty lives in how
    the generated buffer composes with the streaming custom call inside
    one program (plausibly layout/fusion); the default is chosen on the
@@ -101,7 +102,11 @@ def main():
         seed_arr = jnp.array([[_fresh()]], jnp.int32)
         if mode.startswith("gen_"):
             out = _gen_eps(seed_arr, mode[4:], rows, cfg.latent_dim)
-            jax.block_until_ready(out)
+            # completion barrier = a tiny fetch of the last row; block_
+            # until_ready is not a reliable barrier on the tunnel
+            # (CLAUDE.md hazards — measured a no-op for Pallas outputs;
+            # fetch is honest by construction for the XLA ones too)
+            np.asarray(out[-1, -1])
             return None
         if mode.startswith("hbm"):
             impl = {"hbm_rbg": "rbg", "hbm_urbg": "unsafe_rbg"}.get(

@@ -301,6 +301,12 @@ def test_bench_prev_round_loader_skips_failed_records(tmp_path):
     (tmp_path / "BENCH_r05.json").write_text("{not json")
     prev, tag = bench._load_prev_bench(here=str(tmp_path))
     assert (prev, tag) == (good, "r03")
+    # valid-JSON NON-DICT records (null / list / bare string) are skipped
+    # too, not crashed on
+    (tmp_path / "BENCH_r05.json").write_text("null")
+    assert bench._load_prev_bench(here=str(tmp_path)) == (good, "r03")
+    (tmp_path / "BENCH_r05.json").write_text('["partial"]')
+    assert bench._load_prev_bench(here=str(tmp_path)) == (good, "r03")
     # bare legacy records (no "parsed" wrapper) still load
     (tmp_path / "BENCH_r06.json").write_text(json.dumps({"value": 9.0}))
     prev, tag = bench._load_prev_bench(here=str(tmp_path))
