@@ -417,10 +417,16 @@ def serve_checkpoint(
     for name, d in ckpt.items():
         loaded = _load_for_serving(str(d))  # ONE disk load per model
         fn = _serve_fn_from(*loaded, num_steps, dt, mesh=mesh)
-        jax.block_until_ready(fn(jax.random.PRNGKey(warm_seed), starts, inits))
+        # warm-up must FETCH, not block_until_ready: block is not a
+        # reliable completion barrier on the tunnel (CLAUDE.md hazard
+        # (3)), and a warm-up that returns before the executable load
+        # finishes would charge the load to the first real request.  A
+        # tiny last-row slice keeps the fetch to one small RPC.
+        out = fn(jax.random.PRNGKey(warm_seed), starts, inits)
+        np.asarray(jax.tree_util.tree_leaves(out)[-1][-1])
         serve_fns[name] = fn
         gen = _generate_fn_from(*loaded, mesh=mesh)
-        jax.block_until_ready(gen(jax.random.PRNGKey(warm_seed), starts))
+        np.asarray(gen(jax.random.PRNGKey(warm_seed), starts)[-1])
         generate_fns[name] = gen
     return make_http_server(
         serve_fns, batch, num_steps, host=host, port=port,
