@@ -211,7 +211,7 @@ def bench_jax(windows, epochs=3000):
     # Chip THROUGHPUT: K independent runs dispatched back-to-back with ONE
     # final sync.  Each fused_train call above syncs internally, so its
     # timing charges a full tunnel round-trip (tens of ms on a bad day) to
-    # a ~19 ms kernel; pipelined dispatch amortizes the RTT the way any
+    # a ~21 ms kernel; pipelined dispatch amortizes the RTT the way any
     # real multi-run workload would.  Runs are independent and the chip
     # executes them serially, so rate = K·epochs·N / Δt.  Measured in its
     # OWN try: a failure here must fall back to the synchronous per-call
@@ -248,13 +248,13 @@ def bench_jax(windows, epochs=3000):
                       for i in range(K)]
                 for rep in range(4)
             }
-            # force the staging transfers with real fetches (block_until_
-            # ready is not a reliable barrier on the tunnel — CLAUDE.md);
-            # the arrays are (1,1) so this is one tiny RPC each, all
-            # before the untimed rep-0 warm-up
-            for rep_arrays in seed_arrays.values():
-                for sa in rep_arrays:
-                    np.asarray(sa)
+            # force the staging transfers with ONE stacked fetch (block_
+            # until_ready is not a reliable barrier on the tunnel, and
+            # per-buffer fetches pay 4-30 ms RPC each — CLAUDE.md hazards
+            # (2)+(3)); all before the untimed rep-0 warm-up
+            np.asarray(jnp.concatenate(
+                [sa.ravel() for reps in seed_arrays.values() for sa in reps]
+            ))
 
             def _k_runs(rep):
                 outs = [
@@ -532,6 +532,10 @@ def bench_scale_fused(n=131072, epochs=200, tile=2048, compute_dtype="bfloat16")
             seed_arr = jnp.array(
                 [[sbase + (1 << 16) * (4 * j + rep) + 1]], jnp.int32
             )
+            # stage + fetch the seed BEFORE the window opens: a lazy (1,1)
+            # transfer is one 4-30 ms RPC against a ~0.3 s timed kernel
+            # (CLAUDE.md hazards (2)+(3))
+            np.asarray(seed_arr)
             t0 = time.time()
             _, metrics = _fused_scale_call(
                 plist, packed, seed_arr, cfg, LossWeights(), epochs, 1e-3,

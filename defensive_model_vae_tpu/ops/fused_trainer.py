@@ -685,8 +685,9 @@ def fused_train_seeds(
     and its block_until_ready barrier a no-op — CLAUDE.md hazards); the
     CORRECTED probe (prep hoisted, symmetric tiny-fetch barriers —
     ``scripts/grid_probe.py`` → ``results/grid_probe.json``) shows the
-    grid body runs at PARITY with pipelined single-run kernels (5.73 vs
-    5.74 µs/epoch·seed; the masked grid body is 28% faster at 4.1).
+    grid body runs at PARITY with pipelined single-run kernels (5.7 vs
+    5.7 µs/epoch·seed across regenerations; the masked grid body is 28%
+    faster at 4.1).
     The real, end-to-end win of the pipelined path is HOST-side: one
     vmapped init instead of K host ``init_params``, one shared
     seed-indexed executable, and the packed two-buffer harvest instead

@@ -73,9 +73,14 @@ def _lower_specs():
         "cfg", "weights", "epochs", "lr", "tile", "n_valid", "compute_dtype",
         "mixed_style", "noise", "interpret", "backward", "_ablate",
     )
-    scale_args = lambda noise: (
+    # the THREE scale programs bench_scale_fused actually compiles:
+    # hbm+manual (production default), prng+manual (r03 headline series),
+    # prng+auto (autodiff series) — statics must match _fused_scale_call's
+    # signature, incl. backward (probing hbm+autodiff would verify a
+    # program bench never runs)
+    scale_args = lambda noise, backward: (
         plist, packed, seed, CFG, W, epochs, 1e-3, tile, float(n),
-        jnp.bfloat16, "f32_acts", noise,
+        jnp.bfloat16, "f32_acts", noise, False, backward,
     )
 
     whole_statics = ("cfg", "weights", "epochs", "lr", "interpret", "backward")
@@ -85,10 +90,12 @@ def _lower_specs():
     return [
         ("fused_whole", fused_trainer._fused_call.__wrapped__,
          whole_statics, whole_args),
-        ("scale_hbm", fused_scale._fused_scale_call.__wrapped__,
-         scale_statics, scale_args("hbm")),
-        ("scale_prng", fused_scale._fused_scale_call.__wrapped__,
-         scale_statics, scale_args("prng")),
+        ("scale_hbm_manual", fused_scale._fused_scale_call.__wrapped__,
+         scale_statics, scale_args("hbm", "manual")),
+        ("scale_prng_manual", fused_scale._fused_scale_call.__wrapped__,
+         scale_statics, scale_args("prng", "manual")),
+        ("scale_prng_auto", fused_scale._fused_scale_call.__wrapped__,
+         scale_statics, scale_args("prng", "auto")),
     ]
 
 

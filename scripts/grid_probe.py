@@ -24,12 +24,15 @@ synced OUTSIDE the timed regions for every variant, so the timings
 compare kernel dispatch+execution+fetch only.
 
 OUTCOME (corrected methodology, results/grid_probe.json): the grid
-kernel BODY runs within ~1.2× of pipelined single-run kernels (7.3 vs
-6.1 µs/epoch·seed; masked 5.8) — the original probe's "6× structural
-gap" reading had timed the per-seed host prep, which scales with seed
-count exactly like the effect under test.  The pipelined sweep's real
-end-to-end win (bench: 2.58 → 1.1–1.7 s) is host-side: one vmapped
-init, one shared indexed executable, one packed harvest.
+kernel BODY runs at PARITY with pipelined single-run kernels (5.7 vs
+5.7 µs/epoch·seed across regenerations; the masked grid body is 28%
+faster at ~4.1) — the
+original probe's "6× structural gap" reading had timed the per-seed
+host prep, which scales with seed count exactly like the effect under
+test, and an interim reading was further skewed by an asymmetric
+in-window fetch.  The pipelined sweep's real end-to-end win (bench:
+2.58 → 1.1–1.7 s) is host-side: one vmapped init, one shared indexed
+executable, one packed harvest.
 
 Writes results/grid_probe.json.  Run ALONE on the real chip.
 """
@@ -104,7 +107,16 @@ def main():
             init_params(jax.random.PRNGKey(base), cfg)
         ))
         seed_arrs = [jnp.array([[base + i]], jnp.int32) for i in range(S)]
-        jax.block_until_ready((g32, g8, plist, seed_arrs))
+        # force staging with a real fetch per operand group — block_until_
+        # ready does not force lazy device_put/compute completion on the
+        # tunnel (CLAUDE.md hazard (3)), and reps 1+ first consume their
+        # operands INSIDE a timed window; one stacked tiny fetch per group
+        # keeps it to a few small RPCs
+        for group in (g32, g8):
+            for arr in jax.tree_util.tree_leaves(group):
+                np.asarray(arr.ravel()[-1:])
+        np.asarray(jnp.stack([p.ravel()[-1] for p in plist]))
+        np.asarray(jnp.concatenate([s.ravel() for s in seed_arrs]))
         prep.append({"g32": g32, "g8": g8, "plist": plist,
                      "seeds": seed_arrs})
 
