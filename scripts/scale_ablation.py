@@ -267,18 +267,20 @@ def main():
           f"({sol_flops/1e3:.1f} kFLOP/window vs {6*sum_fifo/1e3:.1f} target)",
           file=sys.stderr)
 
-    plist = tuple(
-        jax.block_until_ready(p)
-        for p in _flatten_params(init_params(jax.random.PRNGKey(0), cfg))
-    )
+    # staging forced with tiny real FETCHES, not block_until_ready — block
+    # does not force lazy device_put/compute completion on the tunnel
+    # (CLAUDE.md hazard (3)), and packed_eps[1..] are first consumed
+    # INSIDE timed windows (rep 0 is the untimed cold pass).  Measured
+    # immaterial for these exact buffer patterns when hot_probe adopted
+    # the fetches (all numbers reproduced), so the committed ablation
+    # artifact's readings stand.
+    plist = tuple(_flatten_params(init_params(jax.random.PRNGKey(0), cfg)))
+    np.asarray(jnp.stack([p.ravel()[-1] for p in plist]))
     # sol weights: scaled to keep the relu-free chain numerically bounded
     rng = np.random.default_rng(0)
-    w_in = jax.block_until_ready(
-        jnp.asarray(rng.normal(0, 1 / np.sqrt(width), (width, 128)), cdt)
-    )
-    w_chain = jax.block_until_ready(
-        jnp.asarray(rng.normal(0, 1 / np.sqrt(128), (128, 128)), cdt)
-    )
+    w_in = jnp.asarray(rng.normal(0, 1 / np.sqrt(width), (width, 128)), cdt)
+    w_chain = jnp.asarray(rng.normal(0, 1 / np.sqrt(128), (128, 128)), cdt)
+    np.asarray(w_in[-1, -1]), np.asarray(w_chain[-1, -1])
 
     # per-rep packed buffers with entropy-fresh eps values (the eps/sol/
     # stream variants would otherwise repeat identical (inputs, executable)
@@ -286,23 +288,31 @@ def main():
     # PRNG 'full' variant reuses one zero-eps buffer with entropy seeds
     erng = np.random.default_rng()
     mask1 = jnp.ones((N,), jnp.float32)
-    packed_zero = jax.block_until_ready(
-        _pack_corpus(x_flat, start, mask1, None, cfg.latent_dim).astype(cdt)
-    )
-    packed_eps = [
-        jax.block_until_ready(
-            _pack_corpus(
-                x_flat, start, mask1,
-                jnp.asarray(erng.normal(size=(N, cfg.latent_dim)), jnp.float32),
-                cfg.latent_dim,
-            ).astype(cdt)
-        )
-        for _ in range(REPS)
-    ]
+    packed_zero = _pack_corpus(x_flat, start, mask1, None,
+                               cfg.latent_dim).astype(cdt)
+    np.asarray(packed_zero[-1, -1])
+    packed_eps = []
+    for _ in range(REPS):
+        pe = _pack_corpus(
+            x_flat, start, mask1,
+            jnp.asarray(erng.normal(size=(N, cfg.latent_dim)), jnp.float32),
+            cfg.latent_dim,
+        ).astype(cdt)
+        np.asarray(pe[-1, -1])
+        packed_eps.append(pe)
 
-    def run(mode, rep):
+    def _staged_seed(mode):
+        # pre-transferred AND fetched before the caller's timed window
+        # opens (CLAUDE.md hazards (2)+(3)).  SMOKE pins the hbm family's
+        # seed so all its variants share one eps stream and the epoch-0
+        # cross-variant asserts hold exactly.
+        val = 42 if (SMOKE and mode.startswith("hbm")) else _fresh()
+        sa = jnp.array([[val]], jnp.int32)
+        np.asarray(sa)
+        return sa
+
+    def run(mode, rep, seed_arr):
         if mode in ("full", "manual"):
-            seed_arr = jnp.array([[_fresh()]], jnp.int32)
             _, m = _fused_scale_call(
                 plist, packed_zero, seed_arr, cfg, weights, EPOCHS, 1e-3,
                 TILE, float(N), cdt, "f32_acts", "prng", interpret=INTERPRET,
@@ -310,7 +320,6 @@ def main():
             )
             return m
         if mode in ("full_eps", "manual_eps"):
-            seed_arr = jnp.array([[_fresh()]], jnp.int32)
             _, m = _fused_scale_call(
                 plist, packed_eps[rep], seed_arr, cfg, weights, EPOCHS, 1e-3,
                 TILE, float(N), cdt, "f32_acts", "packed",
@@ -321,10 +330,8 @@ def main():
         if mode.startswith("hbm"):
             # fresh seed -> fresh eps stream inside the jitted program
             # (identical-repeat elision, CLAUDE.md); the zero-eps packed
-            # buffer is shared since hbm ignores the packed eps columns.
-            # SMOKE pins the seed so the hbm family shares one eps stream
-            # and the epoch-0 cross-variant asserts hold exactly.
-            seed_arr = jnp.array([[42 if SMOKE else _fresh()]], jnp.int32)
+            # buffer is shared since hbm never reads packed eps columns
+            # (hbm corpora are packed without them)
             tile = {"hbm_t1024": 1024, "hbm_t4096": 4096}.get(mode, TILE)
             ablate = {
                 "hbm_noadam": ("noadam",),
@@ -362,8 +369,9 @@ def main():
     last_m = {}
     for rep in range(REPS):
         for v in variants:
+            sa = _staged_seed(v)  # staged + fetched before the window
             t0 = time.time()
-            m = run(v, rep)
+            m = run(v, rep, sa)
             last_m[v] = np.asarray(m)  # force completion (single small fetch)
             dt = time.time() - t0
             if rep == 0:

@@ -278,6 +278,33 @@ def test_bench_drift_report_flags_large_moves():
         bench._load_prev_bench = orig_load
 
 
+def test_no_block_until_ready_in_measurement_code():
+    """jax.block_until_ready is NOT a completion barrier on the axon
+    tunnel (CLAUDE.md measurement hazard (3): a 0.56 s Pallas kernel read
+    0.000 s behind it) — every timed path and staging sync in the bench,
+    the evidence/probe scripts, and the serving warm-up must use a real
+    (tiny) fetch instead.  This guard scans the AST so prose mentions in
+    comments/docstrings don't count."""
+    import ast as _ast
+
+    files = [REPO_ROOT / "bench.py",
+             REPO_ROOT / "defensive_model_vae_tpu" / "serving.py"]
+    files += sorted((REPO_ROOT / "scripts").glob("*.py"))
+    assert len(files) > 8  # the scan must actually cover the scripts dir
+    offenders = []
+    for path in files:
+        tree = _ast.parse(path.read_text())
+        for node in _ast.walk(tree):
+            if (isinstance(node, _ast.Call)
+                    and isinstance(node.func, _ast.Attribute)
+                    and node.func.attr == "block_until_ready"):
+                offenders.append(f"{path.name}:{node.lineno}")
+    assert not offenders, (
+        f"block_until_ready call(s) in measurement code: {offenders} — "
+        f"use a tiny np.asarray fetch (CLAUDE.md hazard (3))"
+    )
+
+
 def test_bench_prev_round_loader_skips_failed_records(tmp_path):
     """A failed round's BENCH record (the driver writes \"parsed\": null
     with rc/tail fields) must not become the drift baseline — the loader
