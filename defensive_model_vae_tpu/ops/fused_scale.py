@@ -34,10 +34,13 @@ model on-core instead:
   variant of ``results/scale_ablation.json`` — a separate run of the
   same kernel/shape), so ``noise_impl`` defaults to rbg.  The ~87 ms threefry→rbg delta is NOT
   generation cost (the same artifact times generation standalone:
-  threefry 33–47 ms, rbg 54 ms — threefry's is smaller); it appears
-  only where the generated buffer feeds the streaming custom call
-  inside one program (plausibly layout/fusion of the threefry output),
-  so the default is chosen on the end-to-end measurement.  ``"prng"`` keeps the on-core PRNG (re-seeded per grid
+  threefry 33–47 ms, rbg 54 ms — threefry's is smaller); it is the
+  threefry OUTPUT LAYOUT feeding the blocked Pallas custom-call
+  operand, pinned by ``scripts/noise_consumer_probe.py`` →
+  ``results/noise_consumer_probe.json``: a plain-XLA consumer of the
+  same buffer shows the impls within 7 ms, while a stream-only Pallas
+  consumer reproduces the full trainer's gap exactly (+0.087 s probe
+  vs +0.086 s trainer).  ``"prng"`` keeps the on-core PRNG (re-seeded per grid
   step from ``seed + e·n_tiles + i``) for corpora/epoch counts where the
   eps buffer would not fit HBM (guarded).  The explicit-``eps`` escape
   hatch still holds one (N, Z) draw constant across epochs, like the
@@ -104,8 +107,10 @@ from .fused_trainer import (
 # measured END-TO-END winner — kernel wall 0.308 s vs 0.395 s under
 # threefry at the bench shape (results/hot_probe.json).  Generation alone
 # does NOT explain the delta (standalone: threefry 33-47 ms < rbg 54 ms,
-# same artifact); the cost shows up only where the threefry buffer feeds
-# the streaming custom call in one program.  rbg's bit stream is
+# same artifact); it is the threefry output's layout feeding the blocked
+# Pallas custom-call operand — pinned by scripts/noise_consumer_probe.py
+# (plain-XLA consumer: impls within 7 ms; Pallas stream consumer:
+# +0.087 s, the trainer's exact gap).  rbg's bit stream is
 # backend-dependent (the oracle tests derive the expected stream with the
 # SAME impl on the same backend; threefry stays available for a
 # backend-stable stream).

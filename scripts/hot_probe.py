@@ -12,7 +12,10 @@
    a fetch barrier after block_until_ready was found unreliable) is small
    and FASTER than rbg's (54 ms), so the threefry penalty lives in how
    the generated buffer composes with the streaming custom call inside
-   one program (plausibly layout/fusion); the default is chosen on the
+   one program — PINNED by scripts/noise_consumer_probe.py: the
+   threefry output's layout feeding the blocked Pallas custom-call
+   operand (+0.087 s with a stream-only Pallas consumer vs within 7 ms
+   of rbg under a plain-XLA consumer); the default is chosen on the
    end-to-end number.
 
 2. **The 12 transposed dW matmuls are ~0.18 s = 56% of the manual
