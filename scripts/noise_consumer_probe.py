@@ -61,7 +61,18 @@ def _gen(seed_arr, impl):
 
 @functools.partial(jax.jit, static_argnames=("impl",))
 def gen_sum(seed_arr, impl):
+    # NOTE: XLA fuses RNG+convert+sum here, so the eps buffer is never
+    # materialized to HBM — this is the fused-consumer control
     return jnp.sum(_gen(seed_arr, impl).astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("impl",))
+def gen_summat(seed_arr, impl):
+    # optimization_barrier forces the eps buffer to MATERIALIZE before
+    # the plain-XLA sum — isolates layout-of-the-materialized-buffer
+    # from the fusion elision above
+    eps = jax.lax.optimization_barrier(_gen(seed_arr, impl))
+    return jnp.sum(eps.astype(jnp.float32))
 
 
 def _stream_kernel(eps_ref, o_ref):
@@ -101,6 +112,7 @@ def gen_stream(seed_arr, impl):
 def main():
     variants = [
         ("threefry2x32", "sum"), ("rbg", "sum"),
+        ("threefry2x32", "summat"), ("rbg", "summat"),
         ("threefry2x32", "stream"), ("rbg", "stream"),
     ]
     times = {v: [] for v in variants}
@@ -108,7 +120,8 @@ def main():
         for impl, consumer in variants:
             sa = jnp.array([[_fresh_seed()]], jnp.int32)
             np.asarray(sa)  # staged + fetched before the window
-            fn = gen_sum if consumer == "sum" else gen_stream
+            fn = {"sum": gen_sum, "summat": gen_summat,
+                  "stream": gen_stream}[consumer]
             t0 = time.time()
             out = fn(sa, impl)
             np.asarray(out)  # tiny scalar fetch = completion barrier

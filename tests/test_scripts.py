@@ -295,9 +295,12 @@ def test_no_block_until_ready_in_measurement_code():
     for path in files:
         tree = _ast.parse(path.read_text())
         for node in _ast.walk(tree):
-            if (isinstance(node, _ast.Call)
-                    and isinstance(node.func, _ast.Attribute)
-                    and node.func.attr == "block_until_ready"):
+            if not isinstance(node, _ast.Call):
+                continue
+            f = node.func
+            name = (f.attr if isinstance(f, _ast.Attribute)
+                    else f.id if isinstance(f, _ast.Name) else None)
+            if name == "block_until_ready":
                 offenders.append(f"{path.name}:{node.lineno}")
     assert not offenders, (
         f"block_until_ready call(s) in measurement code: {offenders} — "
