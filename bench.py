@@ -78,13 +78,39 @@ def _load_prev_bench(here=None):
     return None, None
 
 
-# keys that renamed between rounds: new_key -> old_key to compare against
+# ---- drift-key lifecycle (one data-driven table per the r04 verdict) ----
+# Every timing-series key a PRIOR round's BENCH record carries must be
+# (a) still produced and listed in _DRIFT_KEYS, (b) the old side of a
+# rename in _DRIFT_ALIASES, or (c) explicitly retired in _RETIRED_KEYS.
+# tests/test_scripts.py::test_drift_key_lifecycle_covers_all_rounds
+# enforces this against the committed BENCH_r*.json series.
+
+# headline keys compared each round (base names; *_median preferred when
+# both rounds carry it)
+_DRIFT_KEYS = [
+    "value", "value_sync", "scale_windows_per_sec",
+    "scale_bf16_windows_per_sec", "scale_fused_windows_per_sec",
+    "scale_fused_manual_prng_windows_per_sec",
+    "scale_fused_autodiff_windows_per_sec", "seed_grid_32x3000_s",
+    "dnda_sweep_21ep_s", "mpc_corpus_38path_s",
+    # secondary BASELINE.json configs, tracked per-round from r05 on
+    # (skipped under --warm-only; drift comparison tolerates absence)
+    "conv_long_windows_per_sec", "conditioned_windows_per_sec",
+]
+
+# keys that RENAMED between rounds: new_key -> old_key to compare against.
+# A rename also implies a redefinition skip: when prev predates the rename
+# (it lacks new_key), prev[old_key] holds the OLD definition, so the
+# direct old_key-vs-old_key comparison is suppressed for that round pair.
 _DRIFT_ALIASES = {
     # r03's scale_fused headline was the prng+manual kernel; the headline
     # is now the hbm production default, and the prng+manual series
     # continues under its own key
     "scale_fused_manual_prng_windows_per_sec": "scale_fused_windows_per_sec",
 }
+
+# keys from prior rounds that are intentionally no longer produced
+_RETIRED_KEYS = set()
 
 
 def _drift_report(result):
@@ -96,15 +122,8 @@ def _drift_report(result):
     prev, tag = _load_prev_bench()
     if prev is None:
         return None
-    keys = [
-        "value", "value_sync", "scale_windows_per_sec",
-        "scale_bf16_windows_per_sec", "scale_fused_windows_per_sec",
-        "scale_fused_manual_prng_windows_per_sec",
-        "scale_fused_autodiff_windows_per_sec", "seed_grid_32x3000_s",
-        "dnda_sweep_21ep_s", "mpc_corpus_38path_s",
-    ]
     flags = {}
-    for k in keys:
+    for k in _DRIFT_KEYS:
         old_k = k if k in prev else _DRIFT_ALIASES.get(k)
         if k not in result or old_k is None or old_k not in prev:
             continue

@@ -63,6 +63,15 @@ def _cmd_train(args):
     # resolve the 'hbm' default HERE (argparse default is None) so passing
     # --noise to another trainer errors instead of being silently dropped
     resolved_noise = (args.noise or "hbm") if args.fused_scale else None
+    if args.noise_impl is not None and resolved_noise != "hbm":
+        raise SystemExit("--noise-impl applies to --fused-scale with "
+                         "hbm noise only")
+    # resolved for the manifest too: the default rbg stream is documented
+    # as backend-dependent, so hbm-trained checkpoints must record which
+    # PRNG produced their eps stream (ADVICE r04)
+    resolved_noise_impl = (
+        (args.noise_impl or "rbg") if resolved_noise == "hbm" else None
+    )
     resolved_backward = None
     if args.fused_scale:
         # resolve the default (None -> 'manual' where supported) HERE so the
@@ -117,6 +126,8 @@ def _cmd_train(args):
                     lr=args.lr, weights=weights, seed=args.seed,
                     tile=args.tile, compute_dtype=args.dtype,
                     backward=args.backward, noise=resolved_noise,
+                    **({"noise_impl": resolved_noise_impl}
+                       if resolved_noise_impl else {}),
                 )
         else:
             from .ops import fused_train_scale
@@ -128,6 +139,8 @@ def _cmd_train(args):
                     windows, epochs=args.epochs, lr=args.lr, weights=weights,
                     seed=args.seed, tile=args.tile, compute_dtype=args.dtype,
                     backward=args.backward, noise=resolved_noise,
+                    **({"noise_impl": resolved_noise_impl}
+                       if resolved_noise_impl else {}),
                 )
     else:
         mesh = None
@@ -150,6 +163,8 @@ def _cmd_train(args):
             **({"backward": resolved_backward}
                if resolved_backward is not None else {}),
             **({"noise": resolved_noise} if args.fused_scale else {}),
+            **({"noise_impl": resolved_noise_impl}
+               if resolved_noise_impl else {}),
         }},
     )
     print(
@@ -739,6 +754,12 @@ def main(argv=None):
              "pre-generates every epoch's eps with XLA and streams it from "
              "HBM; 'prng' uses the on-core generator (same statistical "
              "semantics, no eps buffer — for very long runs)",
+    )
+    t.add_argument(
+        "--noise-impl", choices=("rbg", "threefry2x32"), default=None,
+        help="PRNG behind --noise hbm: 'rbg' (default, fastest; bit stream "
+             "is backend-dependent) or 'threefry2x32' (backend-stable bit "
+             "stream for cross-platform reproducibility)",
     )
     t.set_defaults(fn=_cmd_train)
 

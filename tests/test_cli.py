@@ -251,6 +251,34 @@ def test_cli_fused_scale_manifest_backward(tmp_path, monkeypatch):
     # the manifest and forwarded resolved to the kernel
     assert recipe["noise"] == "hbm"
     assert calls["noise"] == "hbm"
+    # the hbm default PRNG (rbg) has a backend-dependent bit stream, so
+    # the manifest must record which impl produced the eps (ADVICE r04);
+    # the kernel gets the resolved impl too
+    assert recipe["noise_impl"] == "rbg"
+    assert calls["noise_impl"] == "rbg"
+
+    # an explicit backend-stable stream is selectable and recorded
+    calls.clear()
+    main(["train", "--scenario", "sce1", "--windows", str(w),
+          "--ckpt", str(tmp_path / "ck2"), "--epochs", "2", "--fused-scale",
+          "--noise-impl", "threefry2x32"])
+    recipe2 = json.loads(
+        (tmp_path / "ck2" / "manifest.json").read_text()
+    )["recipe"]
+    assert recipe2["noise_impl"] == "threefry2x32"
+    assert calls["noise_impl"] == "threefry2x32"
+
+    # prng noise has no hbm eps stream: no noise_impl in the manifest,
+    # none forwarded
+    calls.clear()
+    main(["train", "--scenario", "sce1", "--windows", str(w),
+          "--ckpt", str(tmp_path / "ck3"), "--epochs", "2", "--fused-scale",
+          "--noise", "prng"])
+    recipe3 = json.loads(
+        (tmp_path / "ck3" / "manifest.json").read_text()
+    )["recipe"]
+    assert "noise_impl" not in recipe3
+    assert "noise_impl" not in calls
 
 
 def test_cli_train_flag_guards(tmp_path):
@@ -266,6 +294,12 @@ def test_cli_train_flag_guards(tmp_path):
         main(base + ["--noise", "prng"])
     with pytest.raises(SystemExit, match="--noise applies"):
         main(base + ["--fused", "--noise", "hbm"])
+    # --noise-impl needs the hbm eps stream to exist
+    with pytest.raises(SystemExit, match="--noise-impl applies"):
+        main(base + ["--noise-impl", "threefry2x32"])
+    with pytest.raises(SystemExit, match="--noise-impl applies"):
+        main(base + ["--fused-scale", "--noise", "prng",
+                     "--noise-impl", "rbg"])
 
 
 def test_cli_export(tmp_path, capsys):

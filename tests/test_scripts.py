@@ -211,42 +211,56 @@ def test_robustness_row_reproduces_from_sweeps():
 
 
 def test_bench_drift_report_flags_large_moves():
-    """The cross-round drift report: echoing the previous round's values
-    flags nothing; a >20% move on a headline key is flagged; renamed keys
-    compare through the alias map (r03's scale_fused headline was the
-    prng+manual kernel)."""
+    """The cross-round drift report, against SYNTHETIC previous-round
+    fixtures (never the real BENCH_r*.json files — the r04 verdict found
+    the on-disk coupling broke the suite the moment the driver wrote a
+    new round record): echoing the previous round's values flags nothing;
+    a >20% move on a headline key is flagged; renamed keys compare through
+    the alias map with the redefinition skip suppressing the cross-
+    definition comparison for the round pair straddling the rename."""
     spec = importlib.util.spec_from_file_location(
         "bench", str(REPO_ROOT / "bench.py")
     )
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
 
-    prev, tag = bench._load_prev_bench()
-    assert prev is not None and tag.startswith("r")
-    assert "value" in prev
-
-    same = bench._drift_report({"value": prev["value"]})
-    assert same["flagged"] == {}
-    moved = bench._drift_report({"value": prev["value"] * 2})
-    assert "value" in moved["flagged"]
-    # alias: the new manual_prng key compares against the old headline
-    aliased = bench._drift_report(
-        {"scale_fused_manual_prng_windows_per_sec":
-         prev["scale_fused_windows_per_sec"] * 3}
-    )
-    assert "scale_fused_manual_prng_windows_per_sec" in aliased["flagged"]
-    # redefinition skip: prev (r03) predates the rename, so its
-    # scale_fused headline is the OLD (prng) definition — a direct
-    # same-name comparison would flag the rename as a perf move
-    redefined = bench._drift_report(
-        {"scale_fused_windows_per_sec":
-         prev["scale_fused_windows_per_sec"] * 3}
-    )
-    assert redefined["flagged"] == {}
-    # median preference: when BOTH rounds carry a *_median the comparison
-    # uses it (damps best-of-N spread); flag keyed by the base name
     orig_load = bench._load_prev_bench
     try:
+        # --- a PRE-rename prev (r03-shaped: scale_fused key holds the OLD
+        # prng definition, no manual_prng key) ---
+        pre = {"value": 100.0, "scale_fused_windows_per_sec": 50.0}
+        bench._load_prev_bench = lambda: (pre, "r03")
+
+        same = bench._drift_report({"value": 100.0})
+        assert same["flagged"] == {} and same["vs"] == "r03"
+        moved = bench._drift_report({"value": 200.0})
+        assert "value" in moved["flagged"]
+        # alias: the new manual_prng key compares against the old headline
+        aliased = bench._drift_report(
+            {"scale_fused_manual_prng_windows_per_sec": 150.0}
+        )
+        assert "scale_fused_manual_prng_windows_per_sec" in aliased["flagged"]
+        # redefinition skip: prev predates the rename, so its scale_fused
+        # headline is the OLD (prng) definition — a direct same-name
+        # comparison would flag the rename as a perf move
+        redefined = bench._drift_report(
+            {"scale_fused_windows_per_sec": 150.0}
+        )
+        assert redefined["flagged"] == {}
+
+        # --- a POST-rename prev (r04-shaped: both keys present) — the
+        # direct comparison applies again ---
+        post = {"scale_fused_windows_per_sec": 50.0,
+                "scale_fused_manual_prng_windows_per_sec": 40.0}
+        bench._load_prev_bench = lambda: (post, "r04")
+        both = bench._drift_report(
+            {"scale_fused_windows_per_sec": 150.0,
+             "scale_fused_manual_prng_windows_per_sec": 40.0}
+        )
+        assert both["flagged"] == {"scale_fused_windows_per_sec": 3.0}
+
+        # median preference: when BOTH rounds carry a *_median the comparison
+        # uses it (damps best-of-N spread); flag keyed by the base name
         fake_prev = {"value": 100.0, "value_median": 100.0}
         bench._load_prev_bench = lambda: (fake_prev, "r99")
         med = bench._drift_report(
@@ -276,6 +290,59 @@ def test_bench_drift_report_flags_large_moves():
             bench._log = orig_log
     finally:
         bench._load_prev_bench = orig_load
+
+
+def test_drift_key_lifecycle_covers_all_rounds():
+    """Every timing-series key carried by ANY committed BENCH_r*.json must
+    be present in bench._DRIFT_KEYS, be the old side of a rename in
+    bench._DRIFT_ALIASES, or be explicitly retired — so future renames/
+    retirements require a deliberate table edit rather than silently
+    dropping a series from the drift report (r04 verdict item 7)."""
+    import json
+    import re
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", str(REPO_ROOT / "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    covered = (set(bench._DRIFT_KEYS)
+               | set(bench._DRIFT_ALIASES.values())
+               | set(bench._RETIRED_KEYS))
+    records = sorted(REPO_ROOT.glob("BENCH_r*.json"))
+    assert records, "no committed BENCH records to audit"
+    unhandled = {}
+    for path in records:
+        rec = json.loads(path.read_text())
+        parsed = rec.get("parsed", rec) if isinstance(rec, dict) else None
+        if not isinstance(parsed, dict):
+            continue  # failed round — nothing to track
+        series = {
+            k for k in parsed
+            if k == "value" or k == "value_sync"
+            or re.search(r"_per_sec$", k)
+            or (re.search(r"_s$", k) and not k.endswith("_reps"))
+        }
+        missing = series - covered
+        if missing:
+            unhandled[path.name] = sorted(missing)
+    assert not unhandled, (
+        f"timing-series keys with no lifecycle entry: {unhandled} — add to "
+        f"_DRIFT_KEYS, _DRIFT_ALIASES (as old key), or _RETIRED_KEYS"
+    )
+    # aliases and retirements must reference keys that actually existed
+    historical = set()
+    for path in records:
+        rec = json.loads(path.read_text())
+        parsed = rec.get("parsed", rec) if isinstance(rec, dict) else None
+        if isinstance(parsed, dict):
+            historical |= set(parsed)
+    for new_k, old_k in bench._DRIFT_ALIASES.items():
+        assert old_k in historical, f"alias target never existed: {old_k}"
+        assert new_k in bench._DRIFT_KEYS, f"alias source untracked: {new_k}"
+    for k in bench._RETIRED_KEYS:
+        assert k in historical, f"retired key never existed: {k}"
 
 
 def test_no_block_until_ready_in_measurement_code():
