@@ -205,7 +205,7 @@ def test_cli_train_fused_scale_wiring(tmp_path, all_windows, monkeypatch):
     seen = {}
 
     def fake_scale(windows, epochs, lr, weights, seed, tile, compute_dtype,
-                   backward=None, noise="hbm"):
+                   backward=None, noise="hbm", noise_impl="rbg"):
         seen.update(tile=tile, compute_dtype=compute_dtype, epochs=epochs,
                     backward=backward, noise=noise)
         from defensive_model_vae_tpu.models import CVAEConfig, init_params
@@ -244,10 +244,12 @@ def test_cli_train_fused_scale_wiring(tmp_path, all_windows, monkeypatch):
     seen_dp = {}
 
     def fake_scale_dp(windows, mesh, epochs, lr, weights, seed, tile,
-                      compute_dtype, backward=None, noise="hbm"):
+                      compute_dtype, backward=None, noise="hbm",
+                      noise_impl="rbg"):
         seen_dp.update(tile=tile, compute_dtype=compute_dtype,
                        epochs=epochs, dp=mesh.shape["data"],
-                       backward=backward, noise=noise)
+                       backward=backward, noise=noise,
+                       noise_impl=noise_impl)
         return fake_scale(windows, epochs, lr, weights, seed, tile,
                           compute_dtype)
 
@@ -260,7 +262,7 @@ def test_cli_train_fused_scale_wiring(tmp_path, all_windows, monkeypatch):
     ])
     assert seen_dp == {
         "tile": 512, "compute_dtype": None, "epochs": 10, "dp": 8,
-        "backward": None, "noise": "hbm",
+        "backward": None, "noise": "hbm", "noise_impl": "rbg",
     }
     with open(ck_dp / "manifest.json") as f:
         assert json.load(f)["recipe"]["trainer"] == "fused-scale-dp"

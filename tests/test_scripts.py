@@ -540,8 +540,12 @@ def test_ensure_deterministic_hash_seed_reexec(tmp_path):
     import subprocess
     import sys
 
+    # the probe self-inserts the repo root: the package is not installed,
+    # and the test must not depend on the runner's PYTHONPATH (which -E
+    # would ignore anyway)
     code = (
-        "import os\n"
+        "import os, sys\n"
+        f"sys.path.insert(0, {str(REPO_ROOT)!r})\n"
         "from defensive_model_vae_tpu.utils.cache import "
         "ensure_deterministic_hash_seed\n"
         "ensure_deterministic_hash_seed()\n"
