@@ -119,7 +119,7 @@ _DEFAULT_NOISE_IMPL = "rbg"
 
 def _value_and_grad(backward, params, x, cond, eps, cfg, weights, mask,
                     n_valid, compute_dtype, mixed_style, bias_via_dot=False,
-                    dw_mode="contract0"):
+                    dw_mode="contract0", chain_cd=False, grads_mode="full"):
     """Shared fwd+bwd step of both scale kernels: autodiff (traced
     ``jax.value_and_grad``) or the hand-written backward
     (:mod:`.manual_grad` — the ablation showed ~62% of kernel wall time is
@@ -130,7 +130,8 @@ def _value_and_grad(backward, params, x, cond, eps, cfg, weights, mask,
         return manual_value_and_grad(
             params, x, cond, eps, cfg, weights, mask, n_valid=n_valid,
             compute_dtype=compute_dtype, mixed_style=mixed_style,
-            bias_via_dot=bias_via_dot, dw_mode=dw_mode,
+            bias_via_dot=bias_via_dot, dw_mode=dw_mode, chain_cd=chain_cd,
+            grads_mode=grads_mode,
         )
     (_, comps), grads = jax.value_and_grad(
         lambda pl_: _forward_loss(
@@ -198,7 +199,10 @@ def _make_scale_kernel(cfg: CVAEConfig, weights: LossWeights, lr: float,
     (bias grads via an MXU ones-row dot instead of a VPU reduction —
     measured 37 ms SLOWER, kept as evidence), "dwT" (dW via explicit
     transpose + plain matmul instead of the batch-dim-contracting
-    dot_general).  Production callers leave it empty."""
+    dot_general), "chaincd" (manual backward with the dY chain in the
+    compute dtype — the round-5 candidate), "nodw" / "fwdonly" (manual
+    backward with dW dots / the whole backward removed — bucket timers).
+    Production callers leave it empty."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -250,6 +254,11 @@ def _make_scale_kernel(cfg: CVAEConfig, weights: LossWeights, lr: float,
             backward, params, x, cond, eps, cfg, weights, mask, n_valid,
             compute_dtype, mixed_style, bias_via_dot="biasdot" in _ablate,
             dw_mode="transpose" if "dwT" in _ablate else "contract0",
+            chain_cd="chaincd" in _ablate,
+            grads_mode=(
+                "nodw" if "nodw" in _ablate
+                else "none" if "fwdonly" in _ablate else "full"
+            ),
         )
         row = jnp.concatenate([comps, jnp.zeros(3)])
 

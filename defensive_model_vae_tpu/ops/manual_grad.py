@@ -65,7 +65,8 @@ assert ("cond_0", "cond_1") + _ENC + ("fc_mu", "fc_logvar") + _DEC == _LAYERS
 def manual_value_and_grad(plist, x_flat, cond, eps, cfg: CVAEConfig,
                           w: LossWeights, mask=None, n_valid=None,
                           compute_dtype=None, mixed_style="f32_acts",
-                          bias_via_dot=False, dw_mode="contract0"):
+                          bias_via_dot=False, dw_mode="contract0",
+                          chain_cd=False, grads_mode="full"):
     """Forward loss + hand-written parameter gradients.
 
     Mirrors ``_forward_loss(plist, ...)`` (same args, same masked/global-
@@ -77,14 +78,39 @@ def manual_value_and_grad(plist, x_flat, cond, eps, cfg: CVAEConfig,
     the ``f32_acts`` mixed style (bf16 matmul operands,
     f32 everything else).  ``bf16_chain`` is not supported — its whole-
     chain casts are exactly the autodiff structure this module replaces.
+
+    ``chain_cd=True`` (requires a compute dtype) keeps the dY CHAIN in the
+    compute dtype end-to-end: chain back-dots emit compute-dtype outputs,
+    relu masking is a compute-dtype select on the saved f32 activations,
+    and the dW/db dots consume the chain dy without a per-dot f32→bf16
+    cast (the f32 cotangent is quantized ONCE at the d_recon entry and
+    once at the f32 head math, instead of at all 12 dot operands).  The
+    forward and the loss components are bit-identical to the default;
+    gradients round once more per chain hop (chain depth ≤ 4), bounded by
+    the tests at bf16 tolerance.  Parameter gradients stay f32 (the dW
+    dots keep a f32 ``preferred_element_type``).
+
+    ``grads_mode`` is ABLATION-ONLY (scripts/scale_ablation.py):
+    ``"nodw"`` runs the full dY chain but replaces every dW/db dot with
+    zeros (a checksum of the two terminal chain cotangents is planted in
+    the ``cond_0`` bias gradient so the chain cannot be dead-code
+    eliminated) — the hbm−nodw delta isolates the dW-side cost;
+    ``"none"`` returns zero gradients outright (forward-only timing).
     """
     if compute_dtype is not None and mixed_style != "f32_acts":
         raise ValueError(
             "manual backward supports compute_dtype=None or the 'f32_acts' "
             f"mixed style (got mixed_style={mixed_style!r})"
         )
+    if chain_cd and compute_dtype is None:
+        raise ValueError("chain_cd requires a compute dtype (it keeps the "
+                         "dY chain in that dtype)")
+    if grads_mode not in ("full", "nodw", "none"):
+        raise ValueError(f"grads_mode must be 'full', 'nodw' or 'none' "
+                         f"(got {grads_mode!r})")
     cd = compute_dtype
     dc = (lambda a: a) if cd is None else (lambda a: a.astype(cd))
+    chain_dt = cd if chain_cd else jnp.float32
 
     def fdot(a, b):  # forward matmul: operands in compute dtype, f32 acc
         return jnp.dot(dc(a), dc(b), preferred_element_type=jnp.float32)
@@ -92,7 +118,7 @@ def manual_value_and_grad(plist, x_flat, cond, eps, cfg: CVAEConfig,
     def ddot_act(dy, W):  # dy @ W^T without materializing the transpose
         return jax.lax.dot_general(
             dc(dy), dc(W), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=chain_dt,
         )
 
     if dw_mode == "transpose":
@@ -127,7 +153,18 @@ def manual_value_and_grad(plist, x_flat, cond, eps, cfg: CVAEConfig,
             )
     else:
         def dbias(dy):  # (1, fo) — matches the flat plist bias layout
-            return jnp.sum(dy, axis=0, keepdims=True)
+            # f32 accumulation regardless of the chain dtype (identity for
+            # the default f32 chain)
+            return jnp.sum(dy, axis=0, keepdims=True, dtype=jnp.float32)
+
+    if chain_cd:
+        # compute-dtype select on the f32 saved activation: no f32 mask
+        # materialization, no per-hop convert
+        def relu_bwd(d_prev, act):
+            return jnp.where(act > 0, d_prev, jnp.zeros((), chain_dt))
+    else:
+        def relu_bwd(d_prev, act):
+            return d_prev * (act > 0).astype(jnp.float32)
 
     F = cfg.seq_len * cfg.dim
     T, D, Z, H = cfg.seq_len, cfg.dim, cfg.latent_dim, cfg.hidden_dim
@@ -198,6 +235,9 @@ def manual_value_and_grad(plist, x_flat, cond, eps, cfg: CVAEConfig,
     comps = jnp.stack([total, recon_loss, kld, start_loss, time_loss])
 
     # ---- backward -------------------------------------------------------
+    if grads_mode == "none":  # forward-only timing lever
+        return comps, [jnp.zeros_like(q) for q in plist]
+    skip_dw = grads_mode == "nodw"
     S = 1.0 / denom
     # d_recon: recon + start + time terms fused into one masked expression
     col = jax.lax.broadcasted_iota(jnp.int32, (1, F), 1)
@@ -219,35 +259,39 @@ def manual_value_and_grad(plist, x_flat, cond, eps, cfg: CVAEConfig,
 
     def back_linear(name, a_in, dy):
         """Accumulate (dW, db) for layer ``name``; return d(input)."""
-        grads[name] = (ddot_w(a_in, dy), dbias(dy))
+        if not skip_dw:
+            grads[name] = (ddot_w(a_in, dy), dbias(dy))
         return ddot_act(dy, p[name][0])
 
     # decoder chain (relu mask from the saved post-activations: act > 0
     # equals pre > 0 except on exact zeros, measure-zero like autodiff's
-    # 0.5-at-tie subgradient)
-    dy = d_recon
+    # 0.5-at-tie subgradient).  Under chain_cd the cotangent is quantized
+    # ONCE here; every chain hop below stays in the compute dtype.
+    dy = d_recon if not chain_cd else dc(d_recon)
     d_gin = None
     for i in (3, 2, 1, 0):
         d_prev = back_linear(_DEC[i], dec_in[i], dy)
         if i == 0:
             d_gin = d_prev
         else:
-            dy = d_prev * (dec_in[i] > 0).astype(jnp.float32)
+            dy = relu_bwd(d_prev, dec_in[i])
     dz = d_gin[:, :Z]
     dhc_dec = d_gin[:, Z:]
 
-    # heads: KLD cotangents + the reparameterization path, merged like the
-    # forward.  dμ = dz + wk·S/Z·m·μ;  dlogσ² = dz·ε·σ/2 − wk·S/(2Z)·m·(1−e^lv)
+    # heads: KLD cotangents + the reparameterization path in f32 (mixed
+    # adds promote the chain-dtype dz), merged like the forward.
+    # dμ = dz + wk·S/Z·m·μ;  dlogσ² = dz·ε·σ/2 − wk·S/(2Z)·m·(1−e^lv)
     kS = w.kld * S / Z
     d_mu = dz + kS * m_col * mu
     d_logvar = dz * eps * (0.5 * std) - (0.5 * kS) * m_col * (
         1.0 - jnp.exp(logvar)
     )
     d_ml = jnp.concatenate([d_mu, d_logvar], axis=1)
-    dw_ml = ddot_w(hcat, d_ml)
-    db_ml = dbias(d_ml)
-    grads["fc_mu"] = (dw_ml[:, :Z], db_ml[:, :Z])
-    grads["fc_logvar"] = (dw_ml[:, Z:], db_ml[:, Z:])
+    if not skip_dw:
+        dw_ml = ddot_w(hcat, d_ml)
+        db_ml = dbias(d_ml)
+        grads["fc_mu"] = (dw_ml[:, :Z], db_ml[:, :Z])
+        grads["fc_logvar"] = (dw_ml[:, Z:], db_ml[:, Z:])
     d_hcat = ddot_act(d_ml, w_ml)
     d_h = d_hcat[:, :H]
     dhc = dhc_dec + d_hcat[:, H:]
@@ -255,18 +299,37 @@ def manual_value_and_grad(plist, x_flat, cond, eps, cfg: CVAEConfig,
     # encoder chain (enc_in[i] is layer i's input; its output is the next
     # layer's input, or h for the top).  No d_x at the bottom.
     enc_out = enc_in[1:] + [h]
-    dy = d_h * (enc_out[3] > 0).astype(jnp.float32)
+    dy = relu_bwd(d_h, enc_out[3])
     for i in (3, 2, 1):
         d_prev = back_linear(_ENC[i], enc_in[i], dy)
-        dy = d_prev * (enc_out[i - 1] > 0).astype(jnp.float32)
-    grads["enc_0"] = (ddot_w(enc_in[0], dy), dbias(dy))
+        dy = relu_bwd(d_prev, enc_out[i - 1])
+    dy_enc = dy
+    if not skip_dw:
+        grads["enc_0"] = (ddot_w(enc_in[0], dy), dbias(dy))
 
     # condition chain (shared by encoder concat and decoder concat; no
     # d_cond at the bottom)
-    dy = dhc * (hc > 0).astype(jnp.float32)
+    dy = relu_bwd(dhc, hc)
     d_c0 = back_linear("cond_1", c0, dy)
-    dy = d_c0 * (c0 > 0).astype(jnp.float32)
-    grads["cond_0"] = (ddot_w(cond, dy), dbias(dy))
+    dy = relu_bwd(d_c0, c0)
+    if not skip_dw:
+        grads["cond_0"] = (ddot_w(cond, dy), dbias(dy))
+    else:
+        # nodw ablation: both terminal cotangents depend on EVERY chain
+        # dot, so planting their checksum in one bias gradient keeps the
+        # whole dY chain live while all dW/db dots are dead code
+        chk = jnp.sum(dy_enc, dtype=jnp.float32) + jnp.sum(
+            dy, dtype=jnp.float32
+        )
+        flat_grads = []
+        for i, name in enumerate(names):
+            gw = jnp.zeros_like(plist[2 * i])
+            gb = jnp.zeros_like(plist[2 * i + 1])
+            if name == "cond_0":
+                gb = gb + chk
+            flat_grads.append(gw)
+            flat_grads.append(gb)
+        return comps, flat_grads
 
     flat_grads = []
     for name in names:

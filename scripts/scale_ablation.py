@@ -17,6 +17,11 @@ rep — identical-repeat elision is cross-process, CLAUDE.md):
   hbm_noacc   hbm with overwrite instead of read-add -> cross-tile acc cost
   hbm_biasdot hbm with bias grads as MXU ones-row dots instead of VPU
               reductions                             -> candidate win
+  hbm_chaincd hbm with the dY chain in the compute dtype (manual_grad
+              chain_cd)                              -> round-5 candidate
+  hbm_nodw    hbm with dW/db dots removed (chain kept live via a
+              checksum)                              -> dW-side bucket
+  hbm_fwdonly hbm with the whole backward removed    -> manual fwd floor
   hbm_t1024 / hbm_t4096   tile re-sweep for the manual backward (the 2048
               optimum was measured on the autodiff kernel)
   dx          autodiff backward w.r.t. x only, eps packed -> dW matmuls +
@@ -69,7 +74,7 @@ from defensive_model_vae_tpu.models import (  # noqa: E402
     CVAEConfig, LossWeights, init_params,
 )
 from defensive_model_vae_tpu.ops.fused_scale import (  # noqa: E402
-    _VMEM_LIMIT_BYTES, _fused_scale_call, _pack_corpus,
+    _DEFAULT_NOISE_IMPL, _VMEM_LIMIT_BYTES, _fused_scale_call, _pack_corpus,
 )
 from defensive_model_vae_tpu.ops.fused_trainer import (  # noqa: E402
     _flatten_params, _forward_loss, _normal_noise, fused_inputs,
@@ -337,6 +342,9 @@ def main():
                 "hbm_noadam": ("noadam",),
                 "hbm_noacc": ("noacc",),
                 "hbm_biasdot": ("biasdot",),
+                "hbm_chaincd": ("chaincd",),
+                "hbm_nodw": ("nodw",),
+                "hbm_fwdonly": ("fwdonly",),
             }.get(mode, ())
             _, m = _fused_scale_call(
                 plist, packed_zero, seed_arr, cfg, weights, EPOCHS, 1e-3,
@@ -361,7 +369,7 @@ def main():
     # mode — the prng_random_bits stub yields zeros that inf Box-Muller
     variants = (["full", "manual"] if not SMOKE else []) + [
         "full_eps", "manual_eps", "hbm", "hbm_noadam", "hbm_noacc",
-        "hbm_biasdot",
+        "hbm_biasdot", "hbm_chaincd", "hbm_nodw", "hbm_fwdonly",
     ] + ([] if SMOKE else ["hbm_t1024", "hbm_t4096"]) + [
         "dx", "fwd", "sol", "stream",
     ]
@@ -402,12 +410,27 @@ def main():
         # four share epoch-0 loss rows exactly (grads only differ later);
         # noadam never updates params; the others descend
         hb = last_m["hbm"]
-        for k in ("hbm_noadam", "hbm_noacc", "hbm_biasdot"):
+        for k in ("hbm_noadam", "hbm_noacc", "hbm_biasdot", "hbm_chaincd",
+                  "hbm_nodw", "hbm_fwdonly"):
             assert np.allclose(last_m[k][0, :5], hb[0, :5], rtol=1e-5), k
         assert not np.allclose(hb[0, 0], hb[EPOCHS - 1, 0], rtol=1e-3)
         assert not np.allclose(
             last_m["hbm_biasdot"][0, 0],
             last_m["hbm_biasdot"][EPOCHS - 1, 0], rtol=1e-3,
+        )
+        # chaincd is a real training run (descends, bf16-rounding close to
+        # the default chain per test_fused_scale); fwdonly takes no Adam
+        # step (zero grads), so its rows are the INITIAL params' loss
+        # under each epoch's fresh eps draw — finite, and its later rows
+        # diverge from the descending hbm run's
+        assert not np.allclose(
+            last_m["hbm_chaincd"][0, 0],
+            last_m["hbm_chaincd"][EPOCHS - 1, 0], rtol=1e-3,
+        )
+        assert np.isfinite(last_m["hbm_fwdonly"][:EPOCHS, :5]).all()
+        assert not np.allclose(
+            last_m["hbm_fwdonly"][EPOCHS - 1, 0], hb[EPOCHS - 1, 0],
+            rtol=1e-3,
         )
         print("SMOKE OK: ablation variants agree on epoch-0 loss components")
         return
@@ -424,6 +447,7 @@ def main():
             "mwindows_per_s": round(EPOCHS * N / best / 1e6, 2),
         }
     b = {v: out["variants"][v]["best_s"] for v in variants}
+    out["noise_impl"] = _DEFAULT_NOISE_IMPL  # what the hbm family ran under
     out["breakdown_s"] = {
         "manual_backward_saves": round(b["full"] - b["manual"], 4),
         "prng": round(b["full"] - b["full_eps"], 4),
@@ -432,6 +456,13 @@ def main():
         "adam": round(b["hbm"] - b["hbm_noadam"], 4),
         "acc_read_add": round(b["hbm"] - b["hbm_noacc"], 4),
         "biasdot_saves": round(b["hbm"] - b["hbm_biasdot"], 4),
+        "chaincd_saves": round(b["hbm"] - b["hbm_chaincd"], 4),
+        # manual-backward buckets ON the shipping kernel (the dx/fwd pair
+        # below buckets the AUTODIFF backward): hbm − nodw = dW/db dots;
+        # nodw − fwdonly = the dY chain; fwdonly = fwd + stream + acc/adam
+        "manual_dw": round(b["hbm"] - b["hbm_nodw"], 4),
+        "manual_dy_chain": round(b["hbm_nodw"] - b["hbm_fwdonly"], 4),
+        "manual_fwd_floor": round(b["hbm_fwdonly"], 4),
         "dw_acc_adam": round(b["full_eps"] - b["dx"], 4),
         "dy_chain": round(b["dx"] - b["fwd"], 4),
         "fwd_overhead_vs_sol": round(b["fwd"] - b["sol"], 4),

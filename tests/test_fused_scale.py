@@ -302,6 +302,53 @@ def test_manual_bias_via_dot_matches_sum():
         assert np.allclose(a, b, atol=1e-2 * max(np.abs(a).max(), 1e-3))
 
 
+def test_manual_chain_cd_and_grads_modes():
+    """chain_cd (dY chain in the compute dtype) returns the same loss
+    components bit-for-bit (the forward is untouched) and gradients within
+    bf16 rounding of the default f32 chain; the ablation-only grads_mode
+    levers return zero gradients (nodw plants its liveness checksum in the
+    cond_0 bias only), and chain_cd without a compute dtype is refused."""
+    import jax.numpy as jnp
+    import pytest
+
+    from defensive_model_vae_tpu.models import LossWeights
+    from defensive_model_vae_tpu.ops.fused_trainer import fused_inputs
+    from defensive_model_vae_tpu.ops.manual_grad import manual_value_and_grad
+
+    w = _tiny_corpus(24, seed=41)
+    x_flat, start = fused_inputs(w)
+    eps = jax.random.normal(jax.random.PRNGKey(12), (24, CFG.latent_dim))
+    plist = _flatten_params(init_params(jax.random.PRNGKey(0), CFG))
+    args = (plist, x_flat.astype(jnp.bfloat16), start.astype(jnp.bfloat16),
+            eps.astype(jnp.bfloat16), CFG, LossWeights())
+    kw = dict(compute_dtype=jnp.bfloat16, mixed_style="f32_acts")
+
+    comps, grads = manual_value_and_grad(*args, **kw)
+    comps_c, grads_c = manual_value_and_grad(*args, chain_cd=True, **kw)
+    assert np.array_equal(np.asarray(comps), np.asarray(comps_c))
+    for a, b in zip(grads, grads_c):
+        a, b = np.asarray(a), np.asarray(b)
+        # one extra bf16 rounding per chain hop (depth <= 4)
+        assert np.allclose(a, b, atol=2e-2 * max(np.abs(a).max(), 1e-3))
+        assert a.dtype == b.dtype == np.float32
+
+    comps_n, grads_n = manual_value_and_grad(*args, grads_mode="nodw", **kw)
+    assert np.array_equal(np.asarray(comps), np.asarray(comps_n))
+    nonzero = [i for i, g in enumerate(grads_n)
+               if np.abs(np.asarray(g)).max() > 0]
+    assert nonzero == [1]  # cond_0 bias carries the chain checksum
+
+    comps_f, grads_f = manual_value_and_grad(*args, grads_mode="none", **kw)
+    assert np.array_equal(np.asarray(comps), np.asarray(comps_f))
+    assert all(np.abs(np.asarray(g)).max() == 0 for g in grads_f)
+
+    with pytest.raises(ValueError, match="chain_cd requires"):
+        manual_value_and_grad(plist, x_flat, start, eps, CFG, LossWeights(),
+                              chain_cd=True)
+    with pytest.raises(ValueError, match="grads_mode"):
+        manual_value_and_grad(*args, grads_mode="bogus", **kw)
+
+
 def test_manual_grads_match_autodiff():
     """The hand-written backward (ops/manual_grad) == jax.grad of the
     shared _forward_loss to fp order in f32, for every masking mode; the
