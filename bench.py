@@ -909,6 +909,84 @@ def bench_generation(windows, n=4096):
         _log(f"generation bench skipped ({e})")
 
 
+def _timed_reps(fn, n_reps=3):
+    """Untimed warm rep + ``n_reps`` entropy-seeded timed reps of ``fn(seed)``
+    (the cross-round protocol of the other headlines: best + median; fresh
+    seed VALUES per rep because the tunnel's identical-repeat result cache
+    is cross-process — CLAUDE.md measurement hazards).  ``fn`` must block
+    on completion itself (both scan trainers fetch their metrics to host)."""
+    base = _fresh_seed()
+    fn(base + 7919)  # warm-up/compile, never re-timed
+    times = []
+    for rep in range(n_reps):
+        t0 = time.time()
+        fn(base + rep)
+        times.append(time.time() - t0)
+    return times
+
+
+def bench_conv_long(n=256, seq_len=50, epochs=500):
+    """BASELINE config 3 (Conv1D VAE over long windows) as a per-round
+    drift series — the one-shot number in results/baseline_configs.json
+    had no cross-round key, so a regression there went unnoticed (VERDICT
+    r04 item 6).  Same shapes/epochs as scripts/run_baseline_configs.py.
+    Returns (best_rate, median_rate, n_reps) in windows/s."""
+    from defensive_model_vae_tpu.data import generate_random_trajectories
+    from defensive_model_vae_tpu.train import TrainConfig, train_conv
+
+    windows = generate_random_trajectories(n, seq_len, 5.0, seed=0).astype(
+        np.float32
+    )
+
+    def run(seed):
+        _, hist, _ = train_conv(
+            windows, train_cfg=TrainConfig(epochs=epochs, seed=seed)
+        )
+        if not np.isfinite(hist["total"][-1]):
+            raise RuntimeError("conv training diverged")
+
+    times = _timed_reps(run)
+    _log(
+        f"conv_long[{n}x{seq_len}x2, {epochs}ep]: best {min(times):.2f}s, "
+        f"median {_median(times):.2f}s (n={len(times)})"
+    )
+    total = epochs * n
+    return total / min(times), total / _median(times), len(times)
+
+
+def bench_conditioned(epochs=3000):
+    """BASELINE config 4 (scenario-class + THW conditioned CVAE) as a
+    per-round drift series (VERDICT r04 item 6).  Corpus = the four
+    fixture scenario sets with default trial suffixes (data-root
+    independent, deterministic across machines).
+    Returns (best_rate, median_rate, n_reps) in windows/s."""
+    from defensive_model_vae_tpu import scenarios
+    from defensive_model_vae_tpu.data.features import build_conditioned_corpus
+    from defensive_model_vae_tpu.train import TrainConfig, train_conditioned
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    windows = {
+        k: np.load(os.path.join(here, "fixtures", f"trajectory_{k}_cond.npy"))
+        for k in scenarios.REGISTRY
+    }
+    corpus, extra = build_conditioned_corpus(windows)
+
+    def run(seed):
+        _, hist, _ = train_conditioned(
+            corpus, extra, TrainConfig(epochs=epochs, seed=seed)
+        )
+        if not np.isfinite(hist["total"][-1]):
+            raise RuntimeError("conditioned training diverged")
+
+    times = _timed_reps(run)
+    _log(
+        f"conditioned[{corpus.shape[0]}x{corpus.shape[1]}, {epochs}ep]: "
+        f"best {min(times):.2f}s, median {_median(times):.2f}s (n={len(times)})"
+    )
+    total = epochs * corpus.shape[0]
+    return total / min(times), total / _median(times), len(times)
+
+
 def main():
     # deterministic Mosaic lowering -> persistent-cache hits for the
     # fused kernels (re-execs once if hash randomization is live)
@@ -927,6 +1005,7 @@ def main():
         # .jax_cache keeps even the 'cold' compile cheap on repeats
         torch_rate = RECORDED_TORCH_CPU_RATE
     dnda_s = mpc_s = grid_s = grid_ok = scale = scale_bf16 = scale_fused = None
+    conv_long = cond_rate = None
     if not warm_only:
         bench_generation(windows)
         # a convergence regression must be VISIBLE, not fatal: record
@@ -967,6 +1046,17 @@ def main():
             scale_fused = bench_scale_fused()
         except Exception as e:
             _log(f"fused scale bench failed ({e})")
+        # secondary BASELINE.json configs (3: Conv1D long windows, 4:
+        # scenario+THW conditioned) join the per-round drift series —
+        # their keys were pre-registered in _DRIFT_KEYS from r05 on
+        try:
+            conv_long = bench_conv_long()
+        except Exception as e:
+            _log(f"conv_long bench failed ({e})")
+        try:
+            cond_rate = bench_conditioned()
+        except Exception as e:
+            _log(f"conditioned bench failed ({e})")
         try:
             torch_rate = bench_torch_baseline(windows)
         except Exception as e:  # torch missing/broken → recorded rate
@@ -1076,6 +1166,14 @@ def main():
             scale_fused["rate_auto"], 1
         )
         result["scale_fused_autodiff_n_reps"] = scale_fused["n_reps_auto"]
+    if conv_long is not None:
+        result["conv_long_windows_per_sec"] = round(conv_long[0], 1)
+        result["conv_long_windows_per_sec_median"] = round(conv_long[1], 1)
+        result["conv_long_n_reps"] = conv_long[2]
+    if cond_rate is not None:
+        result["conditioned_windows_per_sec"] = round(cond_rate[0], 1)
+        result["conditioned_windows_per_sec_median"] = round(cond_rate[1], 1)
+        result["conditioned_n_reps"] = cond_rate[2]
     drift = _drift_report(result)
     if drift is not None and drift["flagged"]:
         result["drift_flags"] = drift["flagged"]
