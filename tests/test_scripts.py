@@ -8,6 +8,7 @@ checkpoint — so the pure parts are tested here without touching a device.
 """
 
 import importlib.util
+import os
 
 import pytest
 
@@ -598,6 +599,23 @@ def test_scale_ablation_smoke(monkeypatch):
     monkeypatch.setattr(sys, "argv", ["scale_ablation.py", "--smoke"])
     sa = _load("scale_ablation")
     sa.main()  # raises on any variant disagreement
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/SUT_Testing/collected_data"),
+    reason="reference SUT corpus absent",
+)
+def test_dnda_drift_probe_stages_agree(tmp_path):
+    """scripts/dnda_drift_probe.py re-implements score_directory's stages
+    only to time them — its staged_sweep must agree episode-for-episode
+    with score_directory on a real episode (CPU path, few frames)."""
+    import shutil
+
+    src = "/root/reference/SUT_Testing/collected_data/DEF_StaticBlindTown05_1.csv"
+    shutil.copy(src, tmp_path / "DEF_StaticBlindTown05_1.csv")
+    probe = _load("dnda_drift_probe")
+    n = probe._smoke(str(tmp_path), max_frames=3)
+    assert n > 0
 
 
 @pytest.mark.slow
