@@ -62,6 +62,11 @@ def main():
                     help="also measure full-batch /serve throughput at "
                          "this compiled batch (0 = skip; compiles a "
                          "second program)")
+    ap.add_argument("--concurrency", type=int, default=8,
+                    help="client threads for the tail-latency phase "
+                         "(0 = skip)")
+    ap.add_argument("--load-requests", type=int, default=25,
+                    help="requests per client thread in the tail phase")
     args = ap.parse_args()
 
     from defensive_model_vae_tpu.utils.cache import enable_persistent_cache
@@ -111,6 +116,53 @@ def main():
 
     serve_client, serve_server = _timed("/serve")
     gen_client, gen_server = _timed("/generate")
+
+    # tail latency under concurrent load (VERDICT r04 item 8): the endpoint
+    # is a single-threaded HTTPServer over one device, so N concurrent
+    # clients serialize through the accept queue — p95/p99 here measure the
+    # honest queueing tail a multi-client deployment would see, not device
+    # jitter.  Entropy seeds server-side as above (no identical repeats).
+    tail = None
+    if args.concurrency > 0:
+        lat_ms: list = []
+        errors = {"n": 0}
+        lock = threading.Lock()
+
+        def _client():
+            for _ in range(args.load_requests):
+                t = time.perf_counter()
+                try:
+                    body = _post(base, "/serve", {"requests": rows})
+                except Exception:
+                    with lock:
+                        errors["n"] += 1
+                    continue
+                dt = 1e3 * (time.perf_counter() - t)
+                with lock:
+                    lat_ms.append(dt)
+                    diverged["rows"] += len(body.get("invalid", []))
+                    diverged["requests"] += body["n"]
+
+        threads = [threading.Thread(target=_client)
+                   for _ in range(args.concurrency)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        qs = statistics.quantiles(lat_ms, n=100, method="inclusive")
+        tail = {
+            "concurrency": args.concurrency,
+            "requests": len(lat_ms),
+            "errors": errors["n"],
+            "p50_ms": round(statistics.median(lat_ms), 1),
+            "p95_ms": round(qs[94], 1),
+            "p99_ms": round(qs[98], 1),
+            "max_ms": round(max(lat_ms), 1),
+            "req_per_s": round(len(lat_ms) / wall, 1),
+        }
+
     server.shutdown()
     server.server_close()
     thread.join(timeout=10)
@@ -169,6 +221,7 @@ def main():
         "startup_s": round(startup_s, 1),
         "serve": _stats(serve_client, serve_server),
         "generate": _stats(gen_client, gen_server),
+        **({"serve_tail_under_load": tail} if tail else {}),
         **({"serve_throughput": throughput} if throughput else {}),
         "diverged_rows": diverged["rows"],
         "total_request_rows": diverged["requests"],
@@ -191,8 +244,17 @@ def main():
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
+    if tail:
+        out["notes"].append(
+            "serve_tail_under_load: N client threads against the "
+            "single-threaded endpoint — p95/p99 are the queueing tail of "
+            "a serialized single-device deployment, measured end-to-end "
+            "through HTTP"
+        )
     print(json.dumps({k: out[k] for k in ("serve", "generate",
-                                          "startup_s", "backend")}))
+                                          "startup_s", "backend")
+                      if k in out}
+                     | ({"serve_tail_under_load": tail} if tail else {})))
     print(f"wrote {args.out}")
 
 

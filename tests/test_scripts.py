@@ -640,7 +640,8 @@ def test_serve_latency_script_end_to_end(tmp_path, monkeypatch):
     monkeypatch.setattr(
         sys, "argv",
         ["serve_latency.py", "--ckpt", d, "--steps", "4", "--reps", "2",
-         "--out", str(out), "--throughput-batch", "2"],
+         "--out", str(out), "--throughput-batch", "2",
+         "--concurrency", "3", "--load-requests", "3"],
     )
     sl.main()
     data = json.loads(out.read_text())
@@ -652,6 +653,11 @@ def test_serve_latency_script_end_to_end(tmp_path, monkeypatch):
     assert data["serve_throughput"]["batch"] == 2
     assert data["serve_throughput"]["req_per_s_best"] > 0
     assert data["serve_throughput"]["npz_req_per_s_best"] > 0
+    tail = data["serve_tail_under_load"]
+    assert tail["concurrency"] == 3 and tail["requests"] == 9
+    assert tail["errors"] == 0
+    assert tail["p50_ms"] <= tail["p95_ms"] <= tail["p99_ms"] <= tail["max_ms"]
+    assert tail["req_per_s"] > 0
     assert data["diverged_rows"] == 0  # tiny CPU run: no degenerate draws
-    assert data["total_request_rows"] >= 2 * 2 + 3 * 2
+    assert data["total_request_rows"] >= 2 * 2 + 3 * 2 + 9
     assert data["startup_s"] > 0 and data["git_sha"]
